@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship flat k-NN on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — matching DuckDB SQL per query.
+
+Convention (see scalablevectorsearch_spark/oracles.py): computed floats
+are emitted as scaled BIGINTs (``*_e4`` = round(x*10000)) in both engines
+so value hashes are float-format independent.
 """
 
 from __future__ import annotations
@@ -12,27 +14,128 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark import oracles
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
+from scalablevectorsearch_spark.operators.reconstruct import reconstruct
+from scalablevectorsearch_spark.functions.distances import distance_expr
+
+K = 10
+N_QUERIES = 100
+E4 = lambda c: F.round(F.col(c) * 10000).cast("long")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _emb(spark, sf_dir).selectExpr("vec_id as id", "embedding as vector", "label")
+
+
+def _queries_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < N_QUERIES)
+        .selectExpr("vec_id as qid", "embedding as vector")
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: exact cosine top-10 similarity join on sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    return _knn_query("cosine")(spark, sf_dir)
+
+
+def _knn_query(distance: str, where=None):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        res = flat_knn(
+            _base(spark, sf_dir),
+            _queries_df(spark, sf_dir),
+            k=K,
+            distance=distance,
+            where=where,
+            round_to=None,
+        )
+        return res.select(
+            "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+        )
+
+    return run
+
+
+def _multivector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    inner = flat_knn(base, _queries_df(spark, sf_dir), k=40, distance="l2", round_to=None)
+    out = dedupe_by_label(inner, base.select("id", "label"), k=5, distance="l2")
+    return out.select(
+        "qid", "rank", F.col("label").cast("int"), "neighbor_id",
+        E4("distance").alias("distance_e4"),
+    )
+
+
+def _recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=None).select("qid", "neighbor_id")
+    res = flat_knn(base, q, k=K, distance="ip", round_to=None).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return matched.crossJoin(nq)
+
+
+def _medioid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _base(spark, sf_dir)
+    comp = (
+        df.select(F.posexplode("vector").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg("x").alias("m"))
+    )
+    mean = (
+        comp.agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(F.transform("pm", lambda s: s["m"]).alias("mv"))
+    )
+    d = df.crossJoin(F.broadcast(mean)).select(
+        "id", distance_expr(F.col("vector"), F.col("mv"), "l2").alias("dist")
+    )
+    return (
+        d.orderBy(F.col("dist").asc(), F.col("id").asc())
+        .limit(1)
+        .select(F.col("id").alias("entry_id"))
+    )
+
+
+def _reconstruct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    ids = base.filter(F.col("id") < 50).select("id")
+    return reconstruct(base, ids)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "flat_knn_l2": _knn_query("l2"),
+        "flat_knn_ip": _knn_query("ip"),
+        "flat_knn_cosine": _knn_query("cosine"),
+        "flat_knn_filtered": _knn_query("l2", where="label = 3"),
+        "multivector_knn": _multivector_query,
+        "knn_recall_ip_vs_l2": _recall_query,
+        "medioid": _medioid_query,
+        "reconstruct": _reconstruct_query,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "flat_knn_l2": oracles.flat_knn_sql("l2", K, N_QUERIES),
+        "flat_knn_ip": oracles.flat_knn_sql("ip", K, N_QUERIES),
+        "flat_knn_cosine": oracles.flat_knn_sql("cosine", K, N_QUERIES),
+        "flat_knn_filtered": oracles.flat_knn_sql("l2", K, N_QUERIES, where="label = 3"),
+        "multivector_knn": oracles.multivector_knn_sql("l2", 5, 40, N_QUERIES),
+        "knn_recall_ip_vs_l2": oracles.recall_sql(K, N_QUERIES),
+        "medioid": oracles.medioid_sql(),
+        "reconstruct": oracles.reconstruct_sql(50),
+    }

@@ -1,0 +1,115 @@
+"""DuckDB oracle SQL generators for the driver's correctness gate.
+
+Every compared numeric that is *computed* (distances, recalls) is emitted
+as a scaled BIGINT (``round(x*10000)`` -> ``*_e4``) in BOTH engines, so
+the driver's value-hash never depends on float formatting or 1-ULP
+rounding differences between Spark and DuckDB. Raw stored values (ids,
+ranks, counts, stored float arrays) pass through unscaled.
+
+The SQL mirrors the engine's semantics exactly: float64 math, L2 is
+squared-Euclidean minimized, IP/cosine maximized, ties broken by
+ascending id (reference: include/svs/lib/neighbor.h id-ordered
+comparators).
+"""
+
+from __future__ import annotations
+
+_DIST_SQL = {
+    "l2": "list_sum(list_transform(range(1, len(qv)+1), i -> (qv[i]-bv[i])*(qv[i]-bv[i])))",
+    "ip": "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*bv[i]))",
+    "cosine": (
+        "list_sum(list_transform(range(1, len(qv)+1), i -> qv[i]*bv[i])) / "
+        "(sqrt(list_sum(list_transform(qv, x -> x*x))) * "
+        "sqrt(list_sum(list_transform(bv, x -> x*x))))"
+    ),
+}
+
+_ORDER = {"l2": "ASC", "ip": "DESC", "cosine": "DESC"}
+
+E4 = "CAST(round({expr} * 10000) AS BIGINT)"
+
+
+def knn_cte(distance: str, n_queries: int, where: str = "") -> str:
+    """CTE body producing r(qid, id, dist, rnk) for flat k-NN on the
+    embeddings table with queries = vec_id < n_queries."""
+    where_clause = f"WHERE {where}" if where else ""
+    return f"""
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS bv
+      FROM embeddings {where_clause}),
+d AS (SELECT qid, id, label, {_DIST_SQL[distance]} AS dist FROM q CROSS JOIN b),
+r AS (SELECT qid, id, label, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist {_ORDER[distance]}, id ASC) AS rnk
+      FROM d)
+""".strip()
+
+
+def flat_knn_sql(distance: str, k: int, n_queries: int, where: str = "") -> str:
+    return f"""
+WITH {knn_cte(distance, n_queries, where)}
+SELECT qid, rnk AS rank, id AS neighbor_id, {E4.format(expr='dist')} AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
+
+
+def multivector_knn_sql(distance: str, k: int, k_inner: int, n_queries: int) -> str:
+    return f"""
+WITH {knn_cte(distance, n_queries)},
+inner_k AS (SELECT qid, id, label, dist FROM r WHERE rnk <= {k_inner}),
+per_label AS (
+  SELECT qid, id, label, dist,
+         row_number() OVER (PARTITION BY qid, label ORDER BY dist {_ORDER[distance]}, id ASC) AS lr
+  FROM inner_k),
+best AS (SELECT qid, id, label, dist FROM per_label WHERE lr = 1),
+ranked AS (
+  SELECT qid, label, id, dist,
+         row_number() OVER (PARTITION BY qid ORDER BY dist {_ORDER[distance]}, id ASC) AS rnk
+  FROM best)
+SELECT qid, rnk AS rank, label, id AS neighbor_id, {E4.format(expr='dist')} AS distance_e4
+FROM ranked WHERE rnk <= {k}
+""".strip()
+
+
+def recall_sql(k: int, n_queries: int) -> str:
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+d AS (SELECT qid, id,
+             {_DIST_SQL["l2"]} AS dist_l2,
+             {_DIST_SQL["ip"]} AS dist_ip
+      FROM q CROSS JOIN b),
+r AS (SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_l2 ASC, id ASC) AS rnk_l2,
+             row_number() OVER (PARTITION BY qid ORDER BY dist_ip DESC, id ASC) AS rnk_ip
+      FROM d),
+gt AS (SELECT qid, id FROM r WHERE rnk_l2 <= {k}),
+res AS (SELECT qid, id FROM r WHERE rnk_ip <= {k})
+SELECT
+  (SELECT count(*) FROM res WHERE EXISTS
+     (SELECT 1 FROM gt WHERE gt.qid = res.qid AND gt.id = res.id)) AS matched,
+  (SELECT count(DISTINCT qid) FROM res) AS n_queries
+""".strip()
+
+
+def medioid_sql() -> str:
+    return """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+comp AS (
+  SELECT pos, avg(x) AS m
+  FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u
+  GROUP BY pos),
+mean AS (SELECT list(m ORDER BY pos) AS mv FROM comp),
+d AS (SELECT vec_id,
+             list_sum(list_transform(range(1, len(v)+1), i -> (v[i]-mv[i])*(v[i]-mv[i]))) AS dist
+      FROM e CROSS JOIN mean)
+SELECT vec_id AS entry_id FROM d ORDER BY dist ASC, vec_id ASC LIMIT 1
+""".strip()
+
+
+def reconstruct_sql(n_ids: int) -> str:
+    return f"""
+SELECT vec_id AS id, embedding AS vector
+FROM embeddings WHERE vec_id < {n_ids}
+""".strip()
