@@ -24,7 +24,8 @@ from scalablevectorsearch_spark.functions.distances import distance_expr
 
 K = 10
 N_QUERIES = 100
-E4 = lambda c: F.round(F.col(c) * 10000).cast("long")
+# round-half-up; identical formula in the numpy kernels and DuckDB oracles
+E4 = lambda c: F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast("long")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,7 +58,7 @@ def _knn_query(distance: str, where=None):
             k=K,
             distance=distance,
             where=where,
-            round_to=None,
+            round_to=4,
         )
         return res.select(
             "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
@@ -68,7 +69,7 @@ def _knn_query(distance: str, where=None):
 
 def _multivector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
-    inner = flat_knn(base, _queries_df(spark, sf_dir), k=40, distance="l2", round_to=None)
+    inner = flat_knn(base, _queries_df(spark, sf_dir), k=40, distance="l2", round_to=4)
     out = dedupe_by_label(inner, base.select("id", "label"), k=5, distance="l2")
     return out.select(
         "qid", "rank", F.col("label").cast("int"), "neighbor_id",
@@ -79,8 +80,8 @@ def _multivector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
-    gt = flat_knn(base, q, k=K, distance="l2", round_to=None).select("qid", "neighbor_id")
-    res = flat_knn(base, q, k=K, distance="ip", round_to=None).select("qid", "neighbor_id")
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    res = flat_knn(base, q, k=K, distance="ip", round_to=4).select("qid", "neighbor_id")
     matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
         F.count("*").alias("matched")
     )
@@ -110,9 +111,14 @@ def _medioid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _reconstruct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exploded (id, pos, val_e4): the driver's canonicalizer can't hash
+    # array cells, so the gate compares one row per vector component
     base = _base(spark, sf_dir)
     ids = base.filter(F.col("id") < 50).select("id")
-    return reconstruct(base, ids)
+    rec = reconstruct(base, ids)
+    return rec.select(
+        "id", F.posexplode("vector").alias("pos", "__x")
+    ).select("id", "pos", E4("__x").alias("val_e4"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

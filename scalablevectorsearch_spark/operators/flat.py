@@ -7,26 +7,31 @@ Parity: FlatIndex search (/root/reference/include/svs/index/flat/flat.h:159,
 Spark plan (scale-first):
  - The query batch is driver-resident (Q x d), exactly as in the reference
    (queries arrive as one numpy array through the Python bindings,
-   bindings/python/include/svs/python/manager.h:34-47). It is broadcast to
-   executors; the BASE table — the 100 TB side — is never shuffled.
+   bindings/python/include/svs/python/manager.h:34-47). It is shipped once
+   per executor via ``SparkContext.broadcast`` (the reference's
+   BroadcastDistance spirit, flat.h:379-410); the BASE table — the 100 TB
+   side — is never shuffled and is scanned exactly ONCE regardless of the
+   query count: query chunks are iterated *inside* the per-partition
+   kernel, so each Arrow batch is read once and fed to every chunk.
  - ``mapInPandas`` streams each base partition through a numpy float64
    distance kernel keeping a running per-query top-k (the reference's
    per-tile partial top-k, i.e. map-side partial aggregation). Each
    partition emits only Q x k candidate rows.
  - A final window top-k over Q x k x n_partitions rows merges partials —
    the shuffle moves O(Q·k·P) rows regardless of base size.
- - Large query sets are processed in driver-side chunks of
-   ``query_chunk_size`` (bounded executor memory per chunk); chunk results
-   union lazily into one plan.
 
 Predicate-filtered search (flat.h:290-295): pass ``where`` — the filter is
 applied to the base scan *before* the kernel, so Catalyst pushes it into
 the Parquet scan (the reference evaluates its predicate per-row inside the
 scan loop; pushdown is strictly better).
 
-Determinism: float64 kernel, ties broken by ascending id (neighbor.h
-id-ordered comparators); distances rounded to ``round_to`` decimals at the
-output boundary so results hash-match a sequential-fold SQL oracle.
+Determinism: float64 kernel; when ``round_to`` is set, selection happens
+on the integer key ``floor(d * 10^round_to + 0.5)`` with ties broken by
+ascending id — a total order identical in numpy, Spark SQL, and a DuckDB
+oracle (round-half-up, no banker's rounding), so partial top-k, the merge
+window, and the oracle all pick the same rows (neighbor.h id-ordered
+comparators). With ``round_to=None`` raw float64 keys are used; exact
+float ties are still broken by id.
 """
 
 from __future__ import annotations
@@ -44,54 +49,102 @@ from scalablevectorsearch_spark.operators.topk import topk_per_group
 
 RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
 
+_ID_SENTINEL = np.iinfo(np.int64).max
 
-def _partition_topk(
-    qids: np.ndarray, Q: np.ndarray, distance: str, k: int
-) -> "callable":
-    """Build the mapInPandas function: per-partition streaming top-k."""
+
+def _merge_topk(
+    best_key: np.ndarray,
+    best_id: np.ndarray,
+    new_key: np.ndarray,
+    new_id: np.ndarray,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact per-row top-k under the total order (key asc, id asc).
+
+    Concatenates the running buffer with the new candidates, selects with
+    argpartition + a tie pad, then verifies no equal-key candidate was
+    dropped at the boundary (argpartition picks arbitrarily among equal
+    keys); flagged rows fall back to a full sort. Exact for any tie
+    multiplicity — fixes the bounded k+16 pad of the previous revision.
+    """
+    key = np.concatenate([best_key, new_key], axis=1)
+    ids = np.concatenate([best_id, new_id], axis=1)
+    nq, width = key.shape
+    if width <= k:
+        order = np.lexsort((ids, key), axis=1)
+        return np.take_along_axis(key, order, axis=1), np.take_along_axis(ids, order, axis=1)
+
+    kk = min(k + 64, width)
+    if kk < width:
+        part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
+        sel_key = np.take_along_axis(key, part, axis=1)
+        sel_id = np.take_along_axis(ids, part, axis=1)
+    else:
+        sel_key, sel_id = key, ids
+    order = np.lexsort((sel_id, sel_key), axis=1)[:, :k]
+    out_key = np.take_along_axis(sel_key, order, axis=1)
+    out_id = np.take_along_axis(sel_id, order, axis=1)
+
+    if kk < width:
+        # boundary-tie audit: if more than kk entries are <= the kept k-th
+        # key, equal-key/lower-id entries may have been dropped — redo
+        # those rows exactly.
+        boundary = out_key[:, -1:]
+        n_le = (key <= boundary).sum(axis=1)
+        bad = np.nonzero(n_le > kk)[0]
+        for r in bad:
+            o = np.lexsort((ids[r], key[r]))[:k]
+            out_key[r] = key[r, o]
+            out_id[r] = ids[r, o]
+    return out_key, out_id
+
+
+def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | None):
+    """Build the mapInPandas function: one pass over the partition's
+    batches, updating a running top-k for every query chunk."""
     maximize = is_similarity(distance)
+    scale = None if round_to is None else float(10**round_to)
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        best_d: np.ndarray | None = None  # (Q, <=k) raw metric values
-        best_i: np.ndarray | None = None
-        nq = Q.shape[0]
+        qids, Q = bc.value
+        nqt = Q.shape[0]
+        if scale is None:
+            best_key = np.full((nqt, k), np.inf, dtype=np.float64)
+        else:
+            best_key = np.full((nqt, k), np.iinfo(np.int64).max, dtype=np.int64)
+        best_id = np.full((nqt, k), _ID_SENTINEL, dtype=np.int64)
+        n_chunks = max(1, math.ceil(nqt / chunk_size))
+        seen = False
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            seen = True
             ids = pdf["__id"].to_numpy(dtype=np.int64)
             B = np.stack(pdf["__vec"].to_numpy())
-            D = pairwise_distances(Q, B, distance)  # (nq, n)
-            idmat = np.broadcast_to(ids, D.shape)
-            if best_d is not None:
-                D = np.concatenate([best_d, D], axis=1)
-                idmat = np.concatenate([best_i, np.broadcast_to(ids, (nq, len(ids)))], axis=1)
-            # keep k plus a tie pad: argpartition's boundary selection is
-            # arbitrary among exactly-equal distances; the pad lets the
-            # final global window apply the id tie-break exactly (only
-            # degenerate data has >16 duplicates at the k-th distance)
-            kk = min(k + 16, D.shape[1])
-            key = -D if maximize else D
-            # partial select then exact (key, id) sort of the survivors
-            if D.shape[1] > kk:
-                part = np.argpartition(key, kk - 1, axis=1)[:, :kk]
-                sel_key = np.take_along_axis(key, part, axis=1)
-                sel_ids = np.take_along_axis(np.ascontiguousarray(idmat), part, axis=1)
-            else:
-                sel_key = key
-                sel_ids = np.ascontiguousarray(idmat)
-            order = np.lexsort((sel_ids, sel_key), axis=1)
-            sel_key = np.take_along_axis(sel_key, order, axis=1)
-            sel_ids = np.take_along_axis(sel_ids, order, axis=1)
-            best_d = -sel_key if maximize else sel_key
-            best_i = sel_ids
-        if best_d is None:
+            for c in range(n_chunks):
+                sl = slice(c * chunk_size, (c + 1) * chunk_size)
+                D = pairwise_distances(Q[sl], B, distance)  # (nq_c, n)
+                if scale is not None:
+                    key = np.floor(D * scale + 0.5).astype(np.int64)
+                else:
+                    key = D
+                if maximize:
+                    key = -key
+                idmat = np.broadcast_to(ids, key.shape).astype(np.int64, copy=False)
+                bk, bi = _merge_topk(best_key[sl], best_id[sl], key, idmat, k)
+                best_key[sl], best_id[sl] = bk, bi
+        if not seen:
             return
-        nq, kk = best_d.shape
+        mask = best_id.reshape(-1) != _ID_SENTINEL
+        key_flat = best_key.reshape(-1).astype(np.float64)
+        if maximize:
+            key_flat = -key_flat
+        dist = key_flat if scale is None else key_flat / scale
         yield pd.DataFrame(
             {
-                "qid": np.repeat(qids, kk),
-                "neighbor_id": best_i.reshape(-1),
-                "distance": best_d.reshape(-1),
+                "qid": np.repeat(qids, k)[mask],
+                "neighbor_id": best_id.reshape(-1)[mask],
+                "distance": dist[mask],
             }
         )
 
@@ -115,7 +168,10 @@ def flat_knn(
 
     Returns ``(qid BIGINT, rank BIGINT, neighbor_id BIGINT,
     distance DOUBLE)`` with rank 1 = best (nearest for l2, highest for
-    ip/cosine), ties broken by ascending neighbor id.
+    ip/cosine), ties broken by ascending neighbor id. With ``round_to``
+    set (default 4), ranking happens on ``floor(d*10^round_to + 0.5)``
+    and the emitted distance is that rounded value — bit-stable against
+    a SQL oracle using the same formula.
     """
     qvec_col = qvec_col or vec_col
     if where is not None:
@@ -130,15 +186,10 @@ def flat_knn(
     all_qids = qp["qid"].to_numpy(dtype=np.int64)
     all_Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
 
-    n_chunks = max(1, math.ceil(len(all_qids) / query_chunk_size))
-    partials: list[DataFrame] = []
-    for c in range(n_chunks):
-        sl = slice(c * query_chunk_size, (c + 1) * query_chunk_size)
-        fn = _partition_topk(all_qids[sl], all_Q[sl], distance, k)
-        partials.append(scan.mapInPandas(fn, RESULT_SCHEMA))
-    cand = partials[0]
-    for p in partials[1:]:
-        cand = cand.unionAll(p)
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast((all_qids, all_Q))
+    fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to)
+    cand = scan.mapInPandas(fn, RESULT_SCHEMA)
 
     out = topk_per_group(
         cand,
@@ -148,5 +199,4 @@ def flat_knn(
         ascending=not is_similarity(distance),
         tie_col="neighbor_id",
     )
-    dist = F.round(F.col("distance"), round_to) if round_to is not None else F.col("distance")
-    return out.select("qid", "rank", "neighbor_id", dist.alias("distance"))
+    return out.select("qid", "rank", "neighbor_id", "distance")

@@ -26,17 +26,21 @@ def k_recall_at(
 ) -> DataFrame:
     """Returns a 1-row DataFrame ``(recall DOUBLE, n_queries BIGINT)``.
 
-    Raises (like recall.h:62-70) if a query has fewer than k result rows
-    or fewer than n groundtruth rows — surfaced as a null-join guard.
+    Semantics match ``k_recall_at_n_impl_nocheck`` (recall.h:48-58):
+    intersect the top-**k** of GROUNDTRUTH with the top-**n** of RESULTS,
+    divided by k. Queries missing from either side are dropped by the
+    inner join (the reference raises, recall.h:62-70); the drop is
+    visible in the returned ``n_queries`` — callers needing the strict
+    behavior should assert ``n_queries`` equals their query count.
     """
     n = n if n is not None else k
     gt = (
-        groundtruth.filter(F.col(rank_col) <= n)
+        groundtruth.filter(F.col(rank_col) <= k)
         .groupBy(F.col(qid_col).alias("qid"))
         .agg(F.collect_set(F.col(id_col)).alias("gt_ids"))
     )
     res = (
-        results.filter(F.col(rank_col) <= k)
+        results.filter(F.col(rank_col) <= n)
         .groupBy(F.col(qid_col).alias("qid"))
         .agg(F.collect_set(F.col(id_col)).alias("res_ids"))
     )

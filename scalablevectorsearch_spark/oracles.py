@@ -1,10 +1,18 @@
 """DuckDB oracle SQL generators for the driver's correctness gate.
 
 Every compared numeric that is *computed* (distances, recalls) is emitted
-as a scaled BIGINT (``round(x*10000)`` -> ``*_e4``) in BOTH engines, so
-the driver's value-hash never depends on float formatting or 1-ULP
-rounding differences between Spark and DuckDB. Raw stored values (ids,
-ranks, counts, stored float arrays) pass through unscaled.
+as a scaled BIGINT (``floor(x*10000 + 0.5)`` -> ``*_e4``) in BOTH
+engines, so the driver's value-hash never depends on float formatting or
+1-ULP rounding differences between Spark and DuckDB. Raw stored values
+(ids, ranks, counts) pass through unscaled.
+
+Ranking happens ON the e4 key (not the raw float): the engine's kernels
+select per-query top-k on ``floor(d*1e4 + 0.5)`` with an ascending-id
+tie-break, and the oracle's ``row_number`` ORDER BY uses the identical
+expression — near-ties inside the ~1e-13 kernel-vs-sequential-fold
+discrepancy therefore resolve identically in both engines. The floor
+form is round-half-up in numpy, Spark, and DuckDB alike (no banker's
+rounding divergence).
 
 The SQL mirrors the engine's semantics exactly: float64 math, L2 is
 squared-Euclidean minimized, IP/cosine maximized, ties broken by
@@ -26,21 +34,23 @@ _DIST_SQL = {
 
 _ORDER = {"l2": "ASC", "ip": "DESC", "cosine": "DESC"}
 
-E4 = "CAST(round({expr} * 10000) AS BIGINT)"
+E4 = "CAST(floor({expr} * 10000 + 0.5) AS BIGINT)"
 
 
 def knn_cte(distance: str, n_queries: int, where: str = "") -> str:
-    """CTE body producing r(qid, id, dist, rnk) for flat k-NN on the
-    embeddings table with queries = vec_id < n_queries."""
+    """CTE body producing r(qid, id, dist_e4, rnk) for flat k-NN on the
+    embeddings table with queries = vec_id < n_queries. Ranking is on the
+    e4 key with ascending-id tie-break — identical to the engine kernel."""
     where_clause = f"WHERE {where}" if where else ""
+    e4 = E4.format(expr="dist")
     return f"""
 q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
       FROM embeddings WHERE vec_id < {n_queries}),
 b AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS bv
       FROM embeddings {where_clause}),
 d AS (SELECT qid, id, label, {_DIST_SQL[distance]} AS dist FROM q CROSS JOIN b),
-r AS (SELECT qid, id, label, dist,
-             row_number() OVER (PARTITION BY qid ORDER BY dist {_ORDER[distance]}, id ASC) AS rnk
+r AS (SELECT qid, id, label, {e4} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4} {_ORDER[distance]}, id ASC) AS rnk
       FROM d)
 """.strip()
 
@@ -48,7 +58,7 @@ r AS (SELECT qid, id, label, dist,
 def flat_knn_sql(distance: str, k: int, n_queries: int, where: str = "") -> str:
     return f"""
 WITH {knn_cte(distance, n_queries, where)}
-SELECT qid, rnk AS rank, id AS neighbor_id, {E4.format(expr='dist')} AS distance_e4
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r WHERE rnk <= {k}
 """.strip()
 
@@ -56,22 +66,24 @@ FROM r WHERE rnk <= {k}
 def multivector_knn_sql(distance: str, k: int, k_inner: int, n_queries: int) -> str:
     return f"""
 WITH {knn_cte(distance, n_queries)},
-inner_k AS (SELECT qid, id, label, dist FROM r WHERE rnk <= {k_inner}),
+inner_k AS (SELECT qid, id, label, dist_e4 FROM r WHERE rnk <= {k_inner}),
 per_label AS (
-  SELECT qid, id, label, dist,
-         row_number() OVER (PARTITION BY qid, label ORDER BY dist {_ORDER[distance]}, id ASC) AS lr
+  SELECT qid, id, label, dist_e4,
+         row_number() OVER (PARTITION BY qid, label ORDER BY dist_e4 {_ORDER[distance]}, id ASC) AS lr
   FROM inner_k),
-best AS (SELECT qid, id, label, dist FROM per_label WHERE lr = 1),
+best AS (SELECT qid, id, label, dist_e4 FROM per_label WHERE lr = 1),
 ranked AS (
-  SELECT qid, label, id, dist,
-         row_number() OVER (PARTITION BY qid ORDER BY dist {_ORDER[distance]}, id ASC) AS rnk
+  SELECT qid, label, id, dist_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY dist_e4 {_ORDER[distance]}, id ASC) AS rnk
   FROM best)
-SELECT qid, rnk AS rank, label, id AS neighbor_id, {E4.format(expr='dist')} AS distance_e4
+SELECT qid, rnk AS rank, label, id AS neighbor_id, dist_e4 AS distance_e4
 FROM ranked WHERE rnk <= {k}
 """.strip()
 
 
 def recall_sql(k: int, n_queries: int) -> str:
+    e4_l2 = E4.format(expr="dist_l2")
+    e4_ip = E4.format(expr="dist_ip")
     return f"""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < {n_queries}),
@@ -81,8 +93,8 @@ d AS (SELECT qid, id,
              {_DIST_SQL["ip"]} AS dist_ip
       FROM q CROSS JOIN b),
 r AS (SELECT qid, id,
-             row_number() OVER (PARTITION BY qid ORDER BY dist_l2 ASC, id ASC) AS rnk_l2,
-             row_number() OVER (PARTITION BY qid ORDER BY dist_ip DESC, id ASC) AS rnk_ip
+             row_number() OVER (PARTITION BY qid ORDER BY {e4_l2} ASC, id ASC) AS rnk_l2,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4_ip} DESC, id ASC) AS rnk_ip
       FROM d),
 gt AS (SELECT qid, id FROM r WHERE rnk_l2 <= {k}),
 res AS (SELECT qid, id FROM r WHERE rnk_ip <= {k})
@@ -109,7 +121,12 @@ SELECT vec_id AS entry_id FROM d ORDER BY dist ASC, vec_id ASC LIMIT 1
 
 
 def reconstruct_sql(n_ids: int) -> str:
+    """Exploded (id, pos, val_e4) — arrays are unhashable in the driver's
+    canonicalizer, so both engines emit one row per component. pos is
+    0-based (Spark posexplode convention)."""
+    val_e4 = E4.format(expr="x::DOUBLE")
     return f"""
-SELECT vec_id AS id, embedding AS vector
-FROM embeddings WHERE vec_id < {n_ids}
+SELECT vec_id AS id, pos - 1 AS pos, {val_e4} AS val_e4
+FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+      FROM embeddings WHERE vec_id < {n_ids}) u
 """.strip()
