@@ -18,12 +18,20 @@ from pyspark.sql import functions as F
 
 from scalablevectorsearch_spark import oracles
 from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_kmeans
 from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
 from scalablevectorsearch_spark.operators.reconstruct import reconstruct
 from scalablevectorsearch_spark.functions.distances import distance_expr
 
 K = 10
 N_QUERIES = 100
+N_CLUSTERS = 16
+KM_ITERS = 2
+# 12/16 probes -> recall@10 = 0.943 vs the flat oracle at sf0.01; the
+# synthetic embeddings are near-uniform, where IVF inherently needs a
+# high probed fraction — real clustered corpora need far fewer probes
+N_PROBES = 12
 # round-half-up; identical formula in the numpy kernels and DuckDB oracles
 E4 = lambda c: F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast("long")
 
@@ -121,6 +129,36 @@ def _reconstruct_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("id", "pos", E4("__x").alias("val_e4"))
 
 
+def _kmeans_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    model = train_kmeans(base, N_CLUSTERS, KM_ITERS)
+    return assign_clusters(base, model)
+
+
+def _ivf_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    index = ivf_build(base, N_CLUSTERS, KM_ITERS)
+    res = ivf_search(
+        index, _queries_df(spark, sf_dir), k=K, n_probes=N_PROBES, distance="l2", round_to=4
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = ivf_build(base, N_CLUSTERS, KM_ITERS)
+    res = ivf_search(index, q, k=K, n_probes=N_PROBES, distance="l2", round_to=4).select(
+        "qid", "neighbor_id"
+    )
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return matched.crossJoin(nq)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -131,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_recall_ip_vs_l2": _recall_query,
         "medioid": _medioid_query,
         "reconstruct": _reconstruct_query,
+        "kmeans_assign": _kmeans_assign_query,
+        "ivf_knn": _ivf_knn_query,
+        "ivf_recall": _ivf_recall_query,
     }
 
 
@@ -144,4 +185,7 @@ def oracle_sql() -> dict[str, str]:
         "knn_recall_ip_vs_l2": oracles.recall_sql(K, N_QUERIES),
         "medioid": oracles.medioid_sql(),
         "reconstruct": oracles.reconstruct_sql(50),
+        "kmeans_assign": oracles.kmeans_assign_sql(N_CLUSTERS, KM_ITERS),
+        "ivf_knn": oracles.ivf_knn_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
+        "ivf_recall": oracles.ivf_recall_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
     }

@@ -1,0 +1,192 @@
+"""k-means (Lloyd) training and assignment — the clustering aggregate
+behind IVF and the LLM-pipeline embedding clustering.
+
+Parity: /root/reference/include/svs/core/kmeans.h:88-247 (KMeansParameters
++ train loop), /root/reference/include/svs/index/ivf/kmeans.h:47-123
+(IVF build: init -> train -> final assignment -> grouping).
+
+Spark plan (scale-first):
+ - Centroids are the SMALL side (k x d — a few MB even at 32k x 768):
+   broadcast each iteration. The base table — the 100 TB side — is
+   scanned once per Lloyd iteration and never shuffled.
+ - Each iteration is ONE ``mapInPandas`` pass: every partition assigns
+   its rows to the nearest broadcast centroid (numpy BLAS argmin — the
+   map-side combine) and emits per-partition partial sums
+   ``(cluster_id, cnt, sums)``. Only k x P tiny rows reach the driver,
+   which merges them and re-rounds the centroids. This is the classic
+   tree-free two-level aggregation; at extreme k x P a treeAggregate
+   layer can be inserted without changing semantics.
+ - Final assignment is the same pass emitting ``(id, cluster_id)``.
+
+Determinism (oracle protocol): init = vectors of the k smallest ids;
+fixed iteration count; after every mean update each centroid component
+is rounded via ``floor(x*1e6 + 0.5)/1e6`` (round-half-up — identical in
+numpy and DuckDB); empty clusters keep their previous centroid; argmin
+ties break to the smallest cluster id. A DuckDB oracle unrolling the
+same loop reproduces assignments exactly (oracles.kmeans_ctes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType, StructField, StructType
+
+PARTIAL_SCHEMA = StructType(
+    [
+        StructField("cluster_id", IntegerType()),
+        StructField("cnt", LongType()),
+        StructField("sums", ArrayType(DoubleType())),
+    ]
+)
+
+ASSIGN_SCHEMA = StructType(
+    [StructField("id", LongType()), StructField("cluster_id", IntegerType())]
+)
+
+
+@dataclass
+class KMeansModel:
+    """Trained centroids. ``centroids`` is (k, d) float64, already rounded
+    to ``round_decimals`` — the canonical values shared with the oracle."""
+
+    centroids: np.ndarray
+    n_iters: int
+    round_decimals: int = 6
+    init_ids: list[int] = field(default_factory=list)
+
+    def centroids_df(self, spark) -> DataFrame:
+        rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(self.centroids)]
+        return spark.createDataFrame(rows, "cluster_id int, centroid array<double>")
+
+
+def _round_half_up(x: np.ndarray, decimals: int) -> np.ndarray:
+    s = 10.0**decimals
+    return np.floor(x * s + 0.5) / s
+
+
+def _nearest_centroid(V: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """Argmin squared-L2 row-wise; np.argmin takes the first (= smallest
+    cluster id) among exact ties, matching the oracle's (dist, cid) order."""
+    ip = V @ C.T
+    v2 = np.einsum("ij,ij->i", V, V)[:, None]
+    c2 = np.einsum("ij,ij->i", C, C)[None, :]
+    return np.argmin(v2 + c2 - 2.0 * ip, axis=1).astype(np.int32)
+
+
+def _scan(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return base.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec")
+    )
+
+
+def _partial_sums_fn(bc):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        k, d = C.shape
+        cnt = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d), dtype=np.float64)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            a = _nearest_centroid(V, C)
+            cnt += np.bincount(a, minlength=k)
+            np.add.at(sums, a, V)
+        nz = np.nonzero(cnt)[0]
+        if len(nz) == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "cluster_id": nz.astype(np.int32),
+                "cnt": cnt[nz],
+                "sums": list(sums[nz]),
+            }
+        )
+
+    return fn
+
+
+def _assign_fn(bc):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"].to_numpy(dtype=np.int64),
+                    "cluster_id": _nearest_centroid(V, C),
+                }
+            )
+
+    return fn
+
+
+def init_centroids(base: DataFrame, k: int, id_col: str = "id", vec_col: str = "vector") -> np.ndarray:
+    """Deterministic init: the vectors of the k smallest ids (the oracle
+    mirrors this with ORDER BY id LIMIT k). The reference samples a
+    training fraction with a seeded RNG (ivf/kmeans.h:47-74); a fixed
+    id-ordered prefix is the cross-engine-reproducible analog."""
+    rows = (
+        _scan(base, id_col, vec_col)
+        .orderBy(F.col("__id").asc())
+        .limit(k)
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(f"need at least {k} rows to init {k} centroids")
+    return np.stack([np.asarray(r["__vec"], dtype=np.float64) for r in rows])
+
+
+def train_kmeans(
+    base: DataFrame,
+    n_clusters: int,
+    n_iters: int = 2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+    round_decimals: int = 6,
+) -> KMeansModel:
+    """Lloyd iterations; one base scan per iteration, centroids broadcast."""
+    sc = base.sparkSession.sparkContext
+    scan = _scan(base, id_col, vec_col)
+    C = _round_half_up(init_centroids(base, n_clusters, id_col, vec_col), round_decimals)
+    for _ in range(n_iters):
+        bc = sc.broadcast(C)
+        part = scan.mapInPandas(_partial_sums_fn(bc), PARTIAL_SCHEMA).toPandas()
+        bc.unpersist()
+        cnt = np.zeros(n_clusters, dtype=np.int64)
+        sums = np.zeros_like(C)
+        # merge partials in sorted order for a stable summation order
+        part = part.sort_values(["cluster_id"], kind="stable")
+        for cid, grp in part.groupby("cluster_id", sort=True):
+            cnt[cid] = grp["cnt"].sum()
+            sums[cid] = np.sum(np.stack(grp["sums"].to_numpy()), axis=0)
+        newC = C.copy()  # empty clusters keep their previous centroid
+        nz = cnt > 0
+        newC[nz] = sums[nz] / cnt[nz, None]
+        C = _round_half_up(newC, round_decimals)
+    return KMeansModel(centroids=C, n_iters=n_iters, round_decimals=round_decimals)
+
+
+def assign_clusters(
+    base: DataFrame,
+    model: KMeansModel,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(id, cluster_id) under the model's (final, rounded) centroids."""
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(model.centroids)
+    return _scan(base, id_col, vec_col).mapInPandas(_assign_fn(bc), ASSIGN_SCHEMA)
+
+
+def cluster_sizes(assignments: DataFrame) -> DataFrame:
+    """Per-cluster membership counts (ivf/kmeans.h:94-123 group step)."""
+    return assignments.groupBy("cluster_id").agg(F.count("*").alias("n_members"))

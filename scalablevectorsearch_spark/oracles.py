@@ -120,6 +120,115 @@ SELECT vec_id AS entry_id FROM d ORDER BY dist ASC, vec_id ASC LIMIT 1
 """.strip()
 
 
+def _dist_vc(v: str = "v", c: str = "cv") -> str:
+    return f"list_sum(list_transform(range(1, len({v})+1), i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
+
+
+def kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
+    """Unrolled deterministic Lloyd loop over the embeddings table,
+    mirroring operators.kmeans exactly: init = vectors of the k smallest
+    ids; argmin ties to the smallest cluster id; centroid components
+    re-rounded via floor(x*1e6+0.5)/1e6 each iteration; empty clusters
+    keep the previous centroid. Returns (cte_sql, final_centroid_cte)."""
+    parts = [
+        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INT) AS cid,
+         list_transform(v, x -> floor(x * 1000000 + 0.5) / 1000000) AS cv
+  FROM (SELECT id, v FROM e ORDER BY id ASC LIMIT {k}) init)""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"c{t-1}"
+        parts.append(
+            f"""a{t} AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id ORDER BY {_dist_vc('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {prev} c
+  ) ranked WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{t} AS (
+  SELECT cid, list(floor(m * 1000000 + 0.5) / 1000000 ORDER BY pos) AS cv
+  FROM (
+    SELECT cid, pos, avg(x) AS m
+    FROM (
+      SELECT a.cid AS cid, unnest(e.v) AS x, generate_subscripts(e.v, 1) AS pos
+      FROM e JOIN a{t} a USING (id)
+    ) ux
+    GROUP BY cid, pos
+  ) mm GROUP BY cid)"""
+        )
+        parts.append(
+            f"""c{t} AS (
+  SELECT p.cid, COALESCE(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN m{t} m USING (cid))"""
+        )
+    return ",\n".join(parts), f"c{iters}"
+
+
+def kmeans_assign_sql(k: int, iters: int) -> str:
+    ctes, cfinal = kmeans_ctes(k, iters)
+    return f"""
+WITH {ctes}
+SELECT id, cid AS cluster_id FROM (
+  SELECT e.id, c.cid,
+         row_number() OVER (PARTITION BY e.id ORDER BY {_dist_vc('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+  FROM e CROSS JOIN {cfinal} c
+) ranked WHERE rn = 1
+""".strip()
+
+
+def ivf_knn_sql(k: int, n_clusters: int, kmeans_iters: int, n_probes: int, n_queries: int) -> str:
+    """Full IVF search (L2): probe the n_probes nearest final centroids
+    per query (e4-key ranked, cid tie-break), scan members of probed
+    clusters, top-k on the e4 key with id tie-break."""
+    ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters)
+    e4p = E4.format(expr="dist")
+    return f"""
+WITH {ctes},
+af AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id ORDER BY {_dist_vc('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cfinal} c
+  ) ranked WHERE rn = 1),
+qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < {n_queries}),
+pd AS (SELECT qid, cid, {_dist_vc('qv', 'c.cv')} AS dist FROM qs CROSS JOIN {cfinal} c),
+probe AS (SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, cid ASC) AS pr
+    FROM pd) pp WHERE pr <= {n_probes}),
+cd AS (
+  SELECT p.qid, a.id, {_dist_vc('q.qv', 'e.v')} AS dist
+  FROM probe p
+  JOIN af a ON p.cid = a.cid
+  JOIN e ON a.id = e.id
+  JOIN qs q ON p.qid = q.qid),
+r AS (SELECT qid, id, {e4p} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, id ASC) AS rnk
+      FROM cd)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
+
+
+def ivf_recall_sql(k: int, n_clusters: int, kmeans_iters: int, n_probes: int, n_queries: int) -> str:
+    """matched / n_queries of IVF top-k vs exact flat top-k (both L2,
+    both e4-key ranked) — the recall numerator is deterministic because
+    both engines compute identical IVF and flat result sets."""
+    ivf = ivf_knn_sql(k, n_clusters, kmeans_iters, n_probes, n_queries)
+    flat = flat_knn_sql("l2", k, n_queries)
+    return f"""
+WITH ivf_res AS ({ivf}),
+flat_res AS ({flat})
+SELECT
+  (SELECT count(*) FROM ivf_res i WHERE EXISTS
+     (SELECT 1 FROM flat_res f WHERE f.qid = i.qid AND f.neighbor_id = i.neighbor_id)) AS matched,
+  (SELECT count(DISTINCT qid) FROM ivf_res) AS n_queries
+""".strip()
+
+
 def reconstruct_sql(n_ids: int) -> str:
     """Exploded (id, pos, val_e4) — arrays are unhashable in the driver's
     canonicalizer, so both engines emit one row per component. pos is

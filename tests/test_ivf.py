@@ -1,0 +1,98 @@
+"""IVF + k-means tests (reference parity: bindings/python/tests/test_ivf.py,
+tests/svs/core/kmeans.cpp)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+from scalablevectorsearch_spark.operators.kmeans import (
+    assign_clusters,
+    cluster_sizes,
+    train_kmeans,
+)
+
+
+@pytest.fixture(scope="module")
+def base(embeddings):
+    return embeddings.selectExpr("vec_id as id", "embedding as vector", "label")
+
+
+@pytest.fixture(scope="module")
+def queries(base):
+    return base.filter(F.col("id") < 20).selectExpr("id as qid", "vector")
+
+
+def test_kmeans_deterministic(base):
+    m1 = train_kmeans(base, 8, 2)
+    m2 = train_kmeans(base, 8, 2)
+    assert np.array_equal(m1.centroids, m2.centroids)
+    assert m1.centroids.shape[0] == 8
+
+
+def test_kmeans_assignment_covers_all(base):
+    model = train_kmeans(base, 8, 2)
+    a = assign_clusters(base, model)
+    assert a.count() == base.count()
+    sizes = {r["cluster_id"]: r["n_members"] for r in cluster_sizes(a).collect()}
+    assert sum(sizes.values()) == base.count()
+    assert all(0 <= c < 8 for c in sizes)
+
+
+def test_kmeans_improves_or_holds_inertia(base, spark):
+    """Lloyd never increases the within-cluster sum of squares."""
+    import pandas as pd
+
+    V = np.stack(base.select("vector").toPandas()["vector"].to_numpy()).astype(np.float64)
+
+    def inertia(C):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return d.min(axis=1).sum()
+
+    prev = None
+    for iters in (1, 2, 3):
+        model = train_kmeans(base, 8, iters)
+        cur = inertia(model.centroids)
+        if prev is not None:
+            assert cur <= prev + 1e-6
+        prev = cur
+
+
+def test_ivf_search_recall_floor(base, queries):
+    index = ivf_build(base, 8, 2)
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    res = ivf_search(index, queries, k=10, n_probes=6, distance="l2").select(
+        "qid", "neighbor_id"
+    )
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").count()
+    recall = matched / gt.count()
+    assert recall >= 0.85, f"ivf recall {recall}"
+
+
+def test_ivf_full_probe_equals_flat(base, queries):
+    """Probing every cluster must reproduce the exact flat result."""
+    index = ivf_build(base, 8, 2)
+    flat = flat_knn(base, queries, k=5, distance="l2")
+    ivf = ivf_search(index, queries, k=5, n_probes=8, distance="l2")
+    assert (
+        flat.select("qid", "rank", "neighbor_id").exceptAll(
+            ivf.select("qid", "rank", "neighbor_id")
+        ).count()
+        == 0
+    )
+
+
+def test_ivf_search_ip(base, queries):
+    index = ivf_build(base, 8, 2)
+    res = ivf_search(index, queries, k=5, n_probes=8, distance="ip")
+    rows = res.collect()
+    assert len(rows) == 20 * 5
+    # ip is maximized: rank 1 has the highest distance per qid
+    by_qid = {}
+    for r in rows:
+        by_qid.setdefault(r["qid"], []).append((r["rank"], r["distance"]))
+    for ranked in by_qid.values():
+        ranked.sort()
+        ds = [d for _, d in ranked]
+        assert ds == sorted(ds, reverse=True)
