@@ -22,6 +22,7 @@ from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
 from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_kmeans
 from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
 from scalablevectorsearch_spark.operators.reconstruct import reconstruct
+from scalablevectorsearch_spark.operators.sq import sq_compress, sq_decompress, sq_knn, sq_train
 from scalablevectorsearch_spark.functions.distances import distance_expr
 
 K = 10
@@ -159,6 +160,38 @@ def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+def _sq_minmax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    p = sq_train(_base(spark, sf_dir))
+    e4 = lambda x: int(math.floor(x * 10000 + 0.5))
+    e9 = lambda x: int(math.floor(x * 1000000000 + 0.5))
+    return spark.createDataFrame(
+        [(e4(p.gmin), e4(p.gmax), e9(p.scale), e9(p.bias))],
+        "gmin_e4 long, gmax_e4 long, scale_e9 long, bias_e9 long",
+    )
+
+
+def _sq_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    p = sq_train(base)
+    sub = base.filter(F.col("id") < 50)
+    dec = sq_decompress(sq_compress(sub, p, "vector", "qv"), p, "qv", "dv")
+    return dec.select("id", F.posexplode("dv").alias("pos", "__x")).select(
+        "id", "pos", E4("__x").alias("val_e4")
+    )
+
+
+def _sq_knn_query(distance: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        base = _base(spark, sf_dir)
+        p = sq_train(base)
+        res = sq_knn(base, _queries_df(spark, sf_dir), p, k=K, distance=distance, round_to=4)
+        return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -172,6 +205,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _kmeans_assign_query,
         "ivf_knn": _ivf_knn_query,
         "ivf_recall": _ivf_recall_query,
+        "sq_minmax": _sq_minmax_query,
+        "sq_roundtrip": _sq_roundtrip_query,
+        "sq_knn_l2": _sq_knn_query("l2"),
+        "sq_knn_ip": _sq_knn_query("ip"),
     }
 
 
@@ -188,4 +225,8 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": oracles.kmeans_assign_sql(N_CLUSTERS, KM_ITERS),
         "ivf_knn": oracles.ivf_knn_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
         "ivf_recall": oracles.ivf_recall_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
+        "sq_minmax": oracles.sq_minmax_sql(),
+        "sq_roundtrip": oracles.sq_roundtrip_sql(50),
+        "sq_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
+        "sq_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
     }

@@ -229,6 +229,86 @@ SELECT
 """.strip()
 
 
+_SQ_PROLOGUE = """
+mm AS (SELECT min(list_min(embedding))::DOUBLE AS gmin,
+              max(list_max(embedding))::DOUBLE AS gmax
+       FROM embeddings),
+pp AS (SELECT gmin, gmax,
+              (gmax - gmin) / 255.0 AS scale,
+              gmin + 128.0 * ((gmax - gmin) / 255.0) AS bias
+       FROM mm)
+""".strip()
+
+_SQ_COMPRESS = (
+    "list_transform({col}, x -> greatest(-128.0, least(127.0, "
+    "floor((x::DOUBLE - bias) / scale + 0.5))))"
+)
+
+
+def sq_minmax_sql() -> str:
+    return f"""
+WITH {_SQ_PROLOGUE}
+SELECT {E4.format(expr='gmin')} AS gmin_e4, {E4.format(expr='gmax')} AS gmax_e4,
+       CAST(floor(scale * 1000000000 + 0.5) AS BIGINT) AS scale_e9,
+       CAST(floor(bias * 1000000000 + 0.5) AS BIGINT) AS bias_e9
+FROM pp
+""".strip()
+
+
+def sq_roundtrip_sql(n_ids: int) -> str:
+    """compress -> decompress -> exploded (id, pos, val_e4)."""
+    comp = _SQ_COMPRESS.format(col="embedding")
+    return f"""
+WITH {_SQ_PROLOGUE},
+cb AS (SELECT vec_id AS id, {comp} AS qv, scale, bias
+       FROM embeddings CROSS JOIN pp WHERE vec_id < {n_ids}),
+dec AS (SELECT id, list_transform(qv, c -> scale * c + bias) AS v FROM cb)
+SELECT id, pos - 1 AS pos, {E4.format(expr='x')} AS val_e4
+FROM (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM dec) u
+""".strip()
+
+
+def sq_knn_sql(distance: str, k: int, n_queries: int) -> str:
+    """k-NN over int8-quantized storage with corrected distance emission
+    (scalar.h compute() semantics; see operators/sq.py)."""
+    comp_b = _SQ_COMPRESS.format(col="embedding")
+    if distance == "l2":
+        # query compressed too; rank on the exact integer-domain distance,
+        # emit (dint * scale) * scale
+        return f"""
+WITH {_SQ_PROLOGUE},
+cb AS (SELECT vec_id AS id, {comp_b} AS bv FROM embeddings CROSS JOIN pp),
+cq AS (SELECT vec_id AS qid, {comp_b} AS qv FROM embeddings CROSS JOIN pp
+       WHERE vec_id < {n_queries}),
+d AS (SELECT qid, id, {_DIST_SQL["l2"]} AS dist FROM cq CROSS JOIN cb),
+r AS (SELECT qid, id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY {E4.format(expr='dist')} ASC, id ASC) AS rnk
+      FROM d)
+SELECT qid, rnk AS rank, id AS neighbor_id,
+       {E4.format(expr='(dist * scale) * scale')} AS distance_e4
+FROM r CROSS JOIN pp WHERE rnk <= {k}
+""".strip()
+    if distance == "ip":
+        # query stays full precision; corrected = scale*d + bias*sum(q),
+        # with d the e4-rounded raw inner product (what the kernel emits)
+        return f"""
+WITH {_SQ_PROLOGUE},
+cb AS (SELECT vec_id AS id, {comp_b} AS bv FROM embeddings CROSS JOIN pp),
+cq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+              list_sum(embedding::DOUBLE[]) AS qsum
+       FROM embeddings WHERE vec_id < {n_queries}),
+d AS (SELECT qid, id, qsum, {_DIST_SQL["ip"]} AS dist FROM cq CROSS JOIN cb),
+r AS (SELECT qid, id, qsum,
+             floor(dist * 10000 + 0.5) / 10000.0 AS dr,
+             row_number() OVER (PARTITION BY qid ORDER BY {E4.format(expr='dist')} DESC, id ASC) AS rnk
+      FROM d)
+SELECT qid, rnk AS rank, id AS neighbor_id,
+       {E4.format(expr='(scale * dr + bias * qsum)')} AS distance_e4
+FROM r CROSS JOIN pp WHERE rnk <= {k}
+""".strip()
+    raise ValueError(f"unsupported sq oracle distance {distance!r}")
+
+
 def reconstruct_sql(n_ids: int) -> str:
     """Exploded (id, pos, val_e4) — arrays are unhashable in the driver's
     canonicalizer, so both engines emit one row per component. pos is
