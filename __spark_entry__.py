@@ -23,6 +23,7 @@ from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_k
 from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
 from scalablevectorsearch_spark.operators.reconstruct import reconstruct
 from scalablevectorsearch_spark.operators.sq import sq_compress, sq_decompress, sq_knn, sq_train
+from scalablevectorsearch_spark.operators.vamana import VamanaParams, vamana_build, vamana_search
 from scalablevectorsearch_spark.functions.distances import distance_expr
 
 K = 10
@@ -192,6 +193,36 @@ def _sq_knn_query(distance: str):
     return run
 
 
+VAMANA_PARAMS = VamanaParams(alpha=1.2, graph_max_degree=16, window_size=50)
+VAMANA_SHARDS = 2
+VAMANA_SWS = 30
+
+
+def _vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # no SQL oracle (iterative graph build is not SQL-expressible);
+    # the driver records the weaker rows-only check, and vamana_recall +
+    # tests/test_vamana.py carry the quality gate
+    base = _base(spark, sf_dir).select("id", "vector")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = vamana_search(index, _queries_df(spark, sf_dir), k=K, search_window_size=VAMANA_SWS)
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = vamana_search(index, q, k=K, search_window_size=VAMANA_SWS).select(
+        "qid", "neighbor_id"
+    )
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return matched.crossJoin(nq)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -209,6 +240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_roundtrip": _sq_roundtrip_query,
         "sq_knn_l2": _sq_knn_query("l2"),
         "sq_knn_ip": _sq_knn_query("ip"),
+        "vamana_knn": _vamana_knn_query,
+        "vamana_recall": _vamana_recall_query,
     }
 
 

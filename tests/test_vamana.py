@@ -1,0 +1,111 @@
+"""Vamana tests (reference parity: tests/svs/index/vamana/,
+examples/python/example_vamana.py recall-curve gates)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    graph_degree_stats,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.operators.vamana_local import (
+    alpha_prune,
+    build_graph,
+    greedy_search,
+    medioid,
+)
+
+
+@pytest.fixture(scope="module")
+def base(embeddings):
+    return embeddings.selectExpr("vec_id as id", "embedding as vector")
+
+
+@pytest.fixture(scope="module")
+def queries(base):
+    return base.filter(F.col("id") < 20).selectExpr("id as qid", "vector")
+
+
+@pytest.fixture(scope="module")
+def index(base):
+    return vamana_build(
+        base, VamanaParams(alpha=1.2, graph_max_degree=16, window_size=50), n_shards=2
+    )
+
+
+def test_local_medioid_ties_to_smallest():
+    X = np.zeros((4, 3))
+    assert medioid(X) == 0
+
+
+def test_local_alpha_prune_keeps_nearest():
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(50, 8))
+    d = ((X - X[0]) ** 2).sum(axis=1)
+    order = np.lexsort((np.arange(50), d))
+    pool = order[order != 0]
+    kept = alpha_prune(X, 0, pool, d[pool], alpha=1.2, max_result=8)
+    assert len(kept) <= 8
+    assert kept[0] == pool[0]  # nearest always kept first
+
+
+def test_local_greedy_search_finds_nn():
+    rng = np.random.default_rng(1)
+    X = rng.normal(size=(300, 16))
+    graph, entry = build_graph(X, VamanaParams(graph_max_degree=16, window_size=40))
+    d = ((X - X[7]) ** 2).sum(axis=1)
+    true_nn = np.argsort(d)[:5]
+    ids, _ = greedy_search(X, graph, [entry], X[7], 40)
+    assert len(set(ids[:5]) & set(true_nn)) >= 4
+
+
+def test_graph_respects_max_degree(index):
+    params_deg = index.params.graph_max_degree
+    max_deg = index.graph.select(F.max(F.size("neighbors"))).collect()[0][0]
+    assert max_deg <= params_deg
+    # one entry point per shard
+    entries = index.graph.filter("is_entry").groupBy("shard_id").count().collect()
+    assert all(r["count"] == 1 for r in entries)
+    assert len(entries) == index.n_shards
+
+
+def test_vamana_recall_floor(base, queries, index):
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    res = vamana_search(index, queries, k=10, search_window_size=30).select(
+        "qid", "neighbor_id"
+    )
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").count()
+    recall = matched / gt.count()
+    assert recall >= 0.80, f"vamana recall {recall}"
+
+
+def test_vamana_recall_monotone_in_window(base, queries, index):
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    gt.cache()
+    recalls = []
+    for sws in (10, 40):
+        res = vamana_search(index, queries, k=10, search_window_size=sws).select(
+            "qid", "neighbor_id"
+        )
+        matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").count()
+        recalls.append(matched / gt.count())
+    assert recalls[-1] >= recalls[0] - 0.02, f"recall curve {recalls}"
+
+
+def test_vamana_build_deterministic(base):
+    p = VamanaParams(graph_max_degree=8, window_size=20)
+    g1 = vamana_build(base, p, n_shards=2).graph.orderBy("src").collect()
+    g2 = vamana_build(base, p, n_shards=2).graph.orderBy("src").collect()
+    assert [(r["src"], r["neighbors"]) for r in g1] == [
+        (r["src"], r["neighbors"]) for r in g2
+    ]
+
+
+def test_degree_stats(index):
+    stats = graph_degree_stats(index.graph)
+    total = stats.agg(F.sum("n_nodes")).collect()[0][0]
+    assert total == index.base.count()
