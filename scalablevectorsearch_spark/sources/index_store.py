@@ -1,0 +1,183 @@
+"""Index persistence — Parquet table directories + a JSON manifest
+carrying the reference's explicit ``__schema__``/``__version__``
+discipline.
+
+Parity: /root/reference/include/svs/lib/saveload.h (every saved object
+is a table with __schema__ + __version__), include/svs/core/io/native.h:50-139
+(header magic/uuid/kind validation on load), bindings/python/src/
+vamana.cpp:280-286 (index.save(config, graph, data) three-directory
+layout), :340-352 (assemble-from-pieces with schema dispatch).
+
+Spark shape: ``save`` = one ``df.write.parquet`` per component table +
+one manifest.json; ``load`` = manifest validation (schema name, major
+version, declared tables present) + ``spark.read.parquet`` per table.
+An index on disk is exactly its DataFrames — readable by any Spark job,
+no custom binary format (the reference's mmap'd native file is a
+single-node optimization Spark's columnar scan replaces)."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "manifest.json"
+FORMAT_VERSION = [0, 1, 0]
+
+
+class ManifestError(ValueError):
+    pass
+
+
+def save_index(
+    path: str,
+    tables: dict[str, DataFrame],
+    schema_name: str,
+    params: dict[str, Any] | None = None,
+) -> dict[str, Any]:
+    """Write component tables + manifest; returns the manifest dict."""
+    os.makedirs(path, exist_ok=True)
+    for name, df in tables.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, name))
+    manifest = {
+        "__schema__": schema_name,
+        "__version__": FORMAT_VERSION,
+        "tables": sorted(tables),
+        "params": params or {},
+    }
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def load_index(
+    spark: SparkSession, path: str, expect_schema: str | None = None
+) -> tuple[dict[str, Any], dict[str, DataFrame]]:
+    """Validate the manifest and load each declared table."""
+    mpath = os.path.join(path, MANIFEST_NAME)
+    if not os.path.exists(mpath):
+        raise ManifestError(f"no {MANIFEST_NAME} at {path}")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for key in ("__schema__", "__version__", "tables"):
+        if key not in manifest:
+            raise ManifestError(f"manifest missing {key!r}")
+    if expect_schema is not None and manifest["__schema__"] != expect_schema:
+        raise ManifestError(
+            f"schema mismatch: found {manifest['__schema__']!r}, expected {expect_schema!r}"
+        )
+    if manifest["__version__"][0] != FORMAT_VERSION[0]:
+        raise ManifestError(
+            f"major version mismatch: {manifest['__version__']} vs {FORMAT_VERSION}"
+        )
+    tables = {
+        name: spark.read.parquet(os.path.join(path, name)) for name in manifest["tables"]
+    }
+    return manifest, tables
+
+
+def _dims_of(df: DataFrame, vec_col: str) -> int:
+    row = df.select(F.size(vec_col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0
+
+
+# ---------------------------------------------------------------- vamana
+
+
+def save_vamana(index, path: str) -> dict[str, Any]:
+    from scalablevectorsearch_spark.operators.vamana import VamanaIndex  # noqa: F401
+
+    data = index.base.select(
+        F.col(index.id_col).cast("long").alias("id"), F.col(index.vec_col).alias("vector")
+    )
+    p = index.params
+    return save_index(
+        path,
+        {"data": data, "graph": index.graph},
+        "vamana_index",
+        params={
+            "distance": index.distance,
+            "dims": _dims_of(index.base, index.vec_col),
+            "n_shards": index.n_shards,
+            "alpha": p.alpha,
+            "graph_max_degree": p.graph_max_degree,
+            "window_size": p.window_size,
+            "max_candidate_pool_size": p.max_candidate_pool_size,
+            "prune_to": p.prune_to,
+        },
+    )
+
+
+def load_vamana(spark: SparkSession, path: str):
+    from scalablevectorsearch_spark.operators.vamana import VamanaIndex
+    from scalablevectorsearch_spark.operators.vamana_local import VamanaParams
+
+    manifest, tables = load_index(spark, path, expect_schema="vamana_index")
+    p = manifest["params"]
+    data = tables["data"]
+    dims = _dims_of(data, "vector")
+    if p.get("dims") and dims and p["dims"] != dims:
+        raise ManifestError(f"dims mismatch: manifest {p['dims']} vs data {dims}")
+    params = VamanaParams(
+        alpha=p["alpha"],
+        graph_max_degree=p["graph_max_degree"],
+        window_size=p["window_size"],
+        max_candidate_pool_size=p["max_candidate_pool_size"],
+        prune_to=p["prune_to"],
+    )
+    return VamanaIndex(
+        graph=tables["graph"],
+        base=data,
+        params=params,
+        distance=p["distance"],
+        n_shards=p["n_shards"],
+        id_col="id",
+        vec_col="vector",
+    )
+
+
+# ---------------------------------------------------------------- ivf
+
+
+def save_ivf(index, path: str) -> dict[str, Any]:
+    spark = index.clustered.sparkSession
+    centroids = index.model.centroids_df(spark)
+    return save_index(
+        path,
+        {"clustered": index.clustered, "centroids": centroids},
+        "ivf_index",
+        params={
+            "distance": "l2",
+            "dims": int(index.model.centroids.shape[1]),
+            "n_clusters": int(index.model.centroids.shape[0]),
+            "n_iters": index.model.n_iters,
+            "round_decimals": index.model.round_decimals,
+            "id_col": index.id_col,
+            "vec_col": index.vec_col,
+        },
+    )
+
+
+def load_ivf(spark: SparkSession, path: str):
+    from scalablevectorsearch_spark.operators.ivf import IVFIndex
+    from scalablevectorsearch_spark.operators.kmeans import KMeansModel
+
+    manifest, tables = load_index(spark, path, expect_schema="ivf_index")
+    p = manifest["params"]
+    rows = tables["centroids"].orderBy("cluster_id").collect()
+    C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+    if C.shape != (p["n_clusters"], p["dims"]):
+        raise ManifestError(f"centroid shape {C.shape} vs manifest {p['n_clusters']}x{p['dims']}")
+    model = KMeansModel(
+        centroids=C, n_iters=p["n_iters"], round_decimals=p["round_decimals"]
+    )
+    return IVFIndex(
+        clustered=tables["clustered"],
+        model=model,
+        id_col=p["id_col"],
+        vec_col=p["vec_col"],
+    )

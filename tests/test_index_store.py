@@ -1,0 +1,81 @@
+"""Save/load round-trip tests (reference parity: saveload.h schema/
+version checks, vamana.cpp save/assemble, metamorphic save->load->search
+== direct search)."""
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.sources.index_store import (
+    ManifestError,
+    load_index,
+    load_ivf,
+    load_vamana,
+    save_index,
+    save_ivf,
+    save_vamana,
+)
+
+ART = "/root/repo/_artifacts/test_index_store"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def clean_artifacts():
+    shutil.rmtree(ART, ignore_errors=True)
+    yield
+    shutil.rmtree(ART, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def base(embeddings):
+    return embeddings.selectExpr("vec_id as id", "embedding as vector")
+
+
+@pytest.fixture(scope="module")
+def queries(base):
+    return base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+
+
+def _rows(df):
+    return sorted(
+        (r["qid"], r["rank"], r["neighbor_id"]) for r in df.collect()
+    )
+
+
+def test_vamana_save_load_search_roundtrip(spark, base, queries):
+    idx = vamana_build(base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2)
+    direct = _rows(vamana_search(idx, queries, k=5, search_window_size=20))
+    save_vamana(idx, f"{ART}/vamana")
+    loaded = load_vamana(spark, f"{ART}/vamana")
+    assert loaded.params.graph_max_degree == 8
+    assert loaded.n_shards == 2
+    reloaded = _rows(vamana_search(loaded, queries, k=5, search_window_size=20))
+    assert direct == reloaded
+
+
+def test_ivf_save_load_search_roundtrip(spark, base, queries):
+    idx = ivf_build(base, 8, 2)
+    direct = _rows(ivf_search(idx, queries, k=5, n_probes=4))
+    save_ivf(idx, f"{ART}/ivf")
+    loaded = load_ivf(spark, f"{ART}/ivf")
+    assert (loaded.model.centroids == idx.model.centroids).all()
+    reloaded = _rows(ivf_search(loaded, queries, k=5, n_probes=4))
+    assert direct == reloaded
+
+
+def test_manifest_schema_mismatch_raises(spark, base):
+    save_index(f"{ART}/generic", {"data": base.limit(5)}, "flat_data")
+    with pytest.raises(ManifestError, match="schema mismatch"):
+        load_index(spark, f"{ART}/generic", expect_schema="vamana_index")
+
+
+def test_missing_manifest_raises(spark):
+    with pytest.raises(ManifestError, match="no manifest"):
+        load_index(spark, f"{ART}/nonexistent")
