@@ -22,6 +22,14 @@ from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
 from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_kmeans
 from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
 from scalablevectorsearch_spark.operators.reconstruct import reconstruct
+from scalablevectorsearch_spark.operators.dynamic import (
+    add_points,
+    consolidate,
+    delete_entries,
+    dynamic_flat_knn,
+    dynamic_search,
+    dynamic_vamana,
+)
 from scalablevectorsearch_spark.operators.sq import sq_compress, sq_decompress, sq_knn, sq_train
 from scalablevectorsearch_spark.operators.vamana import VamanaParams, vamana_build, vamana_search
 from scalablevectorsearch_spark.functions.distances import distance_expr
@@ -223,6 +231,58 @@ def _vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+DYN_ADDED = 5
+DYN_OFFSET = 100000
+DYN_DEL_LO, DYN_DEL_HI = 5, 15
+
+
+def _dynamic_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir).select("id", "vector")
+    added = base.filter(F.col("id") < DYN_ADDED).select(
+        (F.col("id") + DYN_OFFSET).alias("id"), "vector"
+    )
+    deleted = base.filter(
+        (F.col("id") >= DYN_DEL_LO) & (F.col("id") < DYN_DEL_HI)
+    ).select("id")
+    res = dynamic_flat_knn(
+        base, _queries_df(spark, sf_dir), k=K, added=added, deleted_ids=deleted,
+        distance="l2", round_to=4,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 cycle: build -> add 1% -> delete 1% -> consolidate -> search;
+    recall vs exact flat over the mutated base (rows-only gate; the
+    recall floor is asserted in tests/test_dynamic.py)."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    n = base.count()
+    n_mod = max(1, n // 100)
+    added = base.filter(F.col("id") < n_mod).select(
+        (F.col("id") + DYN_OFFSET).alias("id"), "vector"
+    )
+    deleted = base.filter(
+        (F.col("id") >= DYN_DEL_LO) & (F.col("id") < DYN_DEL_LO + n_mod)
+    ).select("id")
+
+    dyn = dynamic_vamana(vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS))
+    dyn = add_points(dyn, added)
+    dyn = delete_entries(dyn, deleted)
+    dyn = consolidate(dyn)
+    res = dynamic_search(dyn, q, k=K, search_window_size=VAMANA_SWS).select(
+        "qid", "neighbor_id"
+    )
+    gt = dynamic_flat_knn(
+        base, q, k=K, added=added, deleted_ids=deleted, distance="l2", round_to=4
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return matched.crossJoin(nq)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -242,6 +302,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_knn_ip": _sq_knn_query("ip"),
         "vamana_knn": _vamana_knn_query,
         "vamana_recall": _vamana_recall_query,
+        "dynamic_flat_knn": _dynamic_flat_query,
+        "dynamic_vamana_recall": _dynamic_vamana_recall_query,
     }
 
 
@@ -262,4 +324,7 @@ def oracle_sql() -> dict[str, str]:
         "sq_roundtrip": oracles.sq_roundtrip_sql(50),
         "sq_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
         "sq_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
+        "dynamic_flat_knn": oracles.dynamic_flat_knn_sql(
+            K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
+        ),
     }

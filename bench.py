@@ -99,6 +99,33 @@ def main() -> None:
         ).count(),
     )
 
+    # B6 — dynamic cycle: add 1% + delete 1% + consolidate + search
+    def dyn_cycle():
+        from scalablevectorsearch_spark.operators.dynamic import (
+            add_points,
+            consolidate,
+            delete_entries,
+            dynamic_search,
+            dynamic_vamana,
+        )
+
+        n_mod = max(1, n // 100)
+        # shard-aligned mutation ids: an incremental batch touches (and
+        # re-links) only the shards it lands in, not the whole index
+        added = base.filter(F.col("id") < n_mod).selectExpr(
+            f"id * {VAMANA_SHARDS} + 1000000 as id", "vector"
+        )
+        deleted = (
+            base.filter(F.col("id") % VAMANA_SHARDS == 1).limit(n_mod).select("id")
+        )
+        d = dynamic_vamana(state["vamana"])
+        d = add_points(d, added)
+        d = delete_entries(d, deleted)
+        d = consolidate(d)
+        dynamic_search(d, queries, k=K, search_window_size=VAMANA_SWS).count()
+
+    timed("dynamic_cycle", dyn_cycle)
+
     # B7 — SQ int8 search (corrected L2)
     def sq_s():
         p = sq_train(base)

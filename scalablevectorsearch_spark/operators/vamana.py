@@ -113,9 +113,13 @@ def vamana_search(
     qid_col: str = "qid",
     qvec_col: str | None = None,
     round_to: int | None = 4,
+    exclude_ids: list[int] | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
-    (qid, rank, neighbor_id, distance) like flat_knn."""
+    (qid, rank, neighbor_id, distance) like flat_knn.
+
+    ``exclude_ids``: tombstoned ids — traversed but never returned
+    (dynamic_search_buffer.h skip-deleted semantics)."""
     params, distance = index.params, index.distance
     sws = search_window_size or params.window_size
     qvec_col = qvec_col or index.vec_col
@@ -127,8 +131,9 @@ def vamana_search(
         raise ValueError("empty query batch")
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
     sc = queries.sparkSession.sparkContext
-    bc = sc.broadcast((qids, Q))
+    bc = sc.broadcast((qids, Q, excl))
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
 
@@ -150,8 +155,11 @@ def vamana_search(
             )
             if bool(row["is_entry"]):
                 entry = s
-        mqids, mQ = bc.value
-        ids, ds = search_graph(X, graph, entry, mQ, k, sws, distance)
+        mqids, mQ, mexcl = bc.value
+        valid = None
+        if mexcl is not None and len(mexcl):
+            valid = ~np.isin(gids, mexcl)
+        ids, ds = search_graph(X, graph, entry, mQ, k, sws, distance, valid=valid)
         nq, kk = ids.shape
         mask = ids.reshape(-1) >= 0
         dist = ds.reshape(-1)

@@ -126,6 +126,22 @@ def alpha_prune(
     n = len(pool_ids)
     if n == 0:
         return np.empty(0, dtype=np.int64)
+    # one BLAS batch for all candidate-pair distances (the reference
+    # computes them lazily per kept neighbor; the pool is <= the
+    # candidate cap, so the dense matrix is small and far faster than
+    # per-pair kernel calls)
+    P = X[pool_ids]
+    if distance == "l2":
+        ip = P @ P.T
+        sq = np.einsum("ij,ij->i", P, P)
+        D = np.maximum(sq[:, None] + sq[None, :] - 2.0 * ip, 0.0)
+    elif distance == "ip":
+        D = -(P @ P.T)
+    else:  # cosine
+        nrm = np.sqrt(np.einsum("ij,ij->i", P, P))
+        denom = nrm[:, None] * nrm[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            D = -np.where(denom > 0, (P @ P.T) / denom, 0.0)
     AVAILABLE, ADDED, PRUNED = 0, 1, 2
     state = np.full(n, AVAILABLE, dtype=np.int8)
     result: list[int] = []
@@ -137,14 +153,12 @@ def alpha_prune(
             if state[start] != AVAILABLE or int(pool_ids[start]) == node:
                 continue
             state[start] = ADDED
-            rid = int(pool_ids[start])
-            result.append(rid)
+            result.append(int(pool_ids[start]))
             rest = np.nonzero(state == AVAILABLE)[0]
             rest = rest[rest > start]
             if len(rest) == 0:
                 continue
-            djk = _dists(X, X[rid], pool_ids[rest], distance)
-            kill = current_alpha * djk < pool_d[rest]
+            kill = current_alpha * D[start, rest] < pool_d[rest]
             state[rest[kill]] = PRUNED
         if alpha == 1.0:
             break
@@ -220,16 +234,29 @@ def search_graph(
     k: int,
     window_size: int,
     distance: str = "l2",
+    valid: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch search (index.h:557-600): per query greedy_search with a
     buffer of max(window_size, k), then slice the best k. Returns
-    (ids, dists) each (nq, <=k); short rows padded with id -1."""
+    (ids, dists) each (nq, <=k); short rows padded with id -1.
+
+    ``valid``: optional (n,) bool — tombstoned nodes (False) are
+    traversed but excluded from results, matching the dynamic index's
+    skip-deleted buffer (dynamic_search_buffer.h). The window is widened
+    so deleted entries don't crowd out k live results."""
     nq = Q.shape[0]
     w = max(window_size, k)
+    if valid is not None:
+        # worst case the top of the buffer is all deleted; widen by the
+        # smaller of (#deleted, k) like the capacity-extended buffer
+        w = w + int(min((~valid).sum(), k))
     out_ids = np.full((nq, k), -1, dtype=np.int64)
     out_d = np.full((nq, k), np.inf, dtype=np.float64)
     for qi in range(nq):
         ids, ds = greedy_search(X, graph, [entry], Q[qi], w, distance)
+        if valid is not None and len(ids):
+            keep = valid[ids]
+            ids, ds = ids[keep], ds[keep]
         m = min(k, len(ids))
         out_ids[qi, :m] = ids[:m]
         out_d[qi, :m] = ds[:m]

@@ -309,6 +309,31 @@ FROM r CROSS JOIN pp WHERE rnk <= {k}
     raise ValueError(f"unsupported sq oracle distance {distance!r}")
 
 
+def dynamic_flat_knn_sql(
+    k: int, n_queries: int, n_added: int, add_offset: int, del_lo: int, del_hi: int
+) -> str:
+    """Flat L2 k-NN over (base + copies of vec_id < n_added shifted by
+    add_offset - rows with del_lo <= vec_id < del_hi) — the dynamic-flat
+    mutation surface as pure SQL."""
+    e4 = E4.format(expr="dist")
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+b AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings
+  WHERE vec_id NOT BETWEEN {del_lo} AND {del_hi - 1}
+  UNION ALL
+  SELECT vec_id + {add_offset} AS id, embedding::DOUBLE[] AS bv FROM embeddings
+  WHERE vec_id < {n_added}),
+d AS (SELECT qid, id, {_DIST_SQL["l2"]} AS dist FROM q CROSS JOIN b),
+r AS (SELECT qid, id, {e4} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4} ASC, id ASC) AS rnk
+      FROM d)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
+
+
 def reconstruct_sql(n_ids: int) -> str:
     """Exploded (id, pos, val_e4) — arrays are unhashable in the driver's
     canonicalizer, so both engines emit one row per component. pos is

@@ -1,0 +1,109 @@
+"""Dynamic index tests (reference parity: dynamic_index.h add/delete/
+consolidate, bindings/python/tests/dynamic.py metamorphic cycles)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.dynamic import (
+    add_points,
+    compact,
+    consolidate,
+    delete_entries,
+    dynamic_flat_knn,
+    dynamic_search,
+    dynamic_vamana,
+)
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.vamana import VamanaParams, vamana_build
+
+
+@pytest.fixture(scope="module")
+def base(embeddings):
+    return embeddings.selectExpr("vec_id as id", "embedding as vector")
+
+
+@pytest.fixture(scope="module")
+def queries(base):
+    return base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+
+
+@pytest.fixture(scope="module")
+def dyn(base):
+    idx = vamana_build(base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2)
+    return dynamic_vamana(idx)
+
+
+def test_dynamic_flat_delete_excludes(base, queries):
+    deleted = base.filter(F.col("id") < 5).select("id")
+    res = dynamic_flat_knn(base, queries, k=5, deleted_ids=deleted)
+    got_ids = {r["neighbor_id"] for r in res.collect()}
+    assert got_ids.isdisjoint(set(range(5)))
+
+
+def test_dynamic_flat_add_appears(base, queries):
+    # add an exact copy of query 0's vector under a new id: it must be
+    # that query's nearest (or tied-nearest) neighbor
+    added = base.filter(F.col("id") == 0).select(
+        (F.col("id") + 50000).alias("id"), "vector"
+    )
+    res = dynamic_flat_knn(base, queries, k=3, added=added)
+    top = {(r["qid"], r["rank"]): r["neighbor_id"] for r in res.collect()}
+    assert top[(0, 1)] == 0 and top[(0, 2)] == 50000  # id tie-break: 0 first
+
+
+def test_delete_unknown_id_raises(dyn):
+    spark = dyn.spark
+    bogus = spark.createDataFrame([(999999,)], "id long")
+    with pytest.raises(ValueError, match="unknown"):
+        delete_entries(dyn, bogus)
+
+
+def test_add_duplicate_id_raises(dyn, base):
+    dup = base.filter(F.col("id") == 1).select("id", "vector")
+    with pytest.raises(ValueError, match="already exist"):
+        add_points(dyn, dup)
+
+
+def test_dynamic_cycle_recall(base, queries, dyn):
+    """B6: add 1% + delete 1% + consolidate; recall vs exact flat over
+    the mutated base stays high."""
+    n = base.count()
+    n_mod = max(1, n // 100)
+    added = base.filter(F.col("id") < n_mod).select(
+        (F.col("id") + 50000).alias("id"), "vector"
+    )
+    deleted = base.filter((F.col("id") >= 20) & (F.col("id") < 20 + n_mod)).select("id")
+
+    d = add_points(dyn, added)
+    d = delete_entries(d, deleted)
+    # tombstoned ids excluded pre-consolidate
+    res0 = dynamic_search(d, queries, k=5, search_window_size=20)
+    del_set = {r["id"] for r in deleted.collect()}
+    assert {r["neighbor_id"] for r in res0.collect()}.isdisjoint(del_set)
+
+    d = consolidate(d)
+    assert d.n_tombstones() == 0
+    res = dynamic_search(d, queries, k=10, search_window_size=30).select(
+        "qid", "neighbor_id"
+    )
+    gt = dynamic_flat_knn(
+        base, queries, k=10, added=added, deleted_ids=deleted
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").count()
+    recall = matched / gt.count()
+    assert recall >= 0.80, f"post-cycle recall {recall}"
+
+
+def test_compact_remaps_dense(base):
+    idx = vamana_build(
+        base.filter(F.col("id") % 3 == 0),
+        VamanaParams(graph_max_degree=8, window_size=20),
+        n_shards=2,
+    )
+    nb, ng, mapping = compact(idx.base, idx.graph)
+    n = nb.count()
+    ids = sorted(r["id"] for r in nb.select("id").collect())
+    assert ids == list(range(n))  # dense 0..n-1
+    # every graph src/neighbor is a valid new id
+    max_nbr = ng.select(F.max(F.array_max("neighbors"))).collect()[0][0]
+    assert max_nbr is None or max_nbr < n
