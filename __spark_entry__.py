@@ -32,6 +32,8 @@ from scalablevectorsearch_spark.operators.dynamic import (
 )
 from scalablevectorsearch_spark.operators.sq import sq_compress, sq_decompress, sq_knn, sq_train
 from scalablevectorsearch_spark.operators.vamana import VamanaParams, vamana_build, vamana_search
+from scalablevectorsearch_spark.pipeline.dedup import dedup_exact, dedup_minhash, simhash
+from scalablevectorsearch_spark.pipeline.text import doc_fingerprints, lang_id, text_stats
 from scalablevectorsearch_spark.functions.distances import distance_expr
 
 K = 10
@@ -283,6 +285,45 @@ def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _text_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = text_stats(_docs(spark, sf_dir))
+    return s.select(
+        "doc_id", "n_chars", "n_tokens", "n_uniq_tokens", "n_punct", "n_bpe_tokens",
+        E4("stopword_ratio").alias("stopword_ratio_e4"),
+        E4("avg_token_len").alias("avg_token_len_e4"),
+        E4("quality_score").alias("quality_score_e4"),
+    )
+
+
+def _lang_id_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(_docs(spark, sf_dir))
+
+
+def _doc_fingerprints_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_fingerprints(_docs(spark, sf_dir), k=16, w=8)
+
+
+def _dedup_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    return dedup_exact(docs.unionByName(dups))
+
+
+def _dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = dedup_minhash(_docs(spark, sf_dir), n_shingle=3, n_perm=16, n_bands=4, threshold=0.5)
+    return res.select("doc_a", "doc_b", E4("jaccard").alias("jaccard_e4"))
+
+
+def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(_docs(spark, sf_dir), n_bits=32)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -304,6 +345,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamana_recall": _vamana_recall_query,
         "dynamic_flat_knn": _dynamic_flat_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
+        "text_stats": _text_stats_query,
+        "lang_id": _lang_id_query,
+        "doc_fingerprints": _doc_fingerprints_query,
+        "dedup_exact": _dedup_exact_query,
+        "dedup_minhash": _dedup_minhash_query,
+        "simhash": _simhash_query,
     }
 
 
@@ -327,4 +374,10 @@ def oracle_sql() -> dict[str, str]:
         "dynamic_flat_knn": oracles.dynamic_flat_knn_sql(
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
         ),
+        "text_stats": oracles.text_stats_sql(),
+        "lang_id": oracles.lang_id_sql(),
+        "doc_fingerprints": oracles.doc_fingerprints_sql(16, 8),
+        "dedup_exact": oracles.dedup_exact_sql(10, 10000),
+        "dedup_minhash": oracles.dedup_minhash_sql(3, 16, 4, 0.5),
+        "simhash": oracles.simhash_sql(32),
     }

@@ -334,6 +334,159 @@ FROM r WHERE rnk <= {k}
 """.strip()
 
 
+# ------------------------------------------------------------ text pipeline
+
+
+def _sql_str_list(words: list[str]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def text_stats_sql() -> str:
+    from scalablevectorsearch_spark.pipeline.text import BPE_PATTERN, STOPWORDS
+
+    en = _sql_str_list(STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_uniq_tokens,
+         length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS n_punct,
+         len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS n_bpe_tokens,
+         len(list_filter(toks, x -> x IN ({en}))) AS n_stop,
+         list_sum(list_transform(toks, x -> length(x))) AS tok_len_sum
+  FROM t)
+SELECT doc_id, n_chars, n_tokens, n_uniq_tokens, n_punct, n_bpe_tokens,
+       {E4.format(expr='(n_stop::DOUBLE / n_tokens::DOUBLE)')} AS stopword_ratio_e4,
+       {E4.format(expr='(tok_len_sum::DOUBLE / n_tokens::DOUBLE)')} AS avg_token_len_e4,
+       {E4.format(expr='''(least(1.0, n_tokens::DOUBLE / 64.0)
+         * (1.0 - least(0.5, n_punct::DOUBLE / greatest(n_chars, 1)::DOUBLE))
+         * (0.25 + 0.75 * (n_uniq_tokens::DOUBLE / n_tokens::DOUBLE)))''')} AS quality_score_e4
+FROM s
+""".strip()
+
+
+def lang_id_sql() -> str:
+    from scalablevectorsearch_spark.pipeline.text import STOPWORDS
+
+    cols = ",\n         ".join(
+        f"len(list_filter(toks, x -> x IN ({_sql_str_list(w)}))) AS c_{lang}"
+        for lang, w in STOPWORDS.items()
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id, text, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         length(regexp_replace(text, '[^\\x{{4e00}}-\\x{{9fff}}]', '', 'g')) AS cjk,
+         {cols}
+  FROM t)
+SELECT doc_id,
+       CASE WHEN cjk > 0 THEN 'zh'
+            WHEN c_en >= c_de AND c_en >= c_fr AND c_en >= c_es THEN 'en'
+            WHEN c_de >= c_fr AND c_de >= c_es THEN 'de'
+            WHEN c_fr >= c_es THEN 'fr'
+            ELSE 'es' END AS pred_lang
+FROM s
+""".strip()
+
+
+def doc_fingerprints_sql(k: int = 16, w: int = 8) -> str:
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {k} + 1, 1) + 1),
+                        i -> ('0x' || substr(md5(substr(text, i, {k})), 1, 15))::BIGINT) AS hs
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - {w} + 1, 1) + 1),
+                                      i -> list_min(list_slice(hs, i, i + {w} - 1)))) AS fps
+  FROM h)
+SELECT doc_id, unnest(fps) AS fp FROM f
+""".strip()
+
+
+# ------------------------------------------------------------ dedup family
+
+_MD5I_SQL = "('0x' || substr(md5({s}), 1, 15))::BIGINT"
+
+
+def dedup_exact_sql(n_dups: int, dup_offset: int) -> str:
+    """Exact dedup over documents + synthesized copies (doc_id < n_dups
+    re-inserted at +dup_offset) so the gate exercises real duplicates."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {dup_offset} AS doc_id, text FROM documents WHERE doc_id < {n_dups})
+SELECT doc_id, md5(text) AS content_hash,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+       doc_id != min(doc_id) OVER (PARTITION BY md5(text)) AS is_dup
+FROM d
+""".strip()
+
+
+def dedup_minhash_sql(
+    n_shingle: int = 3, n_perm: int = 16, n_bands: int = 4, threshold: float = 0.5
+) -> str:
+    from scalablevectorsearch_spark.pipeline.dedup import MERSENNE, perm_coeffs
+
+    r = n_perm // n_bands
+    md5i = _MD5I_SQL.format(
+        s=f"array_to_string(list_slice(toks, i, i + {n_shingle} - 1), ' ')"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, h -> ({a} * (h % {MERSENNE}) + {b}) % {MERSENNE}))"
+        for a, b in perm_coeffs(n_perm)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {n_shingle} + 1, 1) + 1),
+                                      i -> {md5i})) AS shingles
+  FROM t),
+sg AS (SELECT doc_id, shingles, [{mins}] AS sig FROM sh),
+bands AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), ':') AS band_key
+  FROM sg CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b) bb),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+ver AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jac
+  FROM pairs
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id)
+SELECT doc_a, doc_b, {E4.format(expr='jac')} AS jaccard_e4
+FROM ver WHERE jac >= {threshold}
+""".strip()
+
+
+def simhash_sql(n_bits: int = 32) -> str:
+    md5i = _MD5I_SQL.format(s="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+h AS (SELECT doc_id, list_transform(toks, t -> {md5i}) AS hs FROM t)
+SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+""".strip()
+
+
 def reconstruct_sql(n_ids: int) -> str:
     """Exploded (id, pos, val_e4) — arrays are unhashable in the driver's
     canonicalizer, so both engines emit one row per component. pos is

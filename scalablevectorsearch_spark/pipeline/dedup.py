@@ -1,0 +1,178 @@
+"""Deduplication operators for training-data pipelines — exact
+(content-hash), MinHash+LSH banded near-dup, n-gram Jaccard verify, and
+SimHash fingerprints.
+
+Extension surface beyond the reference (BASELINE.json north star). The
+scale contract is the whole point: NOTHING here is an all-pairs join.
+ - exact dedup: one hash + one window over the hash — a single shuffle
+   on the content hash.
+ - MinHash/LSH: shingle -> hash -> per-band bucket keys; the candidate
+   join is an equi-join WITHIN buckets (expected O(pairs-that-collide)),
+   then the Jaccard verify runs only on candidates. At 100 TB the band
+   join is the standard banded-LSH MapReduce shape: shuffle keyed by
+   (band_id, band_key), never doc x doc.
+ - SimHash: one 32-bit fingerprint per doc; near-dup lookup = equality
+   on rotated fingerprint bands (not implemented as a join here — the
+   fingerprint is the deliverable).
+
+Determinism: every hash is md5-derived (identical in Spark and DuckDB);
+permutation coefficients come from one deterministic generator shared
+with the oracle SQL builders (oracles.dedup_*_sql). All expressions are
+Catalyst/JVM — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MERSENNE = 2147483647  # 2^31 - 1, modulus for the permutation family
+
+#: md5-derived 60-bit hash of a string expression (dialect: Spark SQL)
+MD5I = "cast(conv(substr(md5({s}), 1, 15), 16, 10) as bigint)"
+
+
+def perm_coeffs(n_perm: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the universal-hash permutation
+    family h_j(x) = (a_j * x + b_j) mod 2^31-1. Knuth-style multiplicative
+    sequence — shared verbatim with the oracle SQL generator."""
+    out = []
+    a, b = 1, 0
+    for j in range(n_perm):
+        a = (a * 2654435761 + 2246822519) % MERSENNE
+        b = (b * 2654435761 + 3266489917) % MERSENNE
+        out.append((a if a > 0 else 1, b))
+    return out
+
+
+def content_hash(text_col: str = "text") -> F.Column:
+    return F.md5(F.col(text_col))
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, content_hash, canonical_id, is_dup): canonical = smallest
+    doc id sharing the exact content hash. One shuffle on the hash."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("content_hash")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), content_hash(text_col).alias("content_hash"))
+        .withColumn("canonical_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+    )
+
+
+def shingle_hashes(
+    df: DataFrame, n_shingle: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, shingles ARRAY<BIGINT>): distinct md5-derived hashes of
+    word n-gram shingles."""
+    sh = (
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(__toks) - {n_shingle} + 1, 1)),"
+        f"  i -> {MD5I.format(s=f'array_join(slice(__toks, i, {n_shingle}), chr(32))')}))"
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+    ).select("doc_id", F.expr(sh).alias("shingles"))
+
+
+def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
+    """(doc_id, shingles, sig ARRAY<BIGINT>): per-permutation min-hash."""
+    coeffs = perm_coeffs(n_perm)
+    mins = ", ".join(
+        f"array_min(transform(shingles, h -> ({a} * (h % {MERSENNE}) + {b}) % {MERSENNE}))"
+        for a, b in coeffs
+    )
+    return shingled.select("doc_id", "shingles", F.expr(f"array({mins})").alias("sig"))
+
+
+def lsh_candidate_pairs(signed: DataFrame, n_bands: int = 4) -> DataFrame:
+    """Banded LSH: docs sharing any band's full sub-signature become a
+    candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b.
+    The join is per-(band, key) — the only shuffle key."""
+    sig_len = signed.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
+    r = sig_len // n_bands
+    bands = signed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> struct(b as band_id, array_join(slice(sig, b * {r} + 1, {r}), ':') as band_key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    pairs: DataFrame, shingled: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact n-gram Jaccard on candidate pairs only:
+    (doc_a, doc_b, jaccard) with jaccard >= threshold."""
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sa"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sb"))
+    j = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sa", "__sb")).cast("double")
+            / F.size(F.array_union("__sa", "__sb")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def dedup_minhash(
+    df: DataFrame,
+    n_shingle: int = 3,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full banded-MinHash near-dup pipeline: shingle -> minhash -> band
+    buckets -> within-bucket candidates -> exact Jaccard verify.
+    Returns (doc_a, doc_b, jaccard). Never an all-pairs join."""
+    shingled = shingle_hashes(df, n_shingle, text_col, id_col)
+    signed = minhash_signature(shingled, n_perm)
+    pairs = lsh_candidate_pairs(signed, n_bands)
+    return jaccard_verify(pairs, shingled, threshold)
+
+
+def simhash(
+    df: DataFrame, n_bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, simhash BIGINT): frequency-weighted n_bits SimHash over
+    token md5 hashes (bit b set iff the signed bit-count is > 0)."""
+    toks_hashes = f"transform(__toks, t -> {MD5I.format(s='t')})"
+    bit_terms = " + ".join(
+        f"(case when aggregate(__hs, 0L,"
+        f" (acc, h) -> acc + (case when (h div {1 << b}) % 2 = 1 then 1 else -1 end)) > 0"
+        f" then {1 << b}L else 0L end)"
+        for b in range(n_bits)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+        )
+        .select("doc_id", F.expr(toks_hashes).alias("__hs"))
+        .select("doc_id", F.expr(bit_terms).alias("simhash"))
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators for large-scale training-data pipelines —
+quality stats, language ID, BPE-ish token counting, winnowing
+fingerprints.
+
+These extend the reference's surface (BASELINE.json north star): a
+100 TB document corpus needs per-document quality/lang/token metadata
+before dedup/filtering. Everything here is pure Catalyst expressions
+(JVM codegen, zero Python in the row path) over the ``documents``
+table; every computed value follows the cross-engine protocol (same
+operation order, floor-half-up rounding at the gate boundary) so a
+DuckDB oracle reproduces it bit-for-bit (oracles.text_stats_sql etc.).
+
+Scale notes: all operators are embarrassingly parallel scans (no
+shuffle, no UDF); the fingerprint operator emits O(len/w) rows per doc
+— a bounded expansion with map-side distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Shared heuristic stopword lists (public, common function words); the
+# oracle SQL is generated from these same literals.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "an", "of", "and", "to", "in", "is", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu"],
+    "fr": ["le", "les", "et", "est", "une", "dans", "que", "pour", "sur", "pas"],
+    "es": ["el", "los", "y", "es", "una", "en", "por", "con", "para", "como"],
+}
+
+#: BPE-style pre-tokenizer: letter runs, digit runs, single symbols
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _toks(text_col: str) -> F.Column:
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def _in_set(tok: F.Column, words: list[str]) -> F.Column:
+    return tok.isin(*words)
+
+
+def _count_in(toks: F.Column, words: list[str]) -> F.Column:
+    # NB: the lambda must be unary — F.filter treats a 2-arg lambda as
+    # (element, index)
+    return F.size(F.filter(toks, lambda t: _in_set(t, words)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics:
+    (doc_id, n_chars, n_tokens, n_uniq_tokens, n_punct, n_bpe_tokens,
+    stopword_ratio, avg_token_len, quality_score)."""
+    toks = _toks(text_col)
+    out = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(text_col).alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        F.length(F.regexp_replace(F.col(text_col), "[a-z0-9 ]", "")).alias("n_punct"),
+        F.size(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(BPE_PATTERN), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.filter(toks, lambda t: _in_set(t, STOPWORDS["en"]))).alias("__n_stop"),
+        F.aggregate(toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)).alias(
+            "__tok_len_sum"
+        ),
+    )
+    n_tokens_d = F.col("n_tokens").cast("double")
+    punct_frac = F.col("n_punct").cast("double") / F.greatest(F.col("n_chars"), F.lit(1)).cast(
+        "double"
+    )
+    uniq_ratio = F.col("n_uniq_tokens").cast("double") / n_tokens_d
+    quality = (
+        F.least(F.lit(1.0), n_tokens_d / F.lit(64.0))
+        * (F.lit(1.0) - F.least(F.lit(0.5), punct_frac))
+        * (F.lit(0.25) + F.lit(0.75) * uniq_ratio)
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        "n_uniq_tokens",
+        "n_punct",
+        "n_bpe_tokens",
+        (F.col("__n_stop").cast("double") / n_tokens_d).alias("stopword_ratio"),
+        (F.col("__tok_len_sum").cast("double") / n_tokens_d).alias("avg_token_len"),
+        quality.alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic language ID: CJK characters -> zh, else argmax of
+    per-language stopword hits with the fixed tie-break chain
+    en > de > fr > es (mirrored verbatim by the oracle). Returns
+    (doc_id, pred_lang)."""
+    toks = _toks(text_col)
+    counts = {lang: _count_in(toks, words) for lang, words in STOPWORDS.items()}
+    cjk = F.length(F.regexp_replace(F.col(text_col), "[^一-鿿]", ""))
+    c = {k: F.col(f"__c_{k}") for k in STOPWORDS}
+    pred = (
+        F.when(F.col("__cjk") > 0, F.lit("zh"))
+        .when((c["en"] >= c["de"]) & (c["en"] >= c["fr"]) & (c["en"] >= c["es"]), F.lit("en"))
+        .when((c["de"] >= c["fr"]) & (c["de"] >= c["es"]), F.lit("de"))
+        .when(c["fr"] >= c["es"], F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            cjk.alias("__cjk"),
+            *[counts[k].alias(f"__c_{k}") for k in STOPWORDS],
+        )
+        .select("doc_id", pred.alias("pred_lang"))
+    )
+
+
+def doc_fingerprints(
+    df: DataFrame,
+    k: int = 16,
+    w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints: rolling k-char-gram md5-derived
+    hashes; keep the min hash of every w-window; distinct per doc.
+    Returns exploded (doc_id, fp BIGINT) — the standard near-dup /
+    provenance fingerprint (Schleimer et al. winnowing, reproduced as
+    pure SQL in both engines)."""
+    hs = (
+        f"transform(sequence(1, greatest(length({text_col}) - {k} + 1, 1)), "
+        f"i -> cast(conv(substr(md5(substring({text_col}, i, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    fps = (
+        f"array_distinct(transform(sequence(1, greatest(size(__hs) - {w} + 1, 1)), "
+        f"i -> array_min(slice(__hs, i, {w}))))"
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.expr(hs).alias("__hs"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )

@@ -1,0 +1,107 @@
+"""Text-pipeline + dedup tests over the documents table."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.pipeline.dedup import (
+    dedup_exact,
+    dedup_minhash,
+    jaccard_verify,
+    lsh_candidate_pairs,
+    minhash_signature,
+    perm_coeffs,
+    shingle_hashes,
+    simhash,
+)
+from scalablevectorsearch_spark.pipeline.text import (
+    doc_fingerprints,
+    lang_id,
+    text_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(documents):
+    return documents.select("doc_id", "text")
+
+
+def test_text_stats_ranges(docs):
+    s = text_stats(docs)
+    bad = s.filter(
+        (F.col("n_tokens") <= 0)
+        | (F.col("n_uniq_tokens") > F.col("n_tokens"))
+        | (F.col("stopword_ratio") < 0)
+        | (F.col("stopword_ratio") > 1)
+        | (F.col("quality_score") < 0)
+        | (F.col("quality_score") > 1)
+    ).count()
+    assert bad == 0
+    assert s.count() == docs.count()
+
+
+def test_lang_id_total_and_domain(docs):
+    p = lang_id(docs)
+    assert p.count() == docs.count()
+    langs = {r["pred_lang"] for r in p.select("pred_lang").distinct().collect()}
+    assert langs <= {"en", "de", "fr", "es", "zh"}
+
+
+def test_fingerprints_self_similarity(docs, spark):
+    """A document shares all fingerprints with itself, and distinct docs
+    share fewer — sanity of the winnowing construction."""
+    fp = doc_fingerprints(docs.filter(F.col("doc_id") < 20), k=16, w=8)
+    per_doc = fp.groupBy("doc_id").count().collect()
+    assert all(r["count"] > 0 for r in per_doc)
+
+
+def test_dedup_exact_finds_planted_dup(docs):
+    dup = docs.filter(F.col("doc_id") == 0).select(
+        (F.col("doc_id") + 777).alias("doc_id"), "text"
+    )
+    out = dedup_exact(docs.unionByName(dup))
+    flagged = {r["doc_id"]: r["canonical_id"] for r in out.filter("is_dup").collect()}
+    assert flagged == {777: 0}
+
+
+def test_minhash_finds_planted_neardup(docs, spark):
+    """Corrupt one token of doc 0 -> near-dup pair (0, 888) must survive
+    banding + verification with high jaccard."""
+    base = docs.filter(F.col("doc_id") < 50)
+    mutated = base.filter(F.col("doc_id") == 0).select(
+        F.lit(888).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    res = dedup_minhash(base.unionByName(mutated), threshold=0.5)
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in res.collect()}
+    assert (0, 888) in pairs
+    assert pairs[(0, 888)] > 0.8
+
+
+def test_lsh_is_not_all_pairs(docs):
+    """The candidate set must be far smaller than n*(n-1)/2."""
+    sh = shingle_hashes(docs)
+    sig = minhash_signature(sh, 16)
+    cand = lsh_candidate_pairs(sig, 4).count()
+    n = docs.count()
+    assert cand < n * (n - 1) / 2 * 0.25, f"{cand} candidates for {n} docs"
+
+
+def test_jaccard_verify_bounds(docs):
+    sh = shingle_hashes(docs)
+    sig = minhash_signature(sh, 16)
+    pairs = lsh_candidate_pairs(sig, 4)
+    ver = jaccard_verify(pairs, sh, threshold=0.0)
+    bad = ver.filter((F.col("jaccard") < 0) | (F.col("jaccard") > 1)).count()
+    assert bad == 0
+
+
+def test_perm_coeffs_deterministic():
+    assert perm_coeffs(8) == perm_coeffs(8)
+    assert len(set(perm_coeffs(16))) == 16
+
+
+def test_simhash_stable_and_bounded(docs):
+    s1 = {r["doc_id"]: r["simhash"] for r in simhash(docs, 32).collect()}
+    s2 = {r["doc_id"]: r["simhash"] for r in simhash(docs, 32).collect()}
+    assert s1 == s2
+    assert all(0 <= v < (1 << 32) for v in s1.values())
