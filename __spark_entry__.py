@@ -33,6 +33,15 @@ from scalablevectorsearch_spark.operators.dynamic import (
 from scalablevectorsearch_spark.operators.sq import sq_compress, sq_decompress, sq_knn, sq_train
 from scalablevectorsearch_spark.operators.vamana import VamanaParams, vamana_build, vamana_search
 from scalablevectorsearch_spark.pipeline.dedup import dedup_exact, dedup_minhash, simhash
+from scalablevectorsearch_spark.pipeline.multimodal import (
+    extract_features,
+    media_from_documents,
+    media_stats,
+)
+from scalablevectorsearch_spark.pipeline.neardup import (
+    embedding_neardup,
+    embedding_neardup_clustered,
+)
 from scalablevectorsearch_spark.pipeline.text import doc_fingerprints, lang_id, text_stats
 from scalablevectorsearch_spark.functions.distances import distance_expr
 
@@ -324,6 +333,51 @@ def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), n_bits=32)
 
 
+ND_COPIES = 10
+ND_OFFSET = 10000
+ND_THRESHOLD = 0.9
+
+
+def _neardup_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    base = emb.selectExpr(
+        "vec_id as id", "transform(embedding, x -> cast(x as double)) as vector"
+    )
+    copies = emb.filter(F.col("vec_id") < ND_COPIES).selectExpr(
+        f"vec_id + {ND_OFFSET} as id",
+        "concat(array(cast(embedding[0] as double) + 0.05d), "
+        "transform(slice(embedding, 2, size(embedding) - 1), x -> cast(x as double))) as vector",
+    )
+    return base.unionByName(copies)
+
+
+def _neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = embedding_neardup(_neardup_base(spark, sf_dir), threshold=ND_THRESHOLD)
+    return res.select("id_a", "id_b", E4("cosine").alias("cosine_e4"))
+
+
+def _neardup_clustered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    res = embedding_neardup_clustered(
+        _neardup_base(spark, sf_dir), threshold=ND_THRESHOLD,
+        n_clusters=N_CLUSTERS, n_iters=KM_ITERS,
+    )
+    return res.select("id_a", "id_b", E4("cosine").alias("cosine_e4"))
+
+
+def _media_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_stats(media_from_documents(_docs(spark, sf_dir).select("doc_id", "text")))
+
+
+def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only gate: the feature kernel is mapInPandas (not SQL);
+    # determinism is asserted in tests/test_multimodal.py
+    media = media_from_documents(_docs(spark, sf_dir).select("doc_id", "text"))
+    feats = extract_features(media, n_features=8)
+    return feats.select(
+        "media_id", "n_bytes", F.posexplode("features").alias("pos", "__x")
+    ).select("media_id", "n_bytes", "pos", E4("__x").alias("feature_e4"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -351,6 +405,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _dedup_exact_query,
         "dedup_minhash": _dedup_minhash_query,
         "simhash": _simhash_query,
+        "embedding_neardup": _neardup_query,
+        "embedding_neardup_clustered": _neardup_clustered_query,
+        "media_stats": _media_stats_query,
+        "media_features": _media_features_query,
     }
 
 
@@ -380,4 +438,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": oracles.dedup_exact_sql(10, 10000),
         "dedup_minhash": oracles.dedup_minhash_sql(3, 16, 4, 0.5),
         "simhash": oracles.simhash_sql(32),
+        "embedding_neardup": oracles.embedding_neardup_sql(
+            ND_THRESHOLD, ND_COPIES, ND_OFFSET
+        ),
+        "embedding_neardup_clustered": oracles.embedding_neardup_clustered_sql(
+            ND_THRESHOLD, N_CLUSTERS, KM_ITERS, ND_COPIES, ND_OFFSET
+        ),
+        "media_stats": oracles.media_stats_sql(),
     }

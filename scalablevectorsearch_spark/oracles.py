@@ -124,14 +124,19 @@ def _dist_vc(v: str = "v", c: str = "cv") -> str:
     return f"list_sum(list_transform(range(1, len({v})+1), i -> ({v}[i]-{c}[i])*({v}[i]-{c}[i])))"
 
 
-def kmeans_ctes(k: int, iters: int) -> tuple[str, str]:
-    """Unrolled deterministic Lloyd loop over the embeddings table,
-    mirroring operators.kmeans exactly: init = vectors of the k smallest
-    ids; argmin ties to the smallest cluster id; centroid components
-    re-rounded via floor(x*1e6+0.5)/1e6 each iteration; empty clusters
-    keep the previous centroid. Returns (cte_sql, final_centroid_cte)."""
+def kmeans_ctes(
+    k: int,
+    iters: int,
+    e_cte: str = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
+) -> tuple[str, str]:
+    """Unrolled deterministic Lloyd loop over ``e_cte`` (default: the
+    embeddings table), mirroring operators.kmeans exactly: init = vectors
+    of the k smallest ids; argmin ties to the smallest cluster id;
+    centroid components re-rounded via floor(x*1e6+0.5)/1e6 each
+    iteration; empty clusters keep the previous centroid. Returns
+    (cte_sql, final_centroid_cte)."""
     parts = [
-        "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"e AS ({e_cte})",
         f"""c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY id ASC) - 1 AS INT) AS cid,
          list_transform(v, x -> floor(x * 1000000 + 0.5) / 1000000) AS cv
@@ -484,6 +489,74 @@ def simhash_sql(n_bits: int = 32) -> str:
 WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
 h AS (SELECT doc_id, list_transform(toks, t -> {md5i}) AS hs FROM t)
 SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
+""".strip()
+
+
+# ------------------------------------------------------------ embedding near-dup
+
+_COS_SQL = (
+    "list_sum(list_transform(range(1, len({a})+1), i -> {a}[i]*{b}[i])) / "
+    "(sqrt(list_sum(list_transform({a}, x -> x*x))) * "
+    "sqrt(list_sum(list_transform({b}, x -> x*x))))"
+)
+
+
+def neardup_e_cte(n_copies: int, offset: int) -> str:
+    """Embeddings (as DOUBLE[]) + near-dup copies: vec_id < n_copies
+    re-inserted at +offset with the first component shifted by +0.05."""
+    return f"""
+SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+UNION ALL
+SELECT vec_id + {offset} AS id,
+       list_concat([embedding[1]::DOUBLE + 0.05],
+                   (embedding::DOUBLE[])[2:len(embedding)]) AS v
+FROM embeddings WHERE vec_id < {n_copies}
+""".strip()
+
+
+def embedding_neardup_sql(threshold: float, n_copies: int, offset: int) -> str:
+    t_e4 = int(threshold * 10000)
+    cos = _COS_SQL.format(a="a.v", b="b.v")
+    e4 = E4.format(expr="cos")
+    return f"""
+WITH e AS ({neardup_e_cte(n_copies, offset)}),
+p AS (SELECT a.id AS id_a, b.id AS id_b, {cos} AS cos
+      FROM e a JOIN e b ON a.id < b.id)
+SELECT id_a, id_b, {e4} AS cosine_e4 FROM p WHERE {e4} >= {t_e4}
+""".strip()
+
+
+def embedding_neardup_clustered_sql(
+    threshold: float, n_clusters: int, kmeans_iters: int, n_copies: int, offset: int
+) -> str:
+    t_e4 = int(threshold * 10000)
+    ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters, neardup_e_cte(n_copies, offset))
+    cos = _COS_SQL.format(a="ea.v", b="eb.v")
+    e4 = E4.format(expr="cos")
+    return f"""
+WITH {ctes},
+af AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id ORDER BY {_dist_vc('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cfinal} c
+  ) ranked WHERE rn = 1),
+p AS (SELECT a.id AS id_a, b.id AS id_b, {cos} AS cos
+      FROM af a JOIN af b ON a.id < b.id AND a.cid = b.cid
+      JOIN e ea ON a.id = ea.id
+      JOIN e eb ON b.id = eb.id)
+SELECT id_a, id_b, {e4} AS cosine_e4 FROM p WHERE {e4} >= {t_e4}
+""".strip()
+
+
+def media_stats_sql() -> str:
+    """Byte-level media stats over the synthesized media table (payload
+    = UTF-8 bytes of documents.text)."""
+    return """
+SELECT doc_id AS media_id, 'image' AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
 """.strip()
 
 

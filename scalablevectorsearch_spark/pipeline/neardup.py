@@ -1,0 +1,92 @@
+"""Embedding-space near-duplicate detection — cosine-threshold pair
+mining, brute-force (correctness baseline) and cluster-bucketed (the
+100 TB path).
+
+Extension surface beyond the reference (BASELINE.json: embedding-cosine
+near-dup as a pipeline operator). Two implementations with identical
+pair semantics:
+
+ - ``embedding_neardup``: full self-join. O(N^2) — the oracle/baseline
+   ONLY; used at gate scale and for recall-measuring the bucketed
+   variant.
+ - ``embedding_neardup_clustered``: k-means bucket join. Pairs are only
+   scored WITHIN a cluster, so the shuffle is keyed by cluster_id and
+   the comparison count drops from N^2 to sum(|cluster|^2) — the
+   standard blocking/bucketing shape for pair mining at 100 TB scale
+   (recall < 1 exactly when a near-dup pair straddles a cluster
+   boundary; tests measure it).
+
+Determinism: cosine is the Catalyst sequential-fold expression (matches
+the DuckDB fold 1-ULP-for-1-ULP), thresholding happens on the e4 key
+floor(cos*1e4+0.5) in both engines, and clustering follows the
+operators.kmeans oracle protocol — both variants hash-match their SQL
+oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.functions.distances import cosine_expr
+from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_kmeans
+
+
+def _e4(c: F.Column) -> F.Column:
+    return F.floor(c * 10000 + F.lit(0.5)).cast("long")
+
+
+def _pairs_with_cosine(side: DataFrame, join_on) -> DataFrame:
+    a = side.alias("a")
+    b = side.alias("b")
+    cond = F.col("a.__id") < F.col("b.__id")
+    if join_on is not None:
+        cond = cond & join_on
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+        )
+    )
+
+
+def embedding_neardup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """All-pairs cosine >= threshold (id_a < id_b). Brute-force baseline
+    — test scale only; use the clustered variant beyond that."""
+    side = df.select(
+        F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+    )
+    t_e4 = int(threshold * 10000)
+    out = _pairs_with_cosine(side, None)
+    return out.filter(_e4(F.col("cosine")) >= t_e4).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
+def embedding_neardup_clustered(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    n_iters: int = 2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Cluster-bucketed near-dup mining: k-means assign, then pairs only
+    within a cluster. The join shuffles on cluster_id — never all-pairs."""
+    model = train_kmeans(df, n_clusters, n_iters, id_col, vec_col)
+    assign = assign_clusters(df, model, id_col, vec_col)
+    side = (
+        df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
+        .join(assign.withColumnRenamed("id", "__id"), "__id")
+    )
+    t_e4 = int(threshold * 10000)
+    a_cl = F.col("a.cluster_id") == F.col("b.cluster_id")
+    out = _pairs_with_cosine(side, a_cl)
+    return out.filter(_e4(F.col("cosine")) >= t_e4).select("id_a", "id_b", "cosine")
