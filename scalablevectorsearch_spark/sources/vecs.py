@@ -1,0 +1,156 @@
+"""`*vecs` file formats (fvecs/ivecs/bvecs/hvecs), npy ingestion, and
+the seeded test-dataset generator.
+
+Parity: /root/reference/include/svs/core/io/vecs.h — :137 reader
+(per-vector records ``[int32 dim][dim x elem]``), :103-129 (uniform-dim
+validation), :195 writer; bindings/python/src/svs/common.py:62
+(read_npy), :214-265 (generate_test_dataset: uniform random data +
+queries + brute-force groundtruth); format converters
+bindings/python/src/python_bindings.cpp:126-239.
+
+Spark shape: these legacy single-node formats are INGESTION formats —
+the engine's native storage is Parquet. Readers parse driver-side with
+numpy (the files that exist in the wild fit one machine; a 100 TB
+corpus would already be Parquet) and land in a DataFrame immediately;
+``vecs_to_parquet`` is the one-time conversion job. Writers exist for
+round-trip/export parity."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+_KINDS = {
+    "fvecs": np.float32,
+    "ivecs": np.int32,
+    "bvecs": np.uint8,
+    "hvecs": np.float16,
+}
+
+
+def _kind_of(path: str, kind: str | None) -> str:
+    k = kind or os.path.splitext(path)[1].lstrip(".")
+    if k not in _KINDS:
+        raise ValueError(f"unknown vecs kind {k!r}; expected one of {sorted(_KINDS)}")
+    return k
+
+
+def read_vecs(path: str, kind: str | None = None) -> np.ndarray:
+    """Parse a *vecs file into an (n, d) array. Raises on inconsistent
+    per-record dimensions (vecs.h:103-129) or trailing bytes."""
+    k = _kind_of(path, kind)
+    dtype = _KINDS[k]
+    raw = np.fromfile(path, dtype=np.uint8)
+    if len(raw) == 0:
+        return np.empty((0, 0), dtype=dtype)
+    dim = int(raw[:4].view(np.int32)[0])
+    if dim <= 0:
+        raise ValueError(f"{path}: bad leading dimension {dim}")
+    rec_bytes = 4 + dim * np.dtype(dtype).itemsize
+    if len(raw) % rec_bytes != 0:
+        raise ValueError(f"{path}: size {len(raw)} not a multiple of record size {rec_bytes}")
+    n = len(raw) // rec_bytes
+    recs = raw.reshape(n, rec_bytes)
+    dims = recs[:, :4].copy().view(np.int32).reshape(n)
+    if not (dims == dim).all():
+        raise ValueError(f"{path}: inconsistent dimensions {set(dims.tolist())}")
+    return recs[:, 4:].copy().view(dtype).reshape(n, dim)
+
+
+def write_vecs(path: str, X: np.ndarray, kind: str | None = None) -> None:
+    """Write (n, d) -> *vecs records (vecs.h:195)."""
+    k = _kind_of(path, kind)
+    dtype = _KINDS[k]
+    X = np.ascontiguousarray(X, dtype=dtype)
+    n, d = X.shape
+    dims = np.full((n, 1), d, dtype=np.int32)
+    with open(path, "wb") as f:
+        for i in range(n):
+            f.write(dims[i].tobytes())
+            f.write(X[i].tobytes())
+
+
+def vecs_to_df(
+    spark: SparkSession, path: str, kind: str | None = None, id_offset: int = 0
+) -> DataFrame:
+    """*vecs file -> DataFrame(id BIGINT, vector ARRAY<FLOAT|INT>)."""
+    X = read_vecs(path, kind)
+    elem = "int" if X.dtype in (np.int32, np.uint8) else "float"
+    rows = [(id_offset + i, X[i].astype(np.float64 if elem == "float" else np.int64).tolist()) for i in range(len(X))]
+    return spark.createDataFrame(rows, f"id bigint, vector array<{elem}>")
+
+
+def vecs_to_parquet(
+    spark: SparkSession, src: str, dst: str, kind: str | None = None
+) -> None:
+    """One-time conversion job: legacy format -> the engine's Parquet
+    layout (the f16/bf16 'converters' of §2.1 collapse to a cast here —
+    Spark stores FLOAT; low-precision is a storage codec concern)."""
+    vecs_to_df(spark, src, kind).write.mode("overwrite").parquet(dst)
+
+
+def read_npy(path: str) -> np.ndarray:
+    """common.py:62 parity."""
+    return np.load(path)
+
+
+def npy_to_df(spark: SparkSession, path: str, id_offset: int = 0) -> DataFrame:
+    X = read_npy(path)
+    rows = [(id_offset + i, X[i].astype(np.float64).tolist()) for i in range(len(X))]
+    return spark.createDataFrame(rows, "id bigint, vector array<float>")
+
+
+def generate_test_dataset(
+    spark: SparkSession,
+    n_vectors: int,
+    n_queries: int,
+    n_dims: int,
+    out_dir: str,
+    seed: int = 42,
+    k: int = 10,
+    distance: str = "l2",
+) -> dict:
+    """Seeded uniform-random dataset + queries + brute-force groundtruth
+    (common.py:214-265 parity). Writes data/queries/groundtruth parquet
+    + a manifest; returns the manifest."""
+    from scalablevectorsearch_spark.functions.distances import is_similarity, pairwise_distances
+
+    rng = np.random.default_rng(seed)
+    X = rng.uniform(-1.0, 1.0, size=(n_vectors, n_dims)).astype(np.float32)
+    Q = rng.uniform(-1.0, 1.0, size=(n_queries, n_dims)).astype(np.float32)
+    D = pairwise_distances(Q.astype(np.float64), X.astype(np.float64), distance)
+    key = -D if is_similarity(distance) else D
+    ids = np.broadcast_to(np.arange(n_vectors, dtype=np.int64), key.shape)
+    order = np.lexsort((ids, key), axis=1)[:, :k]
+
+    os.makedirs(out_dir, exist_ok=True)
+    spark.createDataFrame(
+        [(int(i), X[i].tolist()) for i in range(n_vectors)], "id bigint, vector array<float>"
+    ).write.mode("overwrite").parquet(f"{out_dir}/data")
+    spark.createDataFrame(
+        [(int(i), Q[i].tolist()) for i in range(n_queries)], "qid bigint, vector array<float>"
+    ).write.mode("overwrite").parquet(f"{out_dir}/queries")
+    gt_rows = [
+        (int(qi), int(r + 1), int(order[qi, r]))
+        for qi in range(n_queries)
+        for r in range(k)
+    ]
+    spark.createDataFrame(
+        gt_rows, "qid bigint, rank bigint, neighbor_id bigint"
+    ).write.mode("overwrite").parquet(f"{out_dir}/groundtruth")
+    manifest = {
+        "__schema__": "test_dataset",
+        "__version__": [0, 1, 0],
+        "n_vectors": n_vectors,
+        "n_queries": n_queries,
+        "n_dims": n_dims,
+        "seed": seed,
+        "k": k,
+        "distance": distance,
+    }
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest

@@ -1,0 +1,127 @@
+"""Calibration, batch-iterator paging, and streaming ingest tests."""
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.calibrate import calibrate_window
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.iterator import (
+    BatchIterator,
+    DefaultSchedule,
+    LinearSchedule,
+)
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.streaming.ingest import (
+    ingest_vectors,
+    latest_view,
+    run_windowed_events,
+    stream_vectors,
+)
+
+ART = "/root/repo/_artifacts/test_streaming"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def art_dir():
+    shutil.rmtree(ART, ignore_errors=True)
+    os.makedirs(ART, exist_ok=True)
+    yield
+    shutil.rmtree(ART, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def base(embeddings):
+    return embeddings.selectExpr("vec_id as id", "embedding as vector")
+
+
+@pytest.fixture(scope="module")
+def queries(base):
+    return base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+
+
+def test_calibrate_hits_target(base, queries):
+    idx = vamana_build(base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2)
+    gt = flat_knn(base, queries, k=5, distance="l2")
+    gt.cache()
+
+    res = calibrate_window(
+        lambda w: vamana_search(idx, queries, k=5, search_window_size=w),
+        gt, k=5, target_recall=0.9, min_window=1, max_window=64,
+    )
+    assert res.recall >= 0.9
+    # a smaller-window probe either failed the target or wasn't evaluated
+    assert res.search_window_size <= 64
+    assert len(res.probes) <= 8  # log2(64) + initial
+
+
+def test_iterator_pages_disjoint_and_ordered(base, queries):
+    def search(k, window):
+        return flat_knn(base, queries, k=k, distance="l2")
+
+    it = BatchIterator(search_fn=search, schedule=DefaultSchedule(batch_size=3))
+    p1 = it.next_batch().collect()
+    p2 = it.next_batch().collect()
+    r1 = {(r["qid"], r["neighbor_id"]) for r in p1}
+    r2 = {(r["qid"], r["neighbor_id"]) for r in p2}
+    assert r1.isdisjoint(r2)
+    assert {r["rank"] for r in p1} == {1, 2, 3}
+    assert {r["rank"] for r in p2} == {4, 5, 6}
+    it.update()
+    assert {r["rank"] for r in it.next_batch().collect()} == {1, 2, 3}
+
+
+def test_linear_schedule_grows():
+    s = LinearSchedule(batch_size=2, slope=2)
+    assert [s.batch(p) for p in range(3)] == [2, 4, 6]
+
+
+def test_streaming_vector_upsert(spark, base):
+    src, tgt, ckpt = f"{ART}/src", f"{ART}/tgt", f"{ART}/ckpt"
+    # batch 1: ids 0..4; batch 2 (appended later file): update id 0, delete id 1
+    base.filter(F.col("id") < 5).withColumn("is_delete", F.lit(False)).withColumn(
+        "seq", F.lit(1).cast("long")
+    ).write.parquet(f"{src}/b1")
+    up = base.filter(F.col("id") == 0).select(
+        "id", F.expr("transform(vector, x -> float(0.0))").alias("vector"),
+        F.lit(False).alias("is_delete"), F.lit(2).cast("long").alias("seq"),
+    )
+    tomb = base.filter(F.col("id") == 1).select(
+        "id", "vector", F.lit(True).alias("is_delete"), F.lit(2).cast("long").alias("seq")
+    )
+    up.unionByName(tomb).write.parquet(f"{src}/b2")
+
+    stream = stream_vectors(spark, f"{src}/*")
+    ingest_vectors(stream, tgt, ckpt)
+
+    view = latest_view(spark, tgt)
+    rows = {r["id"]: r["vector"] for r in view.collect()}
+    assert 1 not in rows  # tombstoned
+    assert set(rows) == {0, 2, 3, 4}
+
+
+def test_streaming_windowed_events(spark, sf_dir):
+    src, out, ckpt = f"{ART}/ev_src", f"{ART}/ev_out", f"{ART}/ev_ckpt"
+    # the fixture's parquet uses TIMESTAMP(NANOS), which Spark's reader
+    # rejects — rewrite through pandas at microsecond precision
+    import duckdb
+
+    pdf = duckdb.sql(
+        f"SELECT event_id, ts, user_id, event_type, value, props "
+        f"FROM '{sf_dir}/events.parquet'"
+    ).df()
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    events = spark.createDataFrame(pdf)
+    events.write.parquet(src)
+    run_windowed_events(spark, src, out, ckpt, "1 minute", "2 minutes")
+    agg = spark.read.parquet(out)
+    assert agg.count() > 0
+    # totals preserved across windows
+    total = agg.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()

@@ -1,0 +1,87 @@
+"""*vecs IO + test-data generator tests (vecs.h round-trip, dim checks,
+generator groundtruth == flat oracle)."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.sources.vecs import (
+    generate_test_dataset,
+    npy_to_df,
+    read_npy,
+    read_vecs,
+    vecs_to_df,
+    write_vecs,
+)
+
+ART = "/root/repo/_artifacts/test_vecs"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def art_dir():
+    shutil.rmtree(ART, ignore_errors=True)
+    os.makedirs(ART, exist_ok=True)
+    yield
+    shutil.rmtree(ART, ignore_errors=True)
+
+
+@pytest.mark.parametrize("kind,dtype", [("fvecs", np.float32), ("ivecs", np.int32), ("bvecs", np.uint8)])
+def test_vecs_roundtrip(kind, dtype):
+    rng = np.random.default_rng(7)
+    if dtype == np.uint8:
+        X = rng.integers(0, 255, size=(20, 16)).astype(dtype)
+    elif dtype == np.int32:
+        X = rng.integers(-1000, 1000, size=(20, 16)).astype(dtype)
+    else:
+        X = rng.normal(size=(20, 16)).astype(dtype)
+    path = f"{ART}/t.{kind}"
+    write_vecs(path, X)
+    Y = read_vecs(path)
+    assert Y.dtype == dtype and np.array_equal(X, Y)
+
+
+def test_vecs_rejects_inconsistent_dims():
+    path = f"{ART}/bad.fvecs"
+    with open(path, "wb") as f:
+        f.write(np.int32(4).tobytes() + np.zeros(4, np.float32).tobytes())
+        f.write(np.int32(5).tobytes() + np.zeros(5, np.float32).tobytes())
+    with pytest.raises(ValueError):
+        read_vecs(path)
+
+
+def test_vecs_to_df(spark):
+    X = np.arange(12, dtype=np.float32).reshape(3, 4)
+    path = f"{ART}/df.fvecs"
+    write_vecs(path, X)
+    df = vecs_to_df(spark, path)
+    rows = {r["id"]: r["vector"] for r in df.collect()}
+    assert rows[1] == [4.0, 5.0, 6.0, 7.0]
+
+
+def test_npy_roundtrip(spark):
+    X = np.random.default_rng(1).normal(size=(5, 3)).astype(np.float32)
+    path = f"{ART}/x.npy"
+    np.save(path, X)
+    assert np.array_equal(read_npy(path), X)
+    assert npy_to_df(spark, path).count() == 5
+
+
+def test_generator_deterministic_and_consistent(spark):
+    m1 = generate_test_dataset(spark, 200, 20, 8, f"{ART}/gen1", seed=11, k=5)
+    generate_test_dataset(spark, 200, 20, 8, f"{ART}/gen2", seed=11, k=5)
+    d1 = spark.read.parquet(f"{ART}/gen1/data").orderBy("id").collect()
+    d2 = spark.read.parquet(f"{ART}/gen2/data").orderBy("id").collect()
+    assert [r["vector"] for r in d1] == [r["vector"] for r in d2]
+    assert m1["seed"] == 11
+
+    # generator groundtruth must equal the engine's own flat k-NN
+    data = spark.read.parquet(f"{ART}/gen1/data")
+    queries = spark.read.parquet(f"{ART}/gen1/queries")
+    gt = spark.read.parquet(f"{ART}/gen1/groundtruth")
+    ours = flat_knn(data, queries, k=5, distance="l2", round_to=None).select(
+        "qid", "rank", "neighbor_id"
+    )
+    assert ours.exceptAll(gt).count() == 0 and gt.exceptAll(ours).count() == 0
