@@ -180,6 +180,19 @@ def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+INV_EPS_BP = 2000  # two-level Inverted: probe clusters within 1.2x of best
+
+
+def _inverted_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    index = ivf_build(base, N_CLUSTERS, KM_ITERS)
+    res = ivf_search(
+        index, _queries_df(spark, sf_dir), k=K, n_probes=0, distance="l2",
+        round_to=4, epsilon_bp=INV_EPS_BP,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _sq_minmax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
@@ -391,6 +404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _kmeans_assign_query,
         "ivf_knn": _ivf_knn_query,
         "ivf_recall": _ivf_recall_query,
+        "inverted_knn": _inverted_knn_query,
         "sq_minmax": _sq_minmax_query,
         "sq_roundtrip": _sq_roundtrip_query,
         "sq_knn_l2": _sq_knn_query("l2"),
@@ -425,6 +439,9 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_assign": oracles.kmeans_assign_sql(N_CLUSTERS, KM_ITERS),
         "ivf_knn": oracles.ivf_knn_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
         "ivf_recall": oracles.ivf_recall_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
+        "inverted_knn": oracles.ivf_knn_sql(
+            K, N_CLUSTERS, KM_ITERS, 0, N_QUERIES, epsilon_bp=INV_EPS_BP
+        ),
         "sq_minmax": oracles.sq_minmax_sql(),
         "sq_roundtrip": oracles.sq_roundtrip_sql(50),
         "sq_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),

@@ -133,6 +133,32 @@ def main() -> None:
 
     timed("sq_knn_l2", sq_s)
 
+    # LLM-pipeline ops over the documents table
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    docs.cache()
+    docs.count()
+
+    def _text_stats():
+        from scalablevectorsearch_spark.pipeline.text import text_stats
+
+        text_stats(docs).count()
+
+    def _dedup():
+        from scalablevectorsearch_spark.pipeline.dedup import dedup_minhash
+
+        dedup_minhash(docs, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5).count()
+
+    def _neardup():
+        from scalablevectorsearch_spark.pipeline.neardup import embedding_neardup_clustered
+
+        embedding_neardup_clustered(
+            base.select("id", "vector"), threshold=0.9, n_clusters=IVF_CLUSTERS
+        ).count()
+
+    timed("text_stats", _text_stats)
+    timed("dedup_minhash", _dedup)
+    timed("embedding_neardup_clustered", _neardup)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

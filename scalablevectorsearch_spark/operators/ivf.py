@@ -94,6 +94,39 @@ def ivf_build(
     return IVFIndex(clustered=clustered, model=model, id_col=id_col, vec_col=vec_col)
 
 
+def probe_clusters_epsilon(
+    Q: np.ndarray,
+    centroids: np.ndarray,
+    epsilon_bp: int,
+    max_probes: int | None = None,
+    distance: str = "l2",
+) -> list[np.ndarray]:
+    """Two-level Inverted cluster selection (memory_based.h:407-460,
+    :508 refinement_epsilon_): probe every cluster whose e4 centroid
+    key is within (1 + epsilon) of the best, epsilon expressed in basis
+    points so the cutoff is exact integer arithmetic in both engines:
+    probe c iff key_c * 10000 <= key_best * (10000 + epsilon_bp).
+    Returns one variable-length cluster-id array per query."""
+    D = pairwise_distances(Q, centroids, distance)
+    key = np.floor(D * 1e4 + 0.5).astype(np.int64)
+    maximize = is_similarity(distance)
+    if maximize:
+        key = -key
+    # widen the cutoff away from the best key; for similarity metrics the
+    # negated key flips the factor (cutoff toward smaller similarity)
+    factor = 10000 - epsilon_bp if maximize else 10000 + epsilon_bp
+    out: list[np.ndarray] = []
+    for qi in range(key.shape[0]):
+        k_best = int(key[qi].min())
+        cut = k_best * factor
+        sel = np.nonzero(key[qi] * 10000 <= cut)[0]
+        if max_probes is not None and len(sel) > max_probes:
+            order = np.lexsort((sel, key[qi, sel]))[:max_probes]
+            sel = sel[order]
+        out.append(sel.astype(np.int32))
+    return out
+
+
 def probe_clusters(
     Q: np.ndarray, centroids: np.ndarray, n_probes: int, distance: str = "l2"
 ) -> np.ndarray:
@@ -177,8 +210,24 @@ def ivf_search(
     qid_col: str = "qid",
     qvec_col: str | None = None,
     round_to: int | None = 4,
+    epsilon_bp: int | None = None,
+    k_reorder: int | None = None,
+    rerank_base: DataFrame | None = None,
+    rerank_queries: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate k-NN probing the n_probes nearest clusters per query.
+    """Approximate k-NN probing clusters per query.
+
+    Cluster selection: fixed ``n_probes`` nearest centroids (IVF,
+    common.h:151-166) or, when ``epsilon_bp`` is set, every cluster
+    within (1 + epsilon) of the best centroid distance (the two-level
+    Inverted index's cutoff rule, memory_based.h:407-460).
+
+    ``k_reorder`` (common.h:156): first retrieve k_reorder candidates
+    with the index's stored vectors, then re-rank them EXACTLY against
+    ``rerank_base`` (full-precision vectors; required with k_reorder) —
+    meaningful when the clustered storage is quantized. When the search
+    queries themselves are compressed, pass the ORIGINAL query batch as
+    ``rerank_queries`` so the exact stage uses full-precision queries.
 
     Returns (qid, rank, neighbor_id, distance) like flat_knn; recall < 1
     exactly when true neighbors live outside probed clusters."""
@@ -191,11 +240,28 @@ def ivf_search(
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
 
-    n_probes = min(n_probes, index.n_clusters)
-    probes = probe_clusters(Q, index.model.centroids, n_probes, distance)
     probe_of: dict[int, np.ndarray] = {}
-    for c in np.unique(probes):
-        probe_of[int(c)] = np.nonzero((probes == c).any(axis=1))[0]
+    if epsilon_bp is not None:
+        sel = probe_clusters_epsilon(
+            Q, index.model.centroids, epsilon_bp, max_probes=n_probes or None,
+            distance=distance,
+        )
+        for qi, cids in enumerate(sel):
+            for c in cids:
+                probe_of.setdefault(int(c), []).append(qi)
+        probe_of = {c: np.asarray(v, dtype=np.int64) for c, v in probe_of.items()}
+    else:
+        n_probes = min(n_probes, index.n_clusters)
+        probes = probe_clusters(Q, index.model.centroids, n_probes, distance)
+        for c in np.unique(probes):
+            probe_of[int(c)] = np.nonzero((probes == c).any(axis=1))[0]
+
+    if k_reorder is not None:
+        if rerank_base is None:
+            raise ValueError("k_reorder requires rerank_base (full-precision vectors)")
+        inner_k = max(k_reorder, k)
+    else:
+        inner_k = k
 
     probed_union = [int(c) for c in sorted(probe_of)]
     scan = (
@@ -212,13 +278,86 @@ def ivf_search(
 
     sc = queries.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q, probe_of))
-    cand = scan.mapInPandas(_ivf_kernel(bc, distance, k, round_to), RESULT_SCHEMA)
+    cand = scan.mapInPandas(_ivf_kernel(bc, distance, inner_k, round_to), RESULT_SCHEMA)
     out = topk_per_group(
         cand,
         group_col="qid",
         order_col="distance",
-        k=k,
+        k=inner_k,
         ascending=not is_similarity(distance),
+        tie_col="neighbor_id",
+    )
+    if k_reorder is None:
+        return out.select("qid", "rank", "neighbor_id", "distance")
+    if rerank_queries is not None:
+        rq = rerank_queries.select(
+            F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+        ).toPandas()
+        rqids = rq["qid"].to_numpy(dtype=np.int64)
+        rQ = np.stack(rq["qv"].to_numpy()).astype(np.float64)
+    else:
+        rqids, rQ = qids, Q
+    return _rerank_exact(
+        out, rerank_base, sc.broadcast((rqids, rQ)), k, distance, round_to,
+        id_col=index.id_col, vec_col=index.vec_col,
+    )
+
+
+def _rerank_exact(
+    candidates: DataFrame,
+    base: DataFrame,
+    bc_queries,
+    k: int,
+    distance: str,
+    round_to: int | None,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """Exact re-rank stage (k_reorder, common.h:156): the Q x k_reorder
+    candidate set is broadcast against the full-precision base (the base
+    is scanned once, filtered by the broadcast semi side), distances
+    recomputed in float64, then the final per-query top-k."""
+    from collections.abc import Iterator
+
+    scale = None if round_to is None else float(10**round_to)
+    maximize = is_similarity(distance)
+    pairs = candidates.select("qid", "neighbor_id")
+    vecs = base.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("__vec")
+    )
+    joined = vecs.join(F.broadcast(pairs), "neighbor_id").select(
+        "qid", "neighbor_id", "__vec"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, Q = bc_queries.value
+        pos = {int(q): i for i, q in enumerate(qids)}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            qi = np.asarray([pos[int(q)] for q in pdf["qid"]], dtype=np.int64)
+            d = np.empty(len(pdf), dtype=np.float64)
+            for u in np.unique(qi):
+                rows = qi == u
+                d[rows] = pairwise_distances(Q[u : u + 1], V[rows], distance)[0]
+            if scale is not None:
+                d = np.floor(d * scale + 0.5) / scale
+            yield pd.DataFrame(
+                {
+                    "qid": pdf["qid"].to_numpy(dtype=np.int64),
+                    "neighbor_id": pdf["neighbor_id"].to_numpy(dtype=np.int64),
+                    "distance": d,
+                }
+            )
+
+    exact = joined.mapInPandas(fn, RESULT_SCHEMA)
+    out = topk_per_group(
+        exact,
+        group_col="qid",
+        order_col="distance",
+        k=k,
+        ascending=not maximize,
         tie_col="neighbor_id",
     )
     return out.select("qid", "rank", "neighbor_id", "distance")

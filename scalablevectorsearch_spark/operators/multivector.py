@@ -18,6 +18,48 @@ from pyspark.sql import functions as F
 from scalablevectorsearch_spark.functions.distances import is_similarity
 
 
+def multivector_knn(
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    k_inner: int | None = None,
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Top-k distinct LABELS per query, like the reference's
+    MultiBatchIterator (multi.h:22-47): it keeps iterating until k
+    distinct labels are found — here the inner candidate k doubles until
+    every query has >= k labels or the whole base has been considered.
+    ``dedupe_by_label`` alone is the single-pass kernel whose
+    completeness depends on the caller's k_inner bound; this wrapper
+    removes that contract from the caller."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    labels = base.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
+    n_base = base.count()
+    n_queries = queries.count()
+    ki = k_inner or 4 * k
+    while True:
+        ki = min(ki, n_base)
+        inner = flat_knn(
+            base, queries, k=ki, distance=distance, id_col=id_col,
+            vec_col=vec_col, qid_col=qid_col, round_to=round_to,
+        )
+        out = dedupe_by_label(inner, labels, k=k, distance=distance)
+        if ki >= n_base:
+            return out
+        short = (
+            out.groupBy("qid").count().filter(F.col("count") < k).limit(1).count()
+        )
+        if short == 0 and out.select(F.countDistinct("qid")).collect()[0][0] == n_queries:
+            return out
+        ki *= 2
+
+
 def dedupe_by_label(
     results: DataFrame,
     labels: DataFrame,

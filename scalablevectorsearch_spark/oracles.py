@@ -184,12 +184,30 @@ SELECT id, cid AS cluster_id FROM (
 """.strip()
 
 
-def ivf_knn_sql(k: int, n_clusters: int, kmeans_iters: int, n_probes: int, n_queries: int) -> str:
+def ivf_knn_sql(
+    k: int,
+    n_clusters: int,
+    kmeans_iters: int,
+    n_probes: int,
+    n_queries: int,
+    epsilon_bp: int | None = None,
+) -> str:
     """Full IVF search (L2): probe the n_probes nearest final centroids
     per query (e4-key ranked, cid tie-break), scan members of probed
-    clusters, top-k on the e4 key with id tie-break."""
+    clusters, top-k on the e4 key with id tie-break. With ``epsilon_bp``
+    the probe rule becomes the two-level Inverted cutoff: probe every
+    cluster with key*10000 <= best_key*(10000+epsilon_bp)."""
     ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters)
     e4p = E4.format(expr="dist")
+    if epsilon_bp is None:
+        probe_cte = f"""probe AS (SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, cid ASC) AS pr
+    FROM pd) pp WHERE pr <= {n_probes})"""
+    else:
+        probe_cte = f"""probe AS (SELECT qid, cid FROM (
+    SELECT qid, cid, {e4p} AS e4key,
+           min({e4p}) OVER (PARTITION BY qid) AS best
+    FROM pd) pp WHERE e4key * 10000 <= best * (10000 + {epsilon_bp}))"""
     return f"""
 WITH {ctes},
 af AS (
@@ -201,9 +219,7 @@ af AS (
 qs AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
        FROM embeddings WHERE vec_id < {n_queries}),
 pd AS (SELECT qid, cid, {_dist_vc('qv', 'c.cv')} AS dist FROM qs CROSS JOIN {cfinal} c),
-probe AS (SELECT qid, cid FROM (
-    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, cid ASC) AS pr
-    FROM pd) pp WHERE pr <= {n_probes}),
+{probe_cte},
 cd AS (
   SELECT p.qid, a.id, {_dist_vc('q.qv', 'e.v')} AS dist
   FROM probe p

