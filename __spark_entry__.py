@@ -19,7 +19,12 @@ from pyspark.sql import functions as F
 from scalablevectorsearch_spark import oracles
 from scalablevectorsearch_spark.operators.flat import flat_knn
 from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
-from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_kmeans
+from scalablevectorsearch_spark.operators.kmeans import (
+    assign_clusters,
+    assign_hierarchical,
+    train_hierarchical_kmeans,
+    train_kmeans,
+)
 from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
 from scalablevectorsearch_spark.operators.reconstruct import reconstruct
 from scalablevectorsearch_spark.operators.dynamic import (
@@ -118,6 +123,19 @@ def _recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+def _recall_at_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k_recall_at with k != n (k=5 groundtruth vs n=10 results) — the
+    §2.4 recall aggregate as a gate-visible operator entry."""
+    from scalablevectorsearch_spark.operators.recall import k_recall_at
+
+    base = _base(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=5, distance="l2", round_to=4)
+    res = flat_knn(base, q, k=10, distance="ip", round_to=4)
+    out = k_recall_at(gt, res, k=5, n=10)
+    return out.select(E4("recall").alias("recall_e4"), "n_queries")
+
+
 def _medioid_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _base(spark, sf_dir)
     comp = (
@@ -178,6 +196,17 @@ def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nq = res.agg(F.countDistinct("qid").alias("n_queries"))
     return matched.crossJoin(nq)
+
+
+HIER_PARENTS, HIER_CHILDREN = 4, 4
+
+
+def _hier_kmeans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _base(spark, sf_dir)
+    parent, children = train_hierarchical_kmeans(
+        base, HIER_PARENTS, HIER_CHILDREN, KM_ITERS
+    )
+    return assign_hierarchical(base, parent, children)
 
 
 INV_EPS_BP = 2000  # two-level Inverted: probe clusters within 1.2x of best
@@ -399,9 +428,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_knn_filtered": _knn_query("l2", where="label = 3"),
         "multivector_knn": _multivector_query,
         "knn_recall_ip_vs_l2": _recall_query,
+        "recall_at_k": _recall_at_query,
         "medioid": _medioid_query,
         "reconstruct": _reconstruct_query,
         "kmeans_assign": _kmeans_assign_query,
+        "hierarchical_kmeans_assign": _hier_kmeans_query,
         "ivf_knn": _ivf_knn_query,
         "ivf_recall": _ivf_recall_query,
         "inverted_knn": _inverted_knn_query,
@@ -434,9 +465,13 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_filtered": oracles.flat_knn_sql("l2", K, N_QUERIES, where="label = 3"),
         "multivector_knn": oracles.multivector_knn_sql("l2", 5, 40, N_QUERIES),
         "knn_recall_ip_vs_l2": oracles.recall_sql(K, N_QUERIES),
+        "recall_at_k": oracles.recall_at_sql(5, 10, N_QUERIES),
         "medioid": oracles.medioid_sql(),
         "reconstruct": oracles.reconstruct_sql(50),
         "kmeans_assign": oracles.kmeans_assign_sql(N_CLUSTERS, KM_ITERS),
+        "hierarchical_kmeans_assign": oracles.hierarchical_kmeans_assign_sql(
+            HIER_PARENTS, HIER_CHILDREN, KM_ITERS
+        ),
         "ivf_knn": oracles.ivf_knn_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
         "ivf_recall": oracles.ivf_recall_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
         "inverted_knn": oracles.ivf_knn_sql(

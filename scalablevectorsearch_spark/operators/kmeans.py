@@ -187,6 +187,122 @@ def assign_clusters(
     return _scan(base, id_col, vec_col).mapInPandas(_assign_fn(bc), ASSIGN_SCHEMA)
 
 
+def _local_lloyd(
+    X: np.ndarray, k: int, n_iters: int, round_decimals: int = 6
+) -> np.ndarray:
+    """In-memory Lloyd with the SAME deterministic protocol as
+    train_kmeans (init = first k rows, which the caller must have sorted
+    by id; per-iteration floor-half-up rounding; empty clusters keep
+    their centroid). Used for the per-parent stage of hierarchical
+    k-means, where each parent's members fit one task."""
+    k = min(k, len(X))
+    C = _round_half_up(X[:k], round_decimals)
+    for _ in range(n_iters):
+        a = _nearest_centroid(X, C)
+        newC = C.copy()
+        for j in range(k):
+            m = a == j
+            if m.any():
+                newC[j] = X[m].mean(axis=0)
+        C = _round_half_up(newC, round_decimals)
+    return C
+
+
+HIER_SCHEMA = StructType(
+    [
+        StructField("parent_cid", IntegerType()),
+        StructField("child_cid", IntegerType()),
+        StructField("centroid", ArrayType(DoubleType())),
+    ]
+)
+
+HIER_ASSIGN_SCHEMA = StructType(
+    [
+        StructField("id", LongType()),
+        StructField("parent_cid", IntegerType()),
+        StructField("child_cid", IntegerType()),
+    ]
+)
+
+
+def train_hierarchical_kmeans(
+    base: DataFrame,
+    n_parents: int,
+    n_children: int,
+    n_iters: int = 2,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> tuple[KMeansModel, DataFrame]:
+    """Two-level clustering (hierarchical_kmeans.h:61-68): a global
+    parent Lloyd, then an independent child Lloyd INSIDE each parent —
+    the child stage is one applyInPandas over parent groups (each
+    parent's members fit a task; the parent count bounds parallelism).
+    Returns (parent_model, children(parent_cid, child_cid, centroid))."""
+    parent = train_kmeans(base, n_parents, n_iters, id_col, vec_col)
+    pa = assign_clusters(base, parent, id_col, vec_col).withColumnRenamed(
+        "cluster_id", "parent_cid"
+    )
+    scan = _scan(base, id_col, vec_col).withColumnRenamed("__id", "id")
+    members = scan.join(pa, "id")
+
+    def child_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        C = _local_lloyd(X, n_children, n_iters)
+        pcid = int(pdf["parent_cid"].iloc[0])
+        return pd.DataFrame(
+            {
+                "parent_cid": pcid,
+                "child_cid": np.arange(len(C), dtype=np.int32),
+                "centroid": [c.tolist() for c in C],
+            }
+        )
+
+    children = members.groupBy("parent_cid").applyInPandas(child_fn, HIER_SCHEMA)
+    return parent, children
+
+
+def assign_hierarchical(
+    base: DataFrame,
+    parent_model: KMeansModel,
+    children: DataFrame,
+    id_col: str = "id",
+    vec_col: str = "vector",
+) -> DataFrame:
+    """(id, parent_cid, child_cid): parent argmin, then child argmin
+    within that parent's children (ties to the smallest id in both)."""
+    rows = children.orderBy("parent_cid", "child_cid").collect()
+    child_map: dict[int, np.ndarray] = {}
+    for r in rows:
+        child_map.setdefault(int(r["parent_cid"]), []).append(
+            np.asarray(r["centroid"], dtype=np.float64)
+        )
+    child_map = {p: np.stack(cs) for p, cs in child_map.items()}
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast((parent_model.centroids, child_map))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        P, CM = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            pa = _nearest_centroid(V, P)
+            ca = np.zeros(len(V), dtype=np.int32)
+            for p in np.unique(pa):
+                rows_ = pa == p
+                ca[rows_] = _nearest_centroid(V[rows_], CM[int(p)])
+            yield pd.DataFrame(
+                {
+                    "id": pdf["__id"].to_numpy(dtype=np.int64),
+                    "parent_cid": pa.astype(np.int32),
+                    "child_cid": ca,
+                }
+            )
+
+    return _scan(base, id_col, vec_col).mapInPandas(fn, HIER_ASSIGN_SCHEMA)
+
+
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
     """Per-cluster membership counts (ivf/kmeans.h:94-123 group step)."""
     return assignments.groupBy("cluster_id").agg(F.count("*").alias("n_members"))

@@ -184,6 +184,69 @@ SELECT id, cid AS cluster_id FROM (
 """.strip()
 
 
+def hierarchical_kmeans_assign_sql(
+    n_parents: int, n_children: int, iters: int
+) -> str:
+    """Two-level Lloyd unrolled: parent loop (kmeans_ctes) -> parent
+    assignment -> per-parent child Lloyd (init = n_children smallest ids
+    within the parent, same rounding protocol) -> final (id, parent_cid,
+    child_cid)."""
+    ctes, cfinal = kmeans_ctes(n_parents, iters)
+    parts = [
+        f"""af AS (
+  SELECT id, cid AS pcid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id ORDER BY {_dist_vc('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cfinal} c
+  ) ranked WHERE rn = 1)""",
+        "mem AS (SELECT e.id, e.v, a.pcid FROM e JOIN af a USING (id))",
+        f"""h0 AS (
+  SELECT pcid, CAST(rn - 1 AS INT) AS ccid,
+         list_transform(v, x -> floor(x * 1000000 + 0.5) / 1000000) AS cv
+  FROM (SELECT pcid, id, v,
+               row_number() OVER (PARTITION BY pcid ORDER BY id ASC) AS rn
+        FROM mem) s
+  WHERE rn <= {n_children})""",
+    ]
+    for t in range(1, iters + 1):
+        prev = f"h{t-1}"
+        parts.append(
+            f"""ha{t} AS (
+  SELECT id, pcid, ccid FROM (
+    SELECT m.id, m.pcid, c.ccid,
+           row_number() OVER (PARTITION BY m.id ORDER BY {_dist_vc('m.v', 'c.cv')} ASC, c.ccid ASC) AS rn
+    FROM mem m JOIN {prev} c ON m.pcid = c.pcid
+  ) r WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""hm{t} AS (
+  SELECT pcid, ccid, list(floor(m * 1000000 + 0.5) / 1000000 ORDER BY pos) AS cv
+  FROM (
+    SELECT pcid, ccid, pos, avg(x) AS m
+    FROM (
+      SELECT a.pcid AS pcid, a.ccid AS ccid, unnest(e.v) AS x,
+             generate_subscripts(e.v, 1) AS pos
+      FROM e JOIN ha{t} a USING (id)
+    ) ux GROUP BY pcid, ccid, pos
+  ) mm GROUP BY pcid, ccid)"""
+        )
+        parts.append(
+            f"""h{t} AS (
+  SELECT p.pcid, p.ccid, COALESCE(m.cv, p.cv) AS cv
+  FROM {prev} p LEFT JOIN hm{t} m ON p.pcid = m.pcid AND p.ccid = m.ccid)"""
+        )
+    body = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+{body}
+SELECT id, pcid AS parent_cid, ccid AS child_cid FROM (
+  SELECT m.id, m.pcid, c.ccid,
+         row_number() OVER (PARTITION BY m.id ORDER BY {_dist_vc('m.v', 'c.cv')} ASC, c.ccid ASC) AS rn
+  FROM mem m JOIN h{iters} c ON m.pcid = c.pcid
+) r WHERE rn = 1
+""".strip()
+
+
 def ivf_knn_sql(
     k: int,
     n_clusters: int,
@@ -352,6 +415,36 @@ r AS (SELECT qid, id, {e4} AS dist_e4,
       FROM d)
 SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r WHERE rnk <= {k}
+""".strip()
+
+
+def recall_at_sql(k: int, n: int, n_queries: int) -> str:
+    """k_recall_at(groundtruth=l2 top-k, results=ip top-n) as a 1-row
+    (recall_e4, n_queries) — the §2.4 recall aggregate gate-visible."""
+    e4_l2 = E4.format(expr="dist_l2")
+    e4_ip = E4.format(expr="dist_ip")
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+d AS (SELECT qid, id,
+             {_DIST_SQL["l2"]} AS dist_l2,
+             {_DIST_SQL["ip"]} AS dist_ip
+      FROM q CROSS JOIN b),
+r AS (SELECT qid, id,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4_l2} ASC, id ASC) AS rnk_l2,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4_ip} DESC, id ASC) AS rnk_ip
+      FROM d),
+gt AS (SELECT qid, id FROM r WHERE rnk_l2 <= {k}),
+res AS (SELECT qid, id FROM r WHERE rnk_ip <= {n}),
+per AS (
+  SELECT gt.qid,
+         count(res.id)::DOUBLE / {k}.0 AS q_recall
+  FROM gt LEFT JOIN res ON gt.qid = res.qid AND gt.id = res.id
+  GROUP BY gt.qid)
+SELECT {E4.format(expr='avg(q_recall)')} AS recall_e4,
+       count(*) AS n_queries
+FROM per
 """.strip()
 
 

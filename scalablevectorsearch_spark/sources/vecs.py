@@ -92,6 +92,28 @@ def vecs_to_parquet(
     vecs_to_df(spark, src, kind).write.mode("overwrite").parquet(dst)
 
 
+def read_binary_matrix(path: str, dtype=np.float32) -> np.ndarray:
+    """Binary matrix file (io/binary.h:84-169 parity): header
+    ``[uint64 n][uint64 d]`` then n*d row-major elements."""
+    with open(path, "rb") as f:
+        header = np.fromfile(f, dtype=np.uint64, count=2)
+        if len(header) != 2:
+            raise ValueError(f"{path}: truncated header")
+        n, d = int(header[0]), int(header[1])
+        data = np.fromfile(f, dtype=dtype)
+    if len(data) != n * d:
+        raise ValueError(f"{path}: expected {n * d} elements, found {len(data)}")
+    return data.reshape(n, d)
+
+
+def write_binary_matrix(path: str, X: np.ndarray) -> None:
+    """io/binary.h writer parity."""
+    X = np.ascontiguousarray(X)
+    with open(path, "wb") as f:
+        np.asarray(X.shape, dtype=np.uint64).tofile(f)
+        X.tofile(f)
+
+
 def read_npy(path: str) -> np.ndarray:
     """common.py:62 parity."""
     return np.load(path)

@@ -83,6 +83,26 @@ def test_ivf_full_probe_equals_flat(base, queries):
     )
 
 
+def test_hierarchical_kmeans_nesting(base):
+    from scalablevectorsearch_spark.operators.kmeans import (
+        assign_hierarchical,
+        train_hierarchical_kmeans,
+    )
+
+    parent, children = train_hierarchical_kmeans(base, 4, 3, 2)
+    a = assign_hierarchical(base, parent, children)
+    assert a.count() == base.count()
+    pairs = {(r["parent_cid"], r["child_cid"]) for r in a.collect()}
+    valid = {(r["parent_cid"], r["child_cid"]) for r in children.collect()}
+    assert pairs <= valid  # every assignment targets an existing child
+    # parent assignment consistent with the flat parent model
+    from scalablevectorsearch_spark.operators.kmeans import assign_clusters
+
+    flat_pa = {r["id"]: r["cluster_id"] for r in assign_clusters(base, parent).collect()}
+    hier_pa = {r["id"]: r["parent_cid"] for r in a.collect()}
+    assert flat_pa == hier_pa
+
+
 def test_ivf_epsilon_probe_superset_recall(base, queries):
     """Inverted-style epsilon selection: a generous epsilon must reach
     at least the recall of a 2-probe search."""
