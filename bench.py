@@ -65,6 +65,10 @@ def main() -> None:
         fn()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # untimed warm-up: JVM/codegen/Arrow path initialization should not
+    # be attributed to the first timed query
+    flat_knn(base, queries.limit(2), k=2).count()
+
     # B1 — exact flat scans
     for dist in ("l2", "ip", "cosine"):
         timed(f"flat_knn_{dist}", lambda d=dist: flat_knn(base, queries, k=K, distance=d).count())

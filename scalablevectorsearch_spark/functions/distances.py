@@ -90,11 +90,31 @@ def distance_expr(a: Column, b: Column, distance: str = "l2") -> Column:
     raise ValueError(f"unknown distance {distance!r}; expected one of {sorted(DISTANCES)}")
 
 
-def pairwise_distances(Q: np.ndarray, B: np.ndarray, distance: str = "l2") -> np.ndarray:
+def fix_queries(Q: np.ndarray, distance: str = "l2") -> np.ndarray | None:
+    """Precompute the per-query invariant the kernel would otherwise
+    recompute per data tile — the reference's ``maybe_fix_argument``
+    (concepts/distance.h; cosine.h:102 stores the query norm): squared
+    norms for l2, norms for cosine, nothing for ip."""
+    Q = np.asarray(Q, dtype=np.float64)
+    if distance == "l2":
+        return np.einsum("ij,ij->i", Q, Q)
+    if distance == "cosine":
+        return np.sqrt(np.einsum("ij,ij->i", Q, Q))
+    return None
+
+
+def pairwise_distances(
+    Q: np.ndarray,
+    B: np.ndarray,
+    distance: str = "l2",
+    q_fixed: np.ndarray | None = None,
+) -> np.ndarray:
     """(Q x d) x (N x d) -> (Q x N) float64 distance matrix.
 
     The batch analog of the reference's ``search_patch`` cartesian
     microkernel (flat.h:421) — one BLAS matmul instead of a SIMD loop.
+    ``q_fixed`` is the optional fix_queries() precompute (per-query
+    norms), amortized across tiles like the reference's fix_argument.
     """
     Q = np.asarray(Q, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
@@ -102,13 +122,13 @@ def pairwise_distances(Q: np.ndarray, B: np.ndarray, distance: str = "l2") -> np
     if distance == "ip":
         return ip
     if distance == "l2":
-        q2 = np.einsum("ij,ij->i", Q, Q)[:, None]
+        q2 = (q_fixed if q_fixed is not None else np.einsum("ij,ij->i", Q, Q))[:, None]
         b2 = np.einsum("ij,ij->i", B, B)[None, :]
         # clamp: cancellation can give -1e-14 for (near-)identical rows,
         # and -0.0 would round/hash differently from the oracle's 0.0
         return np.maximum(q2 + b2 - 2.0 * ip, 0.0)
     if distance == "cosine":
-        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))[:, None]
+        qn = (q_fixed if q_fixed is not None else np.sqrt(np.einsum("ij,ij->i", Q, Q)))[:, None]
         bn = np.sqrt(np.einsum("ij,ij->i", B, B))[None, :]
         denom = qn * bn
         # zero-norm vectors: define similarity 0 (reference never divides

@@ -44,7 +44,11 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from scalablevectorsearch_spark.functions.distances import is_similarity, pairwise_distances
+from scalablevectorsearch_spark.functions.distances import (
+    fix_queries,
+    is_similarity,
+    pairwise_distances,
+)
 from scalablevectorsearch_spark.operators.topk import topk_per_group
 
 RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
@@ -108,6 +112,7 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids, Q = bc.value
         nqt = Q.shape[0]
+        q_fixed = fix_queries(Q, distance)  # amortized across all tiles
         if scale is None:
             best_key = np.full((nqt, k), np.inf, dtype=np.float64)
         else:
@@ -123,7 +128,8 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
             B = np.stack(pdf["__vec"].to_numpy())
             for c in range(n_chunks):
                 sl = slice(c * chunk_size, (c + 1) * chunk_size)
-                D = pairwise_distances(Q[sl], B, distance)  # (nq_c, n)
+                qf = None if q_fixed is None else q_fixed[sl]
+                D = pairwise_distances(Q[sl], B, distance, q_fixed=qf)  # (nq_c, n)
                 if scale is not None:
                     key = np.floor(D * scale + 0.5).astype(np.int64)
                 else:

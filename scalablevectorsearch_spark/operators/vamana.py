@@ -114,12 +114,15 @@ def vamana_search(
     qvec_col: str | None = None,
     round_to: int | None = 4,
     exclude_ids: list[int] | None = None,
+    buffer_capacity: int | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
-    (dynamic_search_buffer.h skip-deleted semantics)."""
+    (dynamic_search_buffer.h skip-deleted semantics).
+    ``buffer_capacity``: split-buffer capacity >= the exploration window
+    (search_buffer.h:39-60); defaults to max(window, k)."""
     params, distance = index.params, index.distance
     sws = search_window_size or params.window_size
     qvec_col = qvec_col or index.vec_col
@@ -159,7 +162,9 @@ def vamana_search(
         valid = None
         if mexcl is not None and len(mexcl):
             valid = ~np.isin(gids, mexcl)
-        ids, ds = search_graph(X, graph, entry, mQ, k, sws, distance, valid=valid)
+        ids, ds = search_graph(
+            X, graph, entry, mQ, k, sws, distance, valid=valid, capacity=buffer_capacity
+        )
         nq, kk = ids.shape
         mask = ids.reshape(-1) >= 0
         dist = ds.reshape(-1)

@@ -73,10 +73,17 @@ def greedy_search(
     q: np.ndarray,
     window_size: int,
     distance: str = "l2",
+    capacity: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first traversal (greedy_search.h:124-203). Returns the final
-    search-buffer contents (ids, dists) sorted best-first — at most
-    window_size entries; the caller slices k."""
+    search-buffer contents (ids, dists) sorted best-first.
+
+    Split buffer (search_buffer.h:39-60): ``capacity`` >= window_size
+    keeps extra sorted candidates beyond the exploration window —
+    termination only consults the first window_size entries, but up to
+    ``capacity`` results are returned (the SearchBufferConfig
+    invariant). Default: capacity == window_size."""
+    cap = max(capacity or window_size, window_size)
     n = X.shape[0]
     seen = np.zeros(n, dtype=bool)  # VisitedFilter analog (filter.h:31-49)
     expanded = np.zeros(n, dtype=bool)
@@ -102,10 +109,10 @@ def greedy_search(
             continue
         seen[nb] = True
         nd = _dists(X, q, nb, distance)
-        # merge into buffer, keep best window_size by (dist, id)
+        # merge into buffer, keep best ``cap`` by (dist, id)
         ids = np.concatenate([buf_ids, nb])
         ds = np.concatenate([buf_d, nd])
-        order = np.lexsort((ids, ds))[:window_size]
+        order = np.lexsort((ids, ds))[:cap]
         buf_ids, buf_d = ids[order], ds[order]
     return buf_ids, buf_d
 
@@ -235,25 +242,28 @@ def search_graph(
     window_size: int,
     distance: str = "l2",
     valid: np.ndarray | None = None,
+    capacity: int | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Batch search (index.h:557-600): per query greedy_search with a
-    buffer of max(window_size, k), then slice the best k. Returns
-    (ids, dists) each (nq, <=k); short rows padded with id -1.
+    """Batch search (index.h:557-600): per query greedy_search; the
+    buffer CAPACITY is raised to >= k while the exploration window stays
+    window_size (index.h:583-585 split-buffer behavior), then the best k
+    are sliced. Returns (ids, dists) each (nq, <=k); short rows padded
+    with id -1.
 
     ``valid``: optional (n,) bool — tombstoned nodes (False) are
     traversed but excluded from results, matching the dynamic index's
-    skip-deleted buffer (dynamic_search_buffer.h). The window is widened
-    so deleted entries don't crowd out k live results."""
+    skip-deleted buffer (dynamic_search_buffer.h). The capacity is
+    widened so deleted entries don't crowd out k live results."""
     nq = Q.shape[0]
-    w = max(window_size, k)
+    cap = max(capacity or window_size, window_size, k)
     if valid is not None:
         # worst case the top of the buffer is all deleted; widen by the
         # smaller of (#deleted, k) like the capacity-extended buffer
-        w = w + int(min((~valid).sum(), k))
+        cap = cap + int(min((~valid).sum(), k))
     out_ids = np.full((nq, k), -1, dtype=np.int64)
     out_d = np.full((nq, k), np.inf, dtype=np.float64)
     for qi in range(nq):
-        ids, ds = greedy_search(X, graph, [entry], Q[qi], w, distance)
+        ids, ds = greedy_search(X, graph, [entry], Q[qi], window_size, distance, capacity=cap)
         if valid is not None and len(ids):
             keep = valid[ids]
             ids, ds = ids[keep], ds[keep]
