@@ -289,6 +289,23 @@ DYN_OFFSET = 100000
 DYN_DEL_LO, DYN_DEL_HI = 5, 15
 
 
+def _vamana_routed_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPANN-style: kmeans-sharded Vamana with n_probes routing; recall
+    vs exact flat (rows-only; floors in tests/test_vamana.py)."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=4, shard_by="kmeans")
+    res = vamana_search(
+        index, q, k=K, search_window_size=VAMANA_SWS, n_probes=3
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return matched.crossJoin(nq)
+
+
 def _dynamic_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir).select("id", "vector")
     added = base.filter(F.col("id") < DYN_ADDED).select(
@@ -442,6 +459,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_knn_ip": _sq_knn_query("ip"),
         "vamana_knn": _vamana_knn_query,
         "vamana_recall": _vamana_recall_query,
+        "vamana_routed_recall": _vamana_routed_recall_query,
         "dynamic_flat_knn": _dynamic_flat_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
         "text_stats": _text_stats_query,

@@ -103,6 +103,21 @@ def main() -> None:
         ).count(),
     )
 
+    # B5b — SPANN-style routed search: kmeans shards, probe half
+    def vam_routed():
+        idx = vamana_build(
+            base.select("id", "vector"), VAMANA, n_shards=VAMANA_SHARDS,
+            shard_by="kmeans",
+        )
+        idx.graph.cache().count()
+        state["vamana_routed"] = idx
+        vamana_search(
+            idx, queries, k=K, search_window_size=VAMANA_SWS,
+            n_probes=VAMANA_SHARDS // 2,
+        ).count()
+
+    timed("vamana_routed_build_search", vam_routed)
+
     # B6 — dynamic cycle: add 1% + delete 1% + consolidate + search
     def dyn_cycle():
         from scalablevectorsearch_spark.operators.dynamic import (

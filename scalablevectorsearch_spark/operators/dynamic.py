@@ -87,6 +87,11 @@ class DynamicVamana:
 
 
 def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
+    if index.shard_model is not None:
+        raise ValueError(
+            "dynamic mutations require a hash-sharded index (shard_by='hash'); "
+            "cluster-sharded layouts re-cluster via a rebuild job instead"
+        )
     spark = index.base.sparkSession
     empty = spark.createDataFrame([], "id long")
     return DynamicVamana(index=index, tombstones=empty)

@@ -58,12 +58,40 @@ class VamanaIndex:
     n_shards: int
     id_col: str = "id"
     vec_col: str = "vector"
+    #: set for cluster-sharded (SPANN-style) indexes: shards are k-means
+    #: cells, searches can route to the n_probes nearest shards
+    shard_model: object | None = None
 
 
-def _sharded(base: DataFrame, n_shards: int, id_col: str) -> DataFrame:
-    return base.withColumn(
-        "shard_id", F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int")
-    )
+def _sharded(
+    base: DataFrame, n_shards: int, id_col: str, shard_model=None, vec_col: str = "vector"
+) -> DataFrame:
+    if shard_model is None:
+        return base.withColumn(
+            "shard_id", F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int")
+        )
+    # cluster sharding: shard = nearest k-means centroid, stamped map-side
+    from collections.abc import Iterator
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(shard_model.centroids)
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
+
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["shard_id"] = _nearest_centroid(V, C)
+            yield pdf
+
+    schema = StructType(list(base.schema.fields) + [StructField("shard_id", IntegerType())])
+    return base.mapInPandas(stamp, schema)
 
 
 def vamana_build(
@@ -73,10 +101,26 @@ def vamana_build(
     distance: str = "l2",
     id_col: str = "id",
     vec_col: str = "vector",
+    shard_by: str = "hash",
+    kmeans_iters: int = 2,
 ) -> VamanaIndex:
-    """Build one Vamana graph per shard (deterministic: shard = id mod
-    n_shards, per-shard rows processed in ascending id order)."""
+    """Build one Vamana graph per shard (deterministic: per-shard rows
+    processed in ascending id order).
+
+    ``shard_by="hash"``: shard = id mod n_shards — uniform, supports the
+    dynamic mutation ops, searches fan to every shard.
+    ``shard_by="kmeans"``: SPANN-style cluster shards — a k-means model
+    partitions the space, one graph per cell, and ``vamana_search`` can
+    route each query to its ``n_probes`` nearest cells (compute scales
+    with probed fraction, not shard count — the 100 TB search path)."""
     params = params or VamanaParams()
+    shard_model = None
+    if shard_by == "kmeans":
+        from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+        shard_model = train_kmeans(base, n_shards, kmeans_iters, id_col, vec_col)
+    elif shard_by != "hash":
+        raise ValueError(f"shard_by must be 'hash' or 'kmeans', got {shard_by!r}")
 
     def build_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)
@@ -93,7 +137,7 @@ def vamana_build(
             }
         )
 
-    scan = _sharded(base, n_shards, id_col).select(
+    scan = _sharded(base, n_shards, id_col, shard_model, vec_col).select(
         "shard_id",
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).alias("__vec"),
@@ -101,7 +145,7 @@ def vamana_build(
     graph = scan.groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
     return VamanaIndex(
         graph=graph, base=base, params=params, distance=distance,
-        n_shards=n_shards, id_col=id_col, vec_col=vec_col,
+        n_shards=n_shards, id_col=id_col, vec_col=vec_col, shard_model=shard_model,
     )
 
 
@@ -115,6 +159,7 @@ def vamana_search(
     round_to: int | None = 4,
     exclude_ids: list[int] | None = None,
     buffer_capacity: int | None = None,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -122,7 +167,11 @@ def vamana_search(
     ``exclude_ids``: tombstoned ids — traversed but never returned
     (dynamic_search_buffer.h skip-deleted semantics).
     ``buffer_capacity``: split-buffer capacity >= the exploration window
-    (search_buffer.h:39-60); defaults to max(window, k)."""
+    (search_buffer.h:39-60); defaults to max(window, k).
+    ``n_probes``: for kmeans-sharded indexes, route each query to its
+    n_probes nearest shard centroids only — unprobed shards are filtered
+    out of the scan entirely (partition pruning on a persisted layout),
+    so search compute scales with n_probes/n_shards of the base."""
     params, distance = index.params, index.distance
     sws = search_window_size or params.window_size
     qvec_col = qvec_col or index.vec_col
@@ -134,9 +183,22 @@ def vamana_search(
         raise ValueError("empty query batch")
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    probe_of = None
+    if n_probes is not None:
+        if index.shard_model is None:
+            raise ValueError("n_probes routing requires a kmeans-sharded index")
+        from scalablevectorsearch_spark.operators.ivf import probe_clusters
+
+        probes = probe_clusters(
+            Q, index.shard_model.centroids, min(n_probes, index.n_shards), distance
+        )
+        probe_of = {
+            int(c): np.nonzero((probes == c).any(axis=1))[0] for c in np.unique(probes)
+        }
+
     excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
     sc = queries.sparkSession.sparkContext
-    bc = sc.broadcast((qids, Q, excl))
+    bc = sc.broadcast((qids, Q, excl, probe_of))
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
 
@@ -158,7 +220,12 @@ def vamana_search(
             )
             if bool(row["is_entry"]):
                 entry = s
-        mqids, mQ, mexcl = bc.value
+        mqids, mQ, mexcl, mprobe = bc.value
+        if mprobe is not None:
+            qsel = mprobe.get(int(key[0]))
+            if qsel is None or len(qsel) == 0:
+                return pd.DataFrame({"qid": [], "neighbor_id": [], "distance": []})
+            mqids, mQ = mqids[qsel], mQ[qsel]
         valid = None
         if mexcl is not None and len(mexcl):
             valid = ~np.isin(gids, mexcl)
@@ -180,14 +247,23 @@ def vamana_search(
             }
         )
 
-    scan = _sharded(index.base, index.n_shards, index.id_col).select(
+    scan = _sharded(
+        index.base, index.n_shards, index.id_col, index.shard_model, index.vec_col
+    ).select(
         "shard_id",
         F.col(index.id_col).cast("long").alias("__id"),
         F.col(index.vec_col).alias("__vec"),
     )
+    graph = index.graph
+    if probe_of is not None:
+        # unprobed shards never reach the kernel (pruning on a persisted
+        # shard-partitioned layout)
+        probed = sorted(probe_of)
+        scan = scan.filter(F.col("shard_id").isin(probed))
+        graph = graph.filter(F.col("shard_id").isin(probed))
     cand = (
         scan.groupBy("shard_id")
-        .cogroup(index.graph.groupBy("shard_id"))
+        .cogroup(graph.groupBy("shard_id"))
         .applyInPandas(search_fn, RESULT_SCHEMA)
     )
     out = topk_per_group(

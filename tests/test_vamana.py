@@ -96,6 +96,42 @@ def test_vamana_recall_monotone_in_window(base, queries, index):
     assert recalls[-1] >= recalls[0] - 0.02, f"recall curve {recalls}"
 
 
+def test_routed_clustered_shards(base, queries):
+    """SPANN-style: kmeans shards + n_probes routing. Probing all shards
+    matches the recall of the unrouted search; probing fewer trades
+    recall for compute but stays above a floor."""
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=16, window_size=50),
+        n_shards=4, shard_by="kmeans",
+    )
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    gt.cache()
+
+    full = vamana_search(idx, queries, k=10, search_window_size=30).select(
+        "qid", "neighbor_id"
+    )
+    r_full = full.join(gt, ["qid", "neighbor_id"], "left_semi").count() / gt.count()
+
+    routed_all = vamana_search(
+        idx, queries, k=10, search_window_size=30, n_probes=4
+    ).select("qid", "neighbor_id")
+    r_all = routed_all.join(gt, ["qid", "neighbor_id"], "left_semi").count() / gt.count()
+    assert abs(r_all - r_full) < 1e-9  # probing every shard == no routing
+
+    routed_2 = vamana_search(
+        idx, queries, k=10, search_window_size=30, n_probes=2
+    ).select("qid", "neighbor_id")
+    r2 = routed_2.join(gt, ["qid", "neighbor_id"], "left_semi").count() / gt.count()
+    assert r2 >= 0.6, f"routed recall {r2}"
+
+
+def test_routing_requires_kmeans_shards(base, queries, index):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="kmeans-sharded"):
+        vamana_search(index, queries, k=5, n_probes=2).collect()
+
+
 def test_vamana_build_deterministic(base):
     p = VamanaParams(graph_max_degree=8, window_size=20)
     g1 = vamana_build(base, p, n_shards=2).graph.orderBy("src").collect()
