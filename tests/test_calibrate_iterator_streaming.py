@@ -106,6 +106,26 @@ def test_streaming_vector_upsert(spark, base):
     assert set(rows) == {0, 2, 3, 4}
 
 
+def test_stateful_streaming_dedup(spark, documents):
+    """Cross-batch dedup: a doc re-ingested in a LATER micro-batch is
+    flagged as a duplicate of the first-seen canonical."""
+    from scalablevectorsearch_spark.streaming.stateful import run_streaming_dedup
+
+    src, out, ckpt = f"{ART}/dd_src", f"{ART}/dd_out", f"{ART}/dd_ckpt"
+    docs = documents.select("doc_id", "text").filter(F.col("doc_id") < 50)
+    docs.write.parquet(f"{src}/b1")
+    # second file: re-ingest docs 0-4 under new ids (same text)
+    docs.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    ).write.parquet(f"{src}/b2")
+
+    run_streaming_dedup(spark, f"{src}/*", out, ckpt)
+    res = spark.read.parquet(out)
+    assert res.count() == 55
+    dups = {r["doc_id"]: r["canonical_id"] for r in res.filter("is_dup").collect()}
+    assert dups == {1000 + i: i for i in range(5)}
+
+
 def test_streaming_windowed_events(spark, sf_dir):
     src, out, ckpt = f"{ART}/ev_src", f"{ART}/ev_out", f"{ART}/ev_ckpt"
     # the fixture's parquet uses TIMESTAMP(NANOS), which Spark's reader
