@@ -70,6 +70,32 @@ def test_ivf_save_load_search_roundtrip(spark, base, queries):
     assert direct == reloaded
 
 
+def test_clustered_layout_partition_pruning(spark, base):
+    """save_clustered writes partitioned by cluster_bucket; a probed-
+    cluster filter must show up as a PartitionFilter (pruning whole
+    directories, the 100 TB probe path)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, save_clustered
+
+    idx = ivf_build(base, 8, 1)
+    path = f"{ART}/clustered"
+    save_clustered(idx, path, n_buckets=8)
+    re_read = spark.read.parquet(path)
+    probed = re_read.filter(F.col("cluster_bucket").isin([1, 3]))
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "cluster_bucket" in plan
+    assert probed.count() == idx.clustered.filter(
+        F.pmod(F.col("cluster_id"), F.lit(8)).isin([1, 3])
+    ).count()
+
+
 def test_manifest_schema_mismatch_raises(spark, base):
     save_index(f"{ART}/generic", {"data": base.limit(5)}, "flat_data")
     with pytest.raises(ManifestError, match="schema mismatch"):

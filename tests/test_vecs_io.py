@@ -28,7 +28,10 @@ def art_dir():
     shutil.rmtree(ART, ignore_errors=True)
 
 
-@pytest.mark.parametrize("kind,dtype", [("fvecs", np.float32), ("ivecs", np.int32), ("bvecs", np.uint8)])
+@pytest.mark.parametrize(
+    "kind,dtype",
+    [("fvecs", np.float32), ("ivecs", np.int32), ("bvecs", np.uint8), ("hvecs", np.float16)],
+)
 def test_vecs_roundtrip(kind, dtype):
     rng = np.random.default_rng(7)
     if dtype == np.uint8:
