@@ -1,0 +1,48 @@
+"""LLM-data-pipeline example — quality stats, dedup, near-dup mining
+over the documents + embeddings tables.
+
+Run: python examples/example_pipeline.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.pipeline.dedup import dedup_exact, dedup_minhash
+from scalablevectorsearch_spark.pipeline.neardup import embedding_neardup_clustered
+from scalablevectorsearch_spark.pipeline.text import lang_id, text_stats
+from scalablevectorsearch_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("example-pipeline")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id as id", "transform(embedding, x -> cast(x as double)) as vector"
+    )
+
+    # 1. per-document quality stats -> filter a training subset
+    stats = text_stats(docs)
+    kept = stats.filter(
+        (F.col("quality_score") > 0.5) & (F.col("n_tokens") >= 10)
+    )
+    print(f"quality filter: {kept.count()}/{docs.count()} docs kept")
+
+    # 2. language distribution (heuristic)
+    lang_id(docs).groupBy("pred_lang").count().orderBy("pred_lang").show()
+
+    # 3. exact + near dedup (banded MinHash, never all-pairs)
+    exact = dedup_exact(docs).filter("is_dup").count()
+    near = dedup_minhash(docs, threshold=0.5)
+    print(f"exact dups: {exact}, near-dup pairs (j>=0.5): {near.count()}")
+
+    # 4. embedding-space near-dups, cluster-bucketed
+    pairs = embedding_neardup_clustered(emb, threshold=0.9, n_clusters=16)
+    print(f"embedding near-dup pairs (cos>=0.9): {pairs.count()}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""Vamana end-to-end example — build, search across window sizes,
+calibrate, save/load (the Spark analog of the reference's
+examples/python/example_vamana.py flow).
+
+Run: python examples/example_vamana.py [sf_dir]
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.calibrate import calibrate_window
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.session import get_spark
+from scalablevectorsearch_spark.sources.index_store import load_vamana, save_vamana
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("example-vamana")
+    base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
+        "vec_id as id", "embedding as vector"
+    )
+    queries = base.filter(F.col("id") < 50).selectExpr("id as qid", "vector")
+
+    # 1. build (test-scale reference params: degree 32, alpha 1.2, window 100)
+    params = VamanaParams(alpha=1.2, graph_max_degree=32, window_size=100)
+    index = vamana_build(base, params, n_shards=4)
+
+    # 2. recall curve over search window sizes
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    gt.cache()
+    n_gt = gt.count()
+    for sws in (10, 20, 30, 40):
+        res = vamana_search(index, queries, k=10, search_window_size=sws).select(
+            "qid", "neighbor_id"
+        )
+        recall = res.join(gt, ["qid", "neighbor_id"], "left_semi").count() / n_gt
+        print(f"search_window_size={sws:3d}  recall@10={recall:.4f}")
+
+    # 3. calibrate to a target recall
+    cal = calibrate_window(
+        lambda w: vamana_search(index, queries, k=10, search_window_size=w),
+        gt, k=10, target_recall=0.95, max_window=128,
+    )
+    print(f"calibrated window={cal.search_window_size} recall={cal.recall:.4f}")
+
+    # 4. persist + reload
+    save_vamana(index, "/root/repo/_artifacts/example_vamana")
+    loaded = load_vamana(spark, "/root/repo/_artifacts/example_vamana")
+    again = vamana_search(loaded, queries, k=10, search_window_size=30).count()
+    print(f"reloaded index search rows: {again}")
+
+
+if __name__ == "__main__":
+    main()

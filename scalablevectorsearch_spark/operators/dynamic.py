@@ -68,6 +68,110 @@ def dynamic_flat_knn(
     return flat_knn(cur, queries, k=k, distance=distance, id_col=id_col, **kwargs)
 
 
+# ------------------------------------------------------------ dynamic ivf
+
+
+@dataclass
+class DynamicIVF:
+    """An IVF index + mutation state (dynamic_ivf.h / dynamic_ivf.cpp
+    parity): additions are stamped into their nearest existing cluster
+    (append — no retrain), deletes are tombstones, and ``recluster``
+    is the full-retrain maintenance job for when the clustering has
+    drifted."""
+
+    index: "IVFIndex"
+    tombstones: DataFrame
+
+
+def dynamic_ivf(index) -> DynamicIVF:
+    spark = index.clustered.sparkSession
+    return DynamicIVF(index=index, tombstones=spark.createDataFrame([], "id long"))
+
+
+def ivf_add_points(dyn: DynamicIVF, new_rows: DataFrame) -> DynamicIVF:
+    """Stamp new rows with their nearest EXISTING centroid and append —
+    the cluster layout absorbs inserts without retraining (the
+    reference's dynamic IVF append path). Raises on live-id collision."""
+    from dataclasses import replace as _replace
+
+    from scalablevectorsearch_spark.operators.ivf import IVFIndex  # noqa: F401
+
+    idx = dyn.index
+    id_col, vec_col = idx.id_col, idx.vec_col
+    live = idx.clustered.select(id_col).join(
+        dyn.tombstones.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+    n_dup = new_rows.join(live, id_col, "left_semi").count()
+    if n_dup:
+        raise ValueError(f"{n_dup} ids already exist in the index")
+
+    sc = new_rows.sparkSession.sparkContext
+    bc = sc.broadcast(idx.model.centroids)
+    cols = [c for c in idx.clustered.columns if c != "cluster_id"]
+
+    def stamp(batches):
+        import numpy as np
+        import pandas as pd
+
+        from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
+
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = _nearest_centroid(V, C)
+            yield pdf
+
+    stamped = new_rows.select(*cols).mapInPandas(
+        stamp, idx.clustered.schema
+    )
+    return DynamicIVF(
+        index=_replace(idx, clustered=idx.clustered.unionByName(stamped)),
+        tombstones=dyn.tombstones,
+    )
+
+
+def ivf_delete_entries(dyn: DynamicIVF, ids: DataFrame) -> DynamicIVF:
+    idx = dyn.index
+    ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
+    live = idx.clustered.select(F.col(idx.id_col).cast("long").alias("id")).join(
+        dyn.tombstones, "id", "left_anti"
+    )
+    unknown = ids.join(live, "id", "left_anti").count()
+    if unknown:
+        raise ValueError(f"{unknown} ids are unknown or already deleted")
+    return DynamicIVF(index=idx, tombstones=dyn.tombstones.unionByName(ids).distinct())
+
+
+def ivf_dynamic_search(dyn: DynamicIVF, queries: DataFrame, k: int, **kw) -> DataFrame:
+    """Search over (clustered + appended - tombstoned)."""
+    from dataclasses import replace as _replace
+
+    from scalablevectorsearch_spark.operators.ivf import ivf_search
+
+    idx = dyn.index
+    tomb = dyn.tombstones.select(F.col("id").alias(idx.id_col))
+    cur = idx.clustered.join(F.broadcast(tomb), idx.id_col, "left_anti")
+    return ivf_search(_replace(idx, clustered=cur), queries, k=k, **kw)
+
+
+def ivf_recluster(dyn: DynamicIVF, n_clusters: int | None = None, n_iters: int = 2) -> DynamicIVF:
+    """Full retrain over the live rows — the maintenance job for drifted
+    clusterings (skew from appends)."""
+    from scalablevectorsearch_spark.operators.ivf import ivf_build
+
+    idx = dyn.index
+    tomb = dyn.tombstones.select(F.col("id").alias(idx.id_col))
+    live = idx.clustered.drop("cluster_id").join(F.broadcast(tomb), idx.id_col, "left_anti")
+    k = n_clusters or idx.n_clusters
+    rebuilt = ivf_build(live, k, n_iters, idx.id_col, idx.vec_col)
+    rebuilt.clustered.cache().count()
+    spark = live.sparkSession
+    return DynamicIVF(index=rebuilt, tombstones=spark.createDataFrame([], "id long"))
+
+
 # ------------------------------------------------------------ dynamic vamana
 
 
@@ -160,10 +264,9 @@ def delete_entries(dyn: DynamicVamana, ids: DataFrame) -> DynamicVamana:
     live = idx.base.select(F.col(idx.id_col).cast("long").alias("id")).join(
         dyn.tombstones, "id", "left_anti"
     )
-    n_req = ids.count()
-    n_known = ids.join(live, "id", "left_semi").count()
-    if n_known != n_req:
-        raise ValueError(f"{n_req - n_known} ids are unknown or already deleted")
+    unknown = ids.join(live, "id", "left_anti").count()  # one validation job
+    if unknown:
+        raise ValueError(f"{unknown} ids are unknown or already deleted")
     return DynamicVamana(index=idx, tombstones=dyn.tombstones.unionByName(ids).distinct())
 
 

@@ -90,10 +90,18 @@ def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
     return shingled.select("doc_id", "shingles", F.expr(f"array({mins})").alias("sig"))
 
 
-def lsh_candidate_pairs(signed: DataFrame, n_bands: int = 4) -> DataFrame:
+def lsh_candidate_pairs(
+    signed: DataFrame, n_bands: int = 4, max_bucket_size: int | None = None
+) -> DataFrame:
     """Banded LSH: docs sharing any band's full sub-signature become a
     candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b.
-    The join is per-(band, key) — the only shuffle key."""
+    The join is per-(band, key) — the only shuffle key.
+
+    ``max_bucket_size``: skew guard for 100 TB corpora — a degenerate
+    hot bucket (boilerplate/templated content) would otherwise produce
+    |bucket|^2 pairs; buckets above the cap are excluded here (their
+    members are, by construction, near-identical — route them through
+    exact dedup or cluster-representative selection instead)."""
     sig_len = signed.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
     r = sig_len // n_bands
     bands = signed.select(
@@ -105,6 +113,13 @@ def lsh_candidate_pairs(signed: DataFrame, n_bands: int = 4) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("band_id", "band_key")
+        bands = bands.withColumn("__bs", F.count("*").over(w)).filter(
+            F.col("__bs") <= max_bucket_size
+        ).drop("__bs")
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -146,13 +161,14 @@ def dedup_minhash(
     threshold: float = 0.5,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full banded-MinHash near-dup pipeline: shingle -> minhash -> band
     buckets -> within-bucket candidates -> exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard). Never an all-pairs join."""
     shingled = shingle_hashes(df, n_shingle, text_col, id_col)
     signed = minhash_signature(shingled, n_perm)
-    pairs = lsh_candidate_pairs(signed, n_bands)
+    pairs = lsh_candidate_pairs(signed, n_bands, max_bucket_size)
     return jaccard_verify(pairs, shingled, threshold)
 
 

@@ -94,6 +94,57 @@ def test_dynamic_cycle_recall(base, queries, dyn):
     assert recall >= 0.80, f"post-cycle recall {recall}"
 
 
+def test_dynamic_ivf_cycle(base, queries):
+    from scalablevectorsearch_spark.operators.dynamic import (
+        dynamic_ivf,
+        ivf_add_points,
+        ivf_delete_entries,
+        ivf_dynamic_search,
+        ivf_recluster,
+    )
+    from scalablevectorsearch_spark.operators.ivf import ivf_build
+
+    idx = ivf_build(base.withColumn("label", F.lit(0)), 8, 2)
+    d = dynamic_ivf(idx)
+    added = base.filter(F.col("id") < 5).select(
+        (F.col("id") + 70000).alias("id"), "vector", F.lit(0).alias("label")
+    )
+    d = ivf_add_points(d, added)
+    deleted = base.filter((F.col("id") >= 30) & (F.col("id") < 35)).select("id")
+    d = ivf_delete_entries(d, deleted)
+
+    res = ivf_dynamic_search(d, queries, k=3, n_probes=8)
+    got = {r["neighbor_id"] for r in res.collect()}
+    assert got.isdisjoint(set(range(30, 35)))  # tombstoned gone
+    # an added exact copy of query 0 surfaces as its neighbor
+    top = {(r["qid"], r["rank"]): r["neighbor_id"] for r in res.collect()}
+    assert top[(0, 2)] == 70000  # copy right after the original (id tiebreak)
+
+    d2 = ivf_recluster(d)
+    assert d2.tombstones.count() == 0
+    assert d2.index.clustered.count() == base.count()  # +5 added -5 deleted
+
+
+def test_lsh_bucket_cap_guards_hot_buckets(documents):
+    from scalablevectorsearch_spark.pipeline.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+        shingle_hashes,
+    )
+
+    docs = documents.select("doc_id", "text").limit(30)
+    # 10 identical docs -> one hot bucket in every band
+    clones = docs.limit(1).select(F.lit(999).alias("doc_id"), "text")
+    for i in range(9):
+        clones = clones.unionByName(
+            docs.limit(1).select(F.lit(1000 + i).alias("doc_id"), "text")
+        )
+    sig = minhash_signature(shingle_hashes(docs.unionByName(clones)), 16)
+    uncapped = lsh_candidate_pairs(sig, 4).count()
+    capped = lsh_candidate_pairs(sig, 4, max_bucket_size=5).count()
+    assert capped < uncapped  # the 11-clone bucket's ~55 pairs are excluded
+
+
 def test_compact_remaps_dense(base):
     idx = vamana_build(
         base.filter(F.col("id") % 3 == 0),
