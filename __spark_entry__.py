@@ -183,6 +183,18 @@ def _ivf_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _ivf_knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid filtered ANN: predicate + probed clusters, both pushed
+    into the member scan."""
+    base = _base(spark, sf_dir)
+    index = ivf_build(base, N_CLUSTERS, KM_ITERS)
+    res = ivf_search(
+        index, _queries_df(spark, sf_dir), k=K, n_probes=N_PROBES,
+        distance="l2", round_to=4, where="label = 3",
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _ivf_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
@@ -451,6 +463,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_assign": _kmeans_assign_query,
         "hierarchical_kmeans_assign": _hier_kmeans_query,
         "ivf_knn": _ivf_knn_query,
+        "ivf_knn_filtered": _ivf_knn_filtered_query,
         "ivf_recall": _ivf_recall_query,
         "inverted_knn": _inverted_knn_query,
         "sq_minmax": _sq_minmax_query,
@@ -491,6 +504,9 @@ def oracle_sql() -> dict[str, str]:
             HIER_PARENTS, HIER_CHILDREN, KM_ITERS
         ),
         "ivf_knn": oracles.ivf_knn_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
+        "ivf_knn_filtered": oracles.ivf_knn_sql(
+            K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES, member_where="emf.label = 3"
+        ),
         "ivf_recall": oracles.ivf_recall_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
         "inverted_knn": oracles.ivf_knn_sql(
             K, N_CLUSTERS, KM_ITERS, 0, N_QUERIES, epsilon_bp=INV_EPS_BP

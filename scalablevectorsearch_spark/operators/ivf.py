@@ -214,6 +214,7 @@ def ivf_search(
     k_reorder: int | None = None,
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
+    where=None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -228,6 +229,11 @@ def ivf_search(
     meaningful when the clustered storage is quantized. When the search
     queries themselves are compressed, pass the ORIGINAL query batch as
     ``rerank_queries`` so the exact stage uses full-precision queries.
+
+    ``where``: hybrid filtered search (flat.h:290-295 predicate
+    semantics over the clustered layout) — the predicate lands on the
+    member scan BEFORE the kernel, composing with the probed-cluster
+    filter for combined cluster + predicate pushdown.
 
     Returns (qid, rank, neighbor_id, distance) like flat_knn; recall < 1
     exactly when true neighbors live outside probed clusters."""
@@ -264,8 +270,11 @@ def ivf_search(
         inner_k = k
 
     probed_union = [int(c) for c in sorted(probe_of)]
+    clustered = index.clustered
+    if where is not None:
+        clustered = clustered.filter(where)
     scan = (
-        index.clustered
+        clustered
         # probed-cluster filter FIRST: becomes partition pruning on a
         # cluster-partitioned layout, row-group skipping otherwise
         .filter(F.col("cluster_id").isin(probed_union))

@@ -254,12 +254,16 @@ def ivf_knn_sql(
     n_probes: int,
     n_queries: int,
     epsilon_bp: int | None = None,
+    member_where: str | None = None,
 ) -> str:
     """Full IVF search (L2): probe the n_probes nearest final centroids
     per query (e4-key ranked, cid tie-break), scan members of probed
     clusters, top-k on the e4 key with id tie-break. With ``epsilon_bp``
     the probe rule becomes the two-level Inverted cutoff: probe every
-    cluster with key*10000 <= best_key*(10000+epsilon_bp)."""
+    cluster with key*10000 <= best_key*(10000+epsilon_bp).
+    ``member_where``: hybrid-search predicate over the member scan,
+    written against the alias ``emf`` (the embeddings row of the
+    candidate member), e.g. ``emf.label = 3``."""
     ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters)
     e4p = E4.format(expr="dist")
     if epsilon_bp is None:
@@ -288,7 +292,8 @@ cd AS (
   FROM probe p
   JOIN af a ON p.cid = a.cid
   JOIN e ON a.id = e.id
-  JOIN qs q ON p.qid = q.qid),
+  JOIN qs q ON p.qid = q.qid
+  {"JOIN embeddings emf ON a.id = emf.vec_id WHERE " + member_where if member_where else ""}),
 r AS (SELECT qid, id, {e4p} AS dist_e4,
              row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, id ASC) AS rnk
       FROM cd)

@@ -112,13 +112,20 @@ def save_vamana(index, path: str) -> dict[str, Any]:
     )
 
 
-def load_vamana(spark: SparkSession, path: str):
+def load_vamana(spark: SparkSession, path: str, validate: bool = False):
     from scalablevectorsearch_spark.operators.vamana import VamanaIndex
     from scalablevectorsearch_spark.operators.vamana_local import VamanaParams
 
     manifest, tables = load_index(spark, path, expect_schema="vamana_index")
     p = manifest["params"]
     data = tables["data"]
+    if validate:
+        # full check_dims pass: ragged/null/dup detection (one agg scan)
+        from scalablevectorsearch_spark.functions.schema import validate_vector_table
+
+        validate_vector_table(
+            data, expected_dims=p.get("dims") or None, check_ids_unique=True
+        )
     dims = _dims_of(data, "vector")
     if p.get("dims") and dims and p["dims"] != dims:
         raise ManifestError(f"dims mismatch: manifest {p['dims']} vs data {dims}")
