@@ -318,6 +318,42 @@ def _vamana_routed_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+def _calibrate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-targeted window calibration (§2.13) — rows-only: the
+    binary search over a deterministic index is itself deterministic."""
+    from scalablevectorsearch_spark.operators.calibrate import calibrate_window
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4)
+    res = calibrate_window(
+        lambda w: vamana_search(index, q, k=K, search_window_size=w),
+        gt, k=K, target_recall=0.9, max_window=64,
+    )
+    import math
+
+    return spark.createDataFrame(
+        [
+            (
+                res.search_window_size,
+                int(math.floor(res.recall * 10000 + 0.5)),
+                len(res.probes),
+            )
+        ],
+        "search_window_size int, recall_e4 long, n_probes_evaluated int",
+    )
+
+
+def _graph_degree_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the deterministic Vamana graph — rows-only."""
+    from scalablevectorsearch_spark.operators.vamana import graph_degree_stats
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    return graph_degree_stats(index.graph)
+
+
 def _dynamic_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir).select("id", "vector")
     added = base.filter(F.col("id") < DYN_ADDED).select(
@@ -473,6 +509,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamana_knn": _vamana_knn_query,
         "vamana_recall": _vamana_recall_query,
         "vamana_routed_recall": _vamana_routed_recall_query,
+        "calibrate_window": _calibrate_query,
+        "graph_degree_stats": _graph_degree_stats_query,
         "dynamic_flat_knn": _dynamic_flat_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
         "text_stats": _text_stats_query,
