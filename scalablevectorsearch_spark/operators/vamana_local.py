@@ -74,9 +74,12 @@ def greedy_search(
     window_size: int,
     distance: str = "l2",
     capacity: int | None = None,
+    x_sq: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first traversal (greedy_search.h:124-203). Returns the final
-    search-buffer contents (ids, dists) sorted best-first.
+    search-buffer contents (ids, dists) sorted best-first. ``x_sq``:
+    optional precomputed per-row squared norms, amortized across queries
+    by batch callers.
 
     Split buffer (search_buffer.h:39-60): ``capacity`` >= window_size
     keeps extra sorted candidates beyond the exploration window —
@@ -85,11 +88,30 @@ def greedy_search(
     invariant). Default: capacity == window_size."""
     cap = max(capacity or window_size, window_size)
     n = X.shape[0]
+    # one X@q matmul per query; per-expansion distances become pure
+    # index lookups — the batch analog of the reference keeping the
+    # fixed query in registers across the traversal
+    qd = X @ q
+    if distance == "l2":
+        if x_sq is None:
+            x_sq = np.einsum("ij,ij->i", X, X)
+        all_d = np.maximum(x_sq + (q @ q) - 2.0 * qd, 0.0)
+    elif distance == "ip":
+        all_d = -qd
+    elif distance == "cosine":
+        if x_sq is None:
+            x_sq = np.einsum("ij,ij->i", X, X)
+        qn = np.sqrt(q @ q)
+        denom = qn * np.sqrt(x_sq)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            all_d = -np.where(denom > 0, qd / denom, 0.0)
+    else:
+        raise ValueError(f"unknown distance {distance!r}")
     seen = np.zeros(n, dtype=bool)  # VisitedFilter analog (filter.h:31-49)
     expanded = np.zeros(n, dtype=bool)
     eps = np.unique(np.asarray(list(entry_points), dtype=np.int64))
     seen[eps] = True
-    d0 = _dists(X, q, eps, distance)
+    d0 = all_d[eps]
     order = np.lexsort((eps, d0))
     buf_ids = eps[order]
     buf_d = d0[order]
@@ -108,7 +130,7 @@ def greedy_search(
         if len(nb) == 0:
             continue
         seen[nb] = True
-        nd = _dists(X, q, nb, distance)
+        nd = all_d[nb]
         # merge into buffer, keep best ``cap`` by (dist, id)
         ids = np.concatenate([buf_ids, nb])
         ds = np.concatenate([buf_d, nd])
@@ -187,6 +209,7 @@ def build_graph(
     num_batches = min(n, max(40, -(-n // (64 * 64))))
     batchsize = -(-n // num_batches)
     deg = params.graph_max_degree
+    x_sq = np.einsum("ij,ij->i", X, X)  # shared across every node's search
 
     for b in range(num_batches):
         start, stop = b * batchsize, min(n, (b + 1) * batchsize)
@@ -196,7 +219,9 @@ def build_graph(
         # whole batch (batch-synchronous, vamana_build.h:469-476)
         updates: list[tuple[int, np.ndarray]] = []
         for node in range(start, stop):
-            ids, ds = greedy_search(X, graph, [entry], X[node], params.window_size, distance)
+            ids, ds = greedy_search(
+                X, graph, [entry], X[node], params.window_size, distance, x_sq=x_sq
+            )
             pool_ids, pool_d = ids, ds
             # add current neighbors not already in the pool (build.h:424-441)
             extra = [int(v) for v in graph[node] if int(v) not in set(int(i) for i in ids)]
@@ -262,8 +287,11 @@ def search_graph(
         cap = cap + int(min((~valid).sum(), k))
     out_ids = np.full((nq, k), -1, dtype=np.int64)
     out_d = np.full((nq, k), np.inf, dtype=np.float64)
+    x_sq = np.einsum("ij,ij->i", X, X) if distance in ("l2", "cosine") else None
     for qi in range(nq):
-        ids, ds = greedy_search(X, graph, [entry], Q[qi], window_size, distance, capacity=cap)
+        ids, ds = greedy_search(
+            X, graph, [entry], Q[qi], window_size, distance, capacity=cap, x_sq=x_sq
+        )
         if valid is not None and len(ids):
             keep = valid[ids]
             ids, ds = ids[keep], ds[keep]
