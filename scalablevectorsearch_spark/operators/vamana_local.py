@@ -173,22 +173,23 @@ def alpha_prune(
             D = -np.where(denom > 0, (P @ P.T) / denom, 0.0)
     AVAILABLE, ADDED, PRUNED = 0, 1, 2
     state = np.full(n, AVAILABLE, dtype=np.int8)
+    is_self = pool_ids == node
     result: list[int] = []
     current_alpha = 1.0
     while len(result) < max_result and current_alpha <= alpha + 1e-12:
         for start in range(n):
             if len(result) >= max_result:
                 break
-            if state[start] != AVAILABLE or int(pool_ids[start]) == node:
+            if state[start] != AVAILABLE or is_self[start]:
                 continue
             state[start] = ADDED
             result.append(int(pool_ids[start]))
-            rest = np.nonzero(state == AVAILABLE)[0]
-            rest = rest[rest > start]
-            if len(rest) == 0:
-                continue
-            kill = current_alpha * D[start, rest] < pool_d[rest]
-            state[rest[kill]] = PRUNED
+            # vectorized MRNG kill over still-available later candidates
+            # (boolean masks only — no index materialization)
+            kill = current_alpha * D[start] < pool_d
+            kill &= state == AVAILABLE
+            kill[: start + 1] = False
+            state[kill] = PRUNED
         if alpha == 1.0:
             break
         state[state == PRUNED] = AVAILABLE
