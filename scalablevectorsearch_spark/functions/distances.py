@@ -38,6 +38,48 @@ from pyspark.sql import functions as F
 #: L2 minimizes, IP/cosine maximize — distance_core.h)
 DISTANCES: dict[str, bool] = {"l2": False, "ip": True, "cosine": True}
 
+#: runtime-registered custom kernels: name -> (Q, B) -> (|Q|, |B|) float64
+_CUSTOM_KERNELS: dict[str, "callable"] = {}
+
+
+def register_distance(name: str, kernel, maximize: bool = False) -> None:
+    """Plug in a custom vectorized distance (the engine's §2.12
+    extension surface — the Spark analog of the reference's compile-time
+    distance concept, concepts/distance.h). ``kernel(Q, B)`` must return
+    the (|Q|, |B|) float64 distance matrix; it runs inside the Arrow
+    batch kernels of every index family (flat/ivf/vamana-rerank).
+    Built-in names cannot be overridden."""
+    if name in DISTANCES:
+        raise ValueError(f"cannot override built-in distance {name!r}")
+    DISTANCES[name] = maximize
+    _CUSTOM_KERNELS[name] = kernel
+
+
+def unregister_distance(name: str) -> None:
+    _CUSTOM_KERNELS.pop(name, None)
+    if name not in ("l2", "ip", "cosine"):
+        DISTANCES.pop(name, None)
+
+
+def resolve_kernel(distance: str):
+    """Bind the distance kernel AT PLAN TIME (driver side) so custom
+    registered kernels travel inside the serialized task closure —
+    executor Python workers do not share the driver's registry."""
+    if distance in _CUSTOM_KERNELS:
+        k = _CUSTOM_KERNELS[distance]
+
+        def custom(Q, B, q_fixed=None):
+            return np.asarray(k(Q, B), dtype=np.float64)
+
+        return custom
+    if distance not in DISTANCES:
+        raise ValueError(f"unknown distance {distance!r}; expected one of {sorted(DISTANCES)}")
+
+    def builtin(Q, B, q_fixed=None, _d=distance):
+        return pairwise_distances(Q, B, _d, q_fixed)
+
+    return builtin
+
 
 def is_similarity(distance: str) -> bool:
     """True if larger is better (sort descending)."""
@@ -118,6 +160,8 @@ def pairwise_distances(
     """
     Q = np.asarray(Q, dtype=np.float64)
     B = np.asarray(B, dtype=np.float64)
+    if distance in _CUSTOM_KERNELS:
+        return np.asarray(_CUSTOM_KERNELS[distance](Q, B), dtype=np.float64)
     ip = Q @ B.T
     if distance == "ip":
         return ip

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 from scalablevectorsearch_spark.functions.distances import (
     fix_queries,
     is_similarity,
-    pairwise_distances,
+    resolve_kernel,
 )
 from scalablevectorsearch_spark.operators.topk import topk_per_group
 
@@ -108,11 +108,13 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
     batches, updating a running top-k for every query chunk."""
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
+    kernel = resolve_kernel(distance)  # bound driver-side (custom kernels ship in closure)
+    builtin = distance in ("l2", "ip", "cosine")
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids, Q = bc.value
         nqt = Q.shape[0]
-        q_fixed = fix_queries(Q, distance)  # amortized across all tiles
+        q_fixed = fix_queries(Q, distance) if builtin else None  # amortized across tiles
         if scale is None:
             best_key = np.full((nqt, k), np.inf, dtype=np.float64)
         else:
@@ -129,7 +131,7 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
             for c in range(n_chunks):
                 sl = slice(c * chunk_size, (c + 1) * chunk_size)
                 qf = None if q_fixed is None else q_fixed[sl]
-                D = pairwise_distances(Q[sl], B, distance, q_fixed=qf)  # (nq_c, n)
+                D = kernel(Q[sl], B, q_fixed=qf)  # (nq_c, n)
                 if scale is not None:
                     key = np.floor(D * scale + 0.5).astype(np.int64)
                 else:

@@ -147,8 +147,11 @@ def probe_clusters(
 
 
 def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
+    from scalablevectorsearch_spark.functions.distances import resolve_kernel
+
     scale = None if round_to is None else float(10**round_to)
     maximize = is_similarity(distance)
+    kernel = resolve_kernel(distance)  # bound driver-side
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         qids, Q, probe_of = bc.value  # probe_of: dict cluster_id -> query positions
@@ -173,7 +176,7 @@ def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
                 rows = cl == cid
                 B = V[rows]
                 bid = ids[rows]
-                D = pairwise_distances(Q[qidx], B, distance)
+                D = kernel(Q[qidx], B)
                 if scale is not None:
                     key = np.floor(D * scale + 0.5).astype(np.int64)
                 else:

@@ -1,6 +1,43 @@
 """Flat exact k-NN vs a numpy brute-force oracle (SURVEY.md §5 layer a)."""
 
 import numpy as np
+
+
+def test_custom_distance_plugin(spark, embeddings):
+    """§2.12 extension surface: a runtime-registered kernel (L1) runs
+    inside the distributed flat scan — including on executor workers."""
+    from pyspark.sql import functions as SF
+
+    from scalablevectorsearch_spark.functions.distances import (
+        register_distance,
+        unregister_distance,
+    )
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    def l1(Q, B):
+        return np.abs(Q[:, None, :] - B[None, :, :]).sum(axis=2)
+
+    register_distance("l1", l1, maximize=False)
+    try:
+        base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+        queries = base.filter(SF.col("id") < 5).selectExpr("id as qid", "vector")
+        res = flat_knn(base, queries, k=3, distance="l1", round_to=4)
+        rows = res.collect()
+        assert len(rows) == 15
+        # verify against a local L1 computation
+        import pandas as pd
+
+        pdf = base.orderBy("id").toPandas()
+        X = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+        got = {(r["qid"], r["rank"]): r["neighbor_id"] for r in rows}
+        for q in range(5):
+            d = np.abs(X - X[q]).sum(axis=1)
+            key = np.floor(d * 1e4 + 0.5).astype(np.int64)
+            order = np.lexsort((np.arange(len(X)), key))[:3]
+            for rank, nid in enumerate(order, 1):
+                assert got[(q, rank)] == nid
+    finally:
+        unregister_distance("l1")
 import pytest
 
 from scalablevectorsearch_spark.functions.distances import pairwise_distances
