@@ -20,9 +20,47 @@ from scalablevectorsearch_spark.functions.distances import (
     is_similarity,
     norm_expr,
     pairwise_distances,
+    register_distance,
 )
+from scalablevectorsearch_spark.functions.schema import validate_vector_table
 from scalablevectorsearch_spark.operators.flat import flat_knn
 from scalablevectorsearch_spark.operators.topk import topk_per_group
 from scalablevectorsearch_spark.operators.recall import k_recall_at
+from scalablevectorsearch_spark.operators.kmeans import (
+    assign_clusters,
+    train_hierarchical_kmeans,
+    train_kmeans,
+)
+from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.operators.sq import sq_compress, sq_decompress, sq_knn, sq_train
+from scalablevectorsearch_spark.operators.dynamic import (
+    add_points,
+    consolidate,
+    delete_entries,
+    dynamic_flat_knn,
+    dynamic_search,
+    dynamic_vamana,
+)
+from scalablevectorsearch_spark.operators.multivector import multivector_knn
+from scalablevectorsearch_spark.operators.calibrate import calibrate_window
+from scalablevectorsearch_spark.operators.iterator import BatchIterator, DefaultSchedule
+from scalablevectorsearch_spark.operators.reconstruct import reconstruct
+from scalablevectorsearch_spark.sources.index_store import (
+    load_ivf,
+    load_vamana,
+    save_ivf,
+    save_vamana,
+)
+from scalablevectorsearch_spark.sources.vecs import (
+    generate_test_dataset,
+    read_vecs,
+    vecs_to_df,
+    write_vecs,
+)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
