@@ -147,6 +147,43 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
     )
 
 
+# ---------------------------------------------------------------- sq
+
+
+def save_sq(
+    df, params, path: str, id_col: str = "id", vec_col: str = "vector"
+) -> dict[str, Any]:
+    """Persist a scalar-quantized dataset: TINYINT-packed vectors +
+    scale/bias in the manifest (scalar.h SQDataset serialization:
+    schema 'scalar_quantization_dataset' + scale/bias floats)."""
+    from scalablevectorsearch_spark.operators.sq import sq_compress
+
+    packed = sq_compress(df, params, vec_col, "qvector", storage=True).select(
+        F.col(id_col).cast("long").alias("id"), "qvector"
+    )
+    return save_index(
+        path,
+        {"data": packed},
+        "scalar_quantization_dataset",
+        params={
+            "gmin": params.gmin,
+            "gmax": params.gmax,
+            "scale": params.scale,
+            "bias": params.bias,
+            "dims": _dims_of(packed, "qvector"),
+        },
+    )
+
+
+def load_sq(spark: SparkSession, path: str):
+    """Returns (packed_df(id, qvector TINYINT[]), SQParams)."""
+    from scalablevectorsearch_spark.operators.sq import SQParams
+
+    manifest, tables = load_index(spark, path, expect_schema="scalar_quantization_dataset")
+    p = manifest["params"]
+    return tables["data"], SQParams(gmin=p["gmin"], gmax=p["gmax"])
+
+
 # ---------------------------------------------------------------- ivf
 
 

@@ -70,6 +70,28 @@ def test_ivf_save_load_search_roundtrip(spark, base, queries):
     assert direct == reloaded
 
 
+def test_sq_save_load_roundtrip(spark, base):
+    from scalablevectorsearch_spark.operators.sq import sq_decompress, sq_train
+    from scalablevectorsearch_spark.sources.index_store import load_sq, save_sq
+
+    p = sq_train(base)
+    save_sq(base, p, f"{ART}/sq")
+    packed, p2 = load_sq(spark, f"{ART}/sq")
+    assert (p2.gmin, p2.gmax) == (p.gmin, p.gmax)
+    assert dict(packed.dtypes)["qvector"] == "array<tinyint>"
+    # decompress round-trips within the quantization envelope
+    dec = sq_decompress(packed, p2, "qvector", "vector")
+    err = (
+        dec.join(base.withColumnRenamed("vector", "orig"), "id")
+        .selectExpr(
+            "max(aggregate(zip_with(vector, orig, (a, b) -> abs(a - cast(b as double))), "
+            "0D, (acc, x) -> greatest(acc, x))) as e"
+        )
+        .first()["e"]
+    )
+    assert err <= p.scale / 2 + 1e-9
+
+
 def test_clustered_layout_partition_pruning(spark, base):
     """save_clustered writes partitioned by cluster_bucket; a probed-
     cluster filter must show up as a PartitionFilter (pruning whole
