@@ -13,10 +13,12 @@ Spark plan (scale-first):
    side — is never shuffled and is scanned exactly ONCE regardless of the
    query count: query chunks are iterated *inside* the per-partition
    kernel, so each Arrow batch is read once and fed to every chunk.
- - ``mapInPandas`` streams each base partition through a numpy float64
+ - ``mapInArrow`` streams each base partition through a numpy float64
    distance kernel keeping a running per-query top-k (the reference's
-   per-tile partial top-k, i.e. map-side partial aggregation). Each
-   partition emits only Q x k candidate rows.
+   per-tile partial top-k, i.e. map-side partial aggregation). The
+   vector column decodes straight from the Arrow values buffer into the
+   (n, d) kernel matrix — no per-row object conversion. Each partition
+   emits only Q x k candidate rows.
  - A final window top-k over Q x k x n_partitions rows merges partials —
    the shuffle moves O(Q·k·P) rows regardless of base size.
 
@@ -37,10 +39,8 @@ float ties are still broken by id.
 from __future__ import annotations
 
 import math
-from collections.abc import Iterator
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -104,16 +104,18 @@ def _merge_topk(
 
 
 def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | None):
-    """Build the mapInPandas function: one pass over the partition's
-    batches, updating a running top-k for every query chunk."""
+    """Build the mapInArrow function: one pass over the partition's
+    Arrow batches, updating a running top-k for every query chunk."""
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
     kernel = resolve_kernel(distance)  # bound driver-side (custom kernels ship in closure)
     builtin = distance in ("l2", "ip", "cosine")
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
+        import pyarrow as pa
+
         qids, Q = bc.value
-        nqt = Q.shape[0]
+        nqt, d = Q.shape
         q_fixed = fix_queries(Q, distance) if builtin else None  # amortized across tiles
         if scale is None:
             best_key = np.full((nqt, k), np.inf, dtype=np.float64)
@@ -122,12 +124,22 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
         best_id = np.full((nqt, k), _ID_SENTINEL, dtype=np.int64)
         n_chunks = max(1, math.ceil(nqt / chunk_size))
         seen = False
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
             seen = True
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
-            B = np.stack(pdf["__vec"].to_numpy())
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            vec = rb.column(1)
+            # Arrow-native decode: the list array's flattened values
+            # buffer IS the (n, d) matrix — no per-row object stacking
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            if vec.null_count or len(flat) != n * d:
+                raise ValueError(
+                    f"vector column must be non-null uniform dim {d}; "
+                    f"got {len(flat)} values for {n} rows"
+                )
+            B = flat.reshape(n, d)
             for c in range(n_chunks):
                 sl = slice(c * chunk_size, (c + 1) * chunk_size)
                 qf = None if q_fixed is None else q_fixed[sl]
@@ -148,12 +160,13 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
         if maximize:
             key_flat = -key_flat
         dist = key_flat if scale is None else key_flat / scale
-        yield pd.DataFrame(
-            {
-                "qid": np.repeat(qids, k)[mask],
-                "neighbor_id": best_id.reshape(-1)[mask],
-                "distance": dist[mask],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(qids, k)[mask], type=pa.int64()),
+                pa.array(best_id.reshape(-1)[mask], type=pa.int64()),
+                pa.array(dist[mask], type=pa.float64()),
+            ],
+            names=["qid", "neighbor_id", "distance"],
         )
 
     return fn
@@ -197,7 +210,7 @@ def flat_knn(
     sc = base.sparkSession.sparkContext
     bc = sc.broadcast((all_qids, all_Q))
     fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to)
-    cand = scan.mapInPandas(fn, RESULT_SCHEMA)
+    cand = scan.mapInArrow(fn, RESULT_SCHEMA)
 
     out = topk_per_group(
         cand,

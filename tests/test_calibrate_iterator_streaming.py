@@ -106,6 +106,37 @@ def test_streaming_vector_upsert(spark, base):
     assert set(rows) == {0, 2, 3, 4}
 
 
+def test_streaming_checkpoint_resume_no_duplicates(spark, base):
+    """Re-running the drain with the same checkpoint must be a no-op
+    (exactly-once file-source semantics), and a NEW file afterwards is
+    picked up incrementally."""
+    from scalablevectorsearch_spark.streaming.ingest import ingest_vectors, latest_view
+
+    src, tgt, ckpt = f"{ART}/ck_src", f"{ART}/ck_tgt", f"{ART}/ck_ckpt"
+    b = base.filter(F.col("id") < 10).withColumn("is_delete", F.lit(False)).withColumn(
+        "seq", F.lit(1).cast("long")
+    )
+    b.write.parquet(f"{src}/b1")
+
+    def drain():
+        stream = spark.readStream.schema(
+            "id long, vector array<float>, is_delete boolean, seq long"
+        ).parquet(f"{src}/*")
+        ingest_vectors(stream, tgt, ckpt)
+
+    drain()
+    n1 = spark.read.parquet(tgt).count()
+    drain()  # same checkpoint: nothing new to process
+    assert spark.read.parquet(tgt).count() == n1 == 10
+
+    b.selectExpr("id + 100 as id", "vector", "is_delete", "cast(2 as long) as seq").write.parquet(
+        f"{src}/b2"
+    )
+    drain()
+    assert spark.read.parquet(tgt).count() == 20
+    assert latest_view(spark, tgt).count() == 20
+
+
 def test_stateful_streaming_dedup(spark, documents):
     """Cross-batch dedup: a doc re-ingested in a LATER micro-batch is
     flagged as a duplicate of the first-seen canonical."""
