@@ -14,7 +14,7 @@ Spark plan (scale-first):
  - SEARCH: centroid argmin runs driver-side on the broadcast-small
    centroid table (Q x k_clusters), exactly the reference's outer level;
    the probed (cluster -> queries) map ships with the query matrix in one
-   broadcast. A single ``mapInPandas`` pass scans only rows whose
+   broadcast. A single ``mapInArrow`` pass scans only rows whose
    cluster_id was probed by someone (`isin` filter -> pushdown/pruning),
    computes distances cluster-by-cluster against just the probing
    queries, and keeps per-partition running top-k — the same
@@ -153,22 +153,29 @@ def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
     maximize = is_similarity(distance)
     kernel = resolve_kernel(distance)  # bound driver-side
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches):
+        import pyarrow as pa
+
         qids, Q, probe_of = bc.value  # probe_of: dict cluster_id -> query positions
-        nqt = Q.shape[0]
+        nqt, d = Q.shape
         if scale is None:
             best_key = np.full((nqt, k), np.inf, dtype=np.float64)
         else:
             best_key = np.full((nqt, k), np.iinfo(np.int64).max, dtype=np.int64)
         best_id = np.full((nqt, k), _ID_SENTINEL, dtype=np.int64)
         seen = False
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
             seen = True
-            ids = pdf["__id"].to_numpy(dtype=np.int64)
-            cl = pdf["__cid"].to_numpy(dtype=np.int64)
-            V = np.stack(pdf["__vec"].to_numpy())
+            ids = rb.column(0).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            vec = rb.column(1)
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            if vec.null_count or len(flat) != n * d:
+                raise ValueError(f"vector column must be non-null uniform dim {d}")
+            V = flat.reshape(n, d)
+            cl = rb.column(2).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
             for cid in np.unique(cl):
                 qidx = probe_of.get(int(cid))
                 if qidx is None:
@@ -193,12 +200,13 @@ def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
         if maximize:
             key_flat = -key_flat
         dist = key_flat if scale is None else key_flat / scale
-        yield pd.DataFrame(
-            {
-                "qid": np.repeat(qids, k)[mask],
-                "neighbor_id": best_id.reshape(-1)[mask],
-                "distance": dist[mask],
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(qids, k)[mask], type=pa.int64()),
+                pa.array(best_id.reshape(-1)[mask], type=pa.int64()),
+                pa.array(dist[mask], type=pa.float64()),
+            ],
+            names=["qid", "neighbor_id", "distance"],
         )
 
     return fn
@@ -290,7 +298,7 @@ def ivf_search(
 
     sc = queries.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q, probe_of))
-    cand = scan.mapInPandas(_ivf_kernel(bc, distance, inner_k, round_to), RESULT_SCHEMA)
+    cand = scan.mapInArrow(_ivf_kernel(bc, distance, inner_k, round_to), RESULT_SCHEMA)
     out = topk_per_group(
         cand,
         group_col="qid",
