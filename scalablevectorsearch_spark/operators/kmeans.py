@@ -258,7 +258,15 @@ def train_hierarchical_kmeans(
             }
         )
 
-    children = members.groupBy("parent_cid").applyInPandas(child_fn, HIER_SCHEMA)
+    # explicit REPARTITION_BY_NUM: per-parent Lloyd is compute-heavy but
+    # byte-light, and AQE would otherwise coalesce the exchange to one
+    # task, serializing the child builds (see vamana._by_shard)
+    sp = int(members.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    children = (
+        members.repartition(sp, "parent_cid")
+        .groupBy("parent_cid")
+        .applyInPandas(child_fn, HIER_SCHEMA)
+    )
     return parent, children
 
 

@@ -49,6 +49,20 @@ GRAPH_SCHEMA = "shard_id int, src long, neighbors array<long>, is_entry boolean"
 RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
 
 
+def _by_shard(df: DataFrame) -> DataFrame:
+    """Explicit hash repartition on shard_id ahead of a per-shard
+    kernel. AQE coalesces shuffles by BYTES, and a shard's graph
+    build/search is compute-heavy but byte-light — left to AQE, every
+    shard group lands in one reduce partition and the kernels run
+    sequentially. REPARTITION_BY_NUM shuffles are exempt from AQE
+    coalescing, and the downstream groupBy/cogroup reuses the exchange
+    (hashpartitioning(shard_id, N) satisfies its distribution), so the
+    per-shard tasks actually run in parallel. N = shuffle.partitions,
+    the cluster-sized knob."""
+    sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(sp, "shard_id")
+
+
 @dataclass
 class VamanaIndex:
     graph: DataFrame  # (shard_id, src, neighbors, is_entry), global ids
@@ -142,7 +156,7 @@ def vamana_build(
         F.col(id_col).cast("long").alias("__id"),
         F.col(vec_col).alias("__vec"),
     )
-    graph = scan.groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
+    graph = _by_shard(scan).groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
     return VamanaIndex(
         graph=graph, base=base, params=params, distance=distance,
         n_shards=n_shards, id_col=id_col, vec_col=vec_col, shard_model=shard_model,
@@ -208,17 +222,36 @@ def vamana_search(
         vdf = vdf.sort_values("__id").reset_index(drop=True)
         gids = vdf["__id"].to_numpy(dtype=np.int64)
         X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
-        lid = {int(g): i for i, g in enumerate(gids)}
-        graph = [np.empty(0, dtype=np.int64) for _ in range(len(gids))]
+        n_local = len(gids)
+        # vectorized global->local remap: gids is sorted, so a single
+        # searchsorted over the flattened adjacency replaces per-element
+        # dict lookups (the decode was the search hot spot, not BLAS)
+        src = gdf["src"].to_numpy(dtype=np.int64)
+        nbr_lists = gdf["neighbors"].to_numpy()
+        lens = np.fromiter((len(v) for v in nbr_lists), dtype=np.int64, count=len(src))
+        flat = (
+            np.concatenate([np.asarray(v, dtype=np.int64) for v in nbr_lists])
+            if lens.sum()
+            else np.empty(0, dtype=np.int64)
+        )
+        pos = np.searchsorted(gids, flat)
+        posc = np.minimum(pos, n_local - 1)
+        ok = gids[posc] == flat
+        spos = np.searchsorted(gids, src)
+        sposc = np.minimum(spos, n_local - 1)
+        sok = gids[sposc] == src
+        offs = np.zeros(len(src) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        is_ep = gdf["is_entry"].to_numpy(dtype=bool)
+        graph = [np.empty(0, dtype=np.int64) for _ in range(n_local)]
         entry = 0
-        for _, row in gdf.iterrows():
-            s = lid.get(int(row["src"]))
-            if s is None:
+        for i in range(len(src)):
+            if not sok[i]:
                 continue
-            graph[s] = np.asarray(
-                [lid[int(v)] for v in row["neighbors"] if int(v) in lid], dtype=np.int64
-            )
-            if bool(row["is_entry"]):
+            s = int(sposc[i])
+            sl = slice(offs[i], offs[i + 1])
+            graph[s] = posc[sl][ok[sl]]
+            if is_ep[i]:
                 entry = s
         mqids, mQ, mexcl, mprobe = bc.value
         if mprobe is not None:
@@ -262,8 +295,8 @@ def vamana_search(
         scan = scan.filter(F.col("shard_id").isin(probed))
         graph = graph.filter(F.col("shard_id").isin(probed))
     cand = (
-        scan.groupBy("shard_id")
-        .cogroup(graph.groupBy("shard_id"))
+        _by_shard(scan).groupBy("shard_id")
+        .cogroup(_by_shard(graph).groupBy("shard_id"))
         .applyInPandas(search_fn, RESULT_SCHEMA)
     )
     out = topk_per_group(

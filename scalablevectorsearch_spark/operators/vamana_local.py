@@ -66,6 +66,35 @@ def medioid(X: np.ndarray) -> int:
     return int(np.argmin(d))  # first minimum = smallest id among ties
 
 
+def batch_distances(
+    X: np.ndarray,
+    Q: np.ndarray,
+    distance: str,
+    x_sq: np.ndarray | None = None,
+) -> np.ndarray:
+    """(nq, n) distance matrix in one GEMM — the batch analog of the
+    reference keeping the fixed query in registers across a traversal,
+    amortized across the whole query block. Row ``j`` is ``all_d`` for
+    query ``Q[j]`` with the same IEEE op order as the per-query path
+    ((x_sq + q_sq) - 2*qd, clamped at 0)."""
+    QD = Q @ X.T
+    if distance == "l2":
+        if x_sq is None:
+            x_sq = np.einsum("ij,ij->i", X, X)
+        q_sq = np.einsum("ij,ij->i", Q, Q)
+        return np.maximum(x_sq[None, :] + q_sq[:, None] - 2.0 * QD, 0.0)
+    if distance == "ip":
+        return -QD
+    if distance == "cosine":
+        if x_sq is None:
+            x_sq = np.einsum("ij,ij->i", X, X)
+        qn = np.sqrt(np.einsum("ij,ij->i", Q, Q))
+        denom = qn[:, None] * np.sqrt(x_sq)[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return -np.where(denom > 0, QD / denom, 0.0)
+    raise ValueError(f"unknown distance {distance!r}")
+
+
 def greedy_search(
     X: np.ndarray,
     graph: list[np.ndarray],
@@ -75,11 +104,15 @@ def greedy_search(
     distance: str = "l2",
     capacity: int | None = None,
     x_sq: np.ndarray | None = None,
+    all_d: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first traversal (greedy_search.h:124-203). Returns the final
     search-buffer contents (ids, dists) sorted best-first. ``x_sq``:
     optional precomputed per-row squared norms, amortized across queries
-    by batch callers.
+    by batch callers. ``all_d``: optional precomputed (n,) distances of
+    every base row to ``q`` (one row of :func:`batch_distances`) —
+    batch callers amortize the matmul across queries; per-expansion
+    distances are pure index lookups either way.
 
     Split buffer (search_buffer.h:39-60): ``capacity`` >= window_size
     keeps extra sorted candidates beyond the exploration window —
@@ -88,25 +121,8 @@ def greedy_search(
     invariant). Default: capacity == window_size."""
     cap = max(capacity or window_size, window_size)
     n = X.shape[0]
-    # one X@q matmul per query; per-expansion distances become pure
-    # index lookups — the batch analog of the reference keeping the
-    # fixed query in registers across the traversal
-    qd = X @ q
-    if distance == "l2":
-        if x_sq is None:
-            x_sq = np.einsum("ij,ij->i", X, X)
-        all_d = np.maximum(x_sq + (q @ q) - 2.0 * qd, 0.0)
-    elif distance == "ip":
-        all_d = -qd
-    elif distance == "cosine":
-        if x_sq is None:
-            x_sq = np.einsum("ij,ij->i", X, X)
-        qn = np.sqrt(q @ q)
-        denom = qn * np.sqrt(x_sq)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            all_d = -np.where(denom > 0, qd / denom, 0.0)
-    else:
-        raise ValueError(f"unknown distance {distance!r}")
+    if all_d is None:
+        all_d = batch_distances(X, q[None, :], distance, x_sq=x_sq)[0]
     seen = np.zeros(n, dtype=bool)  # VisitedFilter analog (filter.h:31-49)
     expanded = np.zeros(n, dtype=bool)
     eps = np.unique(np.asarray(list(entry_points), dtype=np.int64))
@@ -217,11 +233,28 @@ def build_graph(
         if start >= stop:
             break
         # generate_neighbors: search + prune, updates applied after the
-        # whole batch (batch-synchronous, vamana_build.h:469-476)
+        # whole batch (batch-synchronous, vamana_build.h:469-476);
+        # distances for the batch's searches come from chunked GEMMs
+        # (chunk bounds the (chunk, n) f64 block at ~64 MB)
+        cs = max(1, 8_000_000 // max(n, 1))
+        D_cache: dict[int, np.ndarray] = {}
+
+        def _row(node: int) -> np.ndarray:
+            c0 = start + ((node - start) // cs) * cs
+            blk = D_cache.get(c0)
+            if blk is None:
+                D_cache.clear()
+                blk = batch_distances(
+                    X, X[c0 : min(stop, c0 + cs)], distance, x_sq=x_sq
+                )
+                D_cache[c0] = blk
+            return blk[node - c0]
+
         updates: list[tuple[int, np.ndarray]] = []
         for node in range(start, stop):
             ids, ds = greedy_search(
-                X, graph, [entry], X[node], params.window_size, distance, x_sq=x_sq
+                X, graph, [entry], X[node], params.window_size, distance,
+                all_d=_row(node),
             )
             pool_ids, pool_d = ids, ds
             # add current neighbors not already in the pool (build.h:424-441)
@@ -289,14 +322,22 @@ def search_graph(
     out_ids = np.full((nq, k), -1, dtype=np.int64)
     out_d = np.full((nq, k), np.inf, dtype=np.float64)
     x_sq = np.einsum("ij,ij->i", X, X) if distance in ("l2", "cosine") else None
-    for qi in range(nq):
-        ids, ds = greedy_search(
-            X, graph, [entry], Q[qi], window_size, distance, capacity=cap, x_sq=x_sq
-        )
-        if valid is not None and len(ids):
-            keep = valid[ids]
-            ids, ds = ids[keep], ds[keep]
-        m = min(k, len(ids))
-        out_ids[qi, :m] = ids[:m]
-        out_d[qi, :m] = ds[:m]
+    n = X.shape[0]
+    # one GEMM per query chunk (chunked to bound the (chunk, n) f64
+    # distance block at ~64 MB); traversals then do index lookups only
+    chunk = max(1, min(nq, 8_000_000 // max(n, 1)))
+    for c0 in range(0, nq, chunk):
+        c1 = min(nq, c0 + chunk)
+        D = batch_distances(X, Q[c0:c1], distance, x_sq=x_sq)
+        for qi in range(c0, c1):
+            ids, ds = greedy_search(
+                X, graph, [entry], Q[qi], window_size, distance,
+                capacity=cap, all_d=D[qi - c0],
+            )
+            if valid is not None and len(ids):
+                keep = valid[ids]
+                ids, ds = ids[keep], ds[keep]
+            m = min(k, len(ids))
+            out_ids[qi, :m] = ids[:m]
+            out_d[qi, :m] = ds[:m]
     return out_ids, out_d
