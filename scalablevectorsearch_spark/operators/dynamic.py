@@ -11,10 +11,14 @@ include/svs/index/flat/dynamic_flat.h:65 (Dynamic Flat is the same
 mutation surface with no graph).
 
 Spark shape (bulk-synchronous, scale-first):
- - The mutation log is DATA: ``tombstones`` is a tiny id DataFrame,
-   additions are ordinary rows. Search-time filtering is an anti-join
-   (Flat) or a broadcast skip-set (Vamana) — the 100 TB base is never
-   rewritten per mutation, exactly the reference's lazy-delete design.
+ - The Vamana tombstone set is DRIVER-RESIDENT (exact parity: the
+   reference keeps deleted slots in an in-memory set,
+   dynamic_index.h:617-630 ``status_ == SlotMetadata::Deleted``) —
+   between consolidations it is bounded and small by design, so
+   membership checks are pure driver work and search-time exclusion is
+   a broadcast skip-set. The 100 TB base is NEVER shuffled by a
+   mutation: validations are pushed-down ``isin`` filters or broadcast
+   semi-joins, additions are a union, deletes are a filter.
  - ``add_points`` re-links only the touched shards: the reference
    inserts one point by searching+pruning within the whole single-node
    graph; sharded, the unit of incremental work is the shard, so an
@@ -99,9 +103,15 @@ def ivf_add_points(dyn: DynamicIVF, new_rows: DataFrame) -> DynamicIVF:
     idx = dyn.index
     id_col, vec_col = idx.id_col, idx.vec_col
     live = idx.clustered.select(id_col).join(
-        dyn.tombstones.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        F.broadcast(dyn.tombstones.select(F.col("id").alias(id_col))),
+        id_col,
+        "left_anti",
     )
-    n_dup = new_rows.join(live, id_col, "left_semi").count()
+    # broadcast the (small) insert batch so the clustered base never
+    # shuffles for the collision check
+    n_dup = live.join(
+        F.broadcast(new_rows.select(id_col)), id_col, "left_semi"
+    ).count()
     if n_dup:
         raise ValueError(f"{n_dup} ids already exist in the index")
 
@@ -137,11 +147,14 @@ def ivf_delete_entries(dyn: DynamicIVF, ids: DataFrame) -> DynamicIVF:
     idx = dyn.index
     ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
     live = idx.clustered.select(F.col(idx.id_col).cast("long").alias("id")).join(
-        dyn.tombstones, "id", "left_anti"
+        F.broadcast(dyn.tombstones), "id", "left_anti"
     )
-    unknown = ids.join(live, "id", "left_anti").count()
-    if unknown:
-        raise ValueError(f"{unknown} ids are unknown or already deleted")
+    # flip the membership check so the big side probes a broadcast of
+    # the (small) delete batch: unknown = |ids| - |ids ∩ live|
+    n_ids = ids.count()
+    matched = live.join(F.broadcast(ids), "id", "left_semi").count()
+    if matched < n_ids:
+        raise ValueError(f"{n_ids - matched} ids are unknown or already deleted")
     return DynamicIVF(index=idx, tombstones=dyn.tombstones.unionByName(ids).distinct())
 
 
@@ -175,19 +188,50 @@ def ivf_recluster(dyn: DynamicIVF, n_clusters: int | None = None, n_iters: int =
 # ------------------------------------------------------------ dynamic vamana
 
 
+#: above this size an ``isin`` literal list would bloat the plan; use a
+#: broadcast-join DataFrame instead (the set is still executor-memory
+#: sized — consolidate() is the pressure valve, as in the reference)
+_ISIN_MAX = 10_000
+
+
+def _without_ids(df: DataFrame, col: str, ids: tuple, keep: bool = False) -> DataFrame:
+    """Filter ``df`` by membership of ``col`` in a driver-side id set,
+    without ever shuffling ``df``: small sets become a pushed-down
+    ``isin`` predicate (partition-prunable at the scan), larger ones a
+    broadcast semi/anti join."""
+    if not ids:
+        return df if not keep else df.limit(0)
+    if len(ids) <= _ISIN_MAX:
+        cond = F.col(col).cast("long").isin(list(ids))
+        return df.filter(cond if keep else ~cond)
+    ids_df = df.sparkSession.createDataFrame([(int(i),) for i in ids], f"{col} long")
+    return df.join(F.broadcast(ids_df), col, "left_semi" if keep else "left_anti")
+
+
 @dataclass
 class DynamicVamana:
-    """A Vamana index + a tombstone set (lazy deletes)."""
+    """A Vamana index + a tombstone set (lazy deletes).
+
+    ``tomb_ids`` is DRIVER-RESIDENT — exact parity with the reference,
+    which tracks deleted slots in an in-memory status vector
+    (dynamic_index.h:617-630); between consolidations the set is small
+    by design, so validation/membership is driver work and no Spark job
+    ever shuffles the base because of a delete."""
 
     index: VamanaIndex
-    tombstones: DataFrame  # (id BIGINT)
+    tomb_ids: tuple = ()  # sorted tombstoned ids
 
     @property
     def spark(self):
         return self.index.base.sparkSession
 
+    @property
+    def tombstones(self) -> DataFrame:
+        """The tombstone set as an id DataFrame (joinable API surface)."""
+        return self.spark.createDataFrame([(int(i),) for i in self.tomb_ids], "id long")
+
     def n_tombstones(self) -> int:
-        return self.tombstones.count()
+        return len(self.tomb_ids)
 
 
 def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
@@ -196,44 +240,61 @@ def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
             "dynamic mutations require a hash-sharded index (shard_by='hash'); "
             "cluster-sharded layouts re-cluster via a rebuild job instead"
         )
-    spark = index.base.sparkSession
-    empty = spark.createDataFrame([], "id long")
-    return DynamicVamana(index=index, tombstones=empty)
+    return DynamicVamana(index=index, tomb_ids=())
 
 
-def _touched_shards(ids_df: DataFrame, id_col: str, n_shards: int) -> list[int]:
-    rows = (
-        ids_df.select(
-            F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int").alias("s")
-        )
-        .distinct()
-        .collect()
-    )
-    return sorted(r["s"] for r in rows)
+def _cache_graph(graph: DataFrame) -> DataFrame:
+    """Materialize a mutated graph hash-partitioned on shard_id — the
+    Spark analog of the reference's in-place ``graph_.replace_node``:
+    without the cache every downstream search re-runs the shard rebuild,
+    and partitioning by shard keeps the cached layout aligned with the
+    search cogroup (no partition-count creep across mutation cycles)."""
+    from scalablevectorsearch_spark.operators.vamana import _by_shard
+
+    g = _by_shard(graph).cache()
+    g.count()
+    return g
 
 
 def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     """Insert rows; raises on id collision with live rows
     (dynamic_index.h:640-656 id validation). Rebuilds only the shards
-    that received new points."""
+    that received new points; the base table is never shuffled (insert
+    batches are broadcast-sized by contract — bulk loads go through
+    ``vamana_build``)."""
     idx = dyn.index
     id_col, vec_col = idx.id_col, idx.vec_col
     new_rows = new_rows.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     )
-    live = idx.base.select(id_col).join(dyn.tombstones, id_col, "left_anti")
-    n_dup = new_rows.join(live, id_col, "left_semi").count()
+    # one job over the (small) insert batch: touched shards + new ids
+    stats = new_rows.select(
+        F.collect_set(
+            F.pmod(F.col(id_col), F.lit(idx.n_shards)).cast("int")
+        ).alias("shards"),
+        F.collect_set(F.col(id_col)).alias("ids"),
+    ).first()
+    touched = sorted(stats["shards"])
+    new_ids = set(stats["ids"])
+    # reinserting a tombstoned id revives the slot (reuse_empty
+    # semantics, dynamic_index.h:631) — pure driver set work
+    revived = tuple(sorted(new_ids & set(dyn.tomb_ids)))
+    tomb = tuple(i for i in dyn.tomb_ids if i not in new_ids)
+    # collision check: one broadcast semi-join count, base stays put
+    n_dup = (
+        _without_ids(
+            _without_ids(idx.base.select(id_col), id_col, dyn.tomb_ids),
+            id_col,
+            tuple(new_ids),
+            keep=True,
+        ).count()
+    )
     if n_dup:
         raise ValueError(f"{n_dup} ids already exist in the index")
-    # reinserting a tombstoned id revives the slot: drop its tombstone
-    # and its stale base row (reuse_empty semantics, dynamic_index.h:631)
-    revived = new_rows.join(dyn.tombstones, id_col, "left_semi").select(id_col)
-    base = idx.base.select(id_col, vec_col).join(revived, id_col, "left_anti").unionByName(
-        new_rows
-    )
-    tomb = dyn.tombstones.join(revived, "id", "left_anti")
+    base = _without_ids(
+        idx.base.select(id_col, vec_col), id_col, revived
+    ).unionByName(new_rows)
 
-    touched = _touched_shards(new_rows, id_col, idx.n_shards)
     rebuilt = vamana_build(
         base.withColumn(
             "__s", F.pmod(F.col(id_col).cast("long"), F.lit(idx.n_shards)).cast("int")
@@ -246,13 +307,10 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         id_col=id_col,
         vec_col=vec_col,
     ).graph
-    graph = idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt)
-    # materialize: the reference applies adjacency updates in place
-    # (graph_.replace_node); caching is the Spark analog — without it the
-    # shard rebuild re-executes inside every downstream search DAG
-    graph = graph.cache()
-    graph.count()
-    return DynamicVamana(index=replace(idx, base=base, graph=graph), tombstones=tomb)
+    graph = _cache_graph(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt)
+    )
+    return DynamicVamana(index=replace(idx, base=base, graph=graph), tomb_ids=tomb)
 
 
 def delete_entries(dyn: DynamicVamana, ids: DataFrame) -> DynamicVamana:
@@ -260,37 +318,48 @@ def delete_entries(dyn: DynamicVamana, ids: DataFrame) -> DynamicVamana:
     immediately, stay in the graph until consolidate. Raises on unknown
     or already-deleted ids (:617-630)."""
     idx = dyn.index
-    ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
-    live = idx.base.select(F.col(idx.id_col).cast("long").alias("id")).join(
-        dyn.tombstones, "id", "left_anti"
+    id_list = sorted(
+        {r[0] for r in ids.select(F.col(idx.id_col).cast("long")).collect()}
     )
-    unknown = ids.join(live, "id", "left_anti").count()  # one validation job
-    if unknown:
-        raise ValueError(f"{unknown} ids are unknown or already deleted")
-    return DynamicVamana(index=idx, tombstones=dyn.tombstones.unionByName(ids).distinct())
+    already = [i for i in id_list if i in set(dyn.tomb_ids)]
+    if already:
+        raise ValueError(f"{len(already)} ids are unknown or already deleted")
+    # existence check: pushed-down isin filter — the scan prunes, the
+    # base never shuffles
+    present = _without_ids(
+        idx.base.select(idx.id_col), idx.id_col, tuple(id_list), keep=True
+    ).count()
+    if present < len(id_list):
+        raise ValueError(
+            f"{len(id_list) - present} ids are unknown or already deleted"
+        )
+    return DynamicVamana(
+        index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list)))
+    )
 
 
 def dynamic_search(
     dyn: DynamicVamana, queries: DataFrame, k: int, search_window_size: int | None = None, **kw
 ) -> DataFrame:
-    """Search skipping tombstoned ids (traversed, never returned)."""
-    excl = [r["id"] for r in dyn.tombstones.collect()]
+    """Search skipping tombstoned ids (traversed, never returned) —
+    zero extra jobs: the skip-set ships inside the query broadcast."""
     return vamana_search(
         dyn.index, queries, k=k, search_window_size=search_window_size,
-        exclude_ids=excl or None, **kw,
+        exclude_ids=list(dyn.tomb_ids) or None, **kw,
     )
 
 
 def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     """Physically remove tombstones and repair the affected shards'
     graphs (consolidate.h:357; shard rebuild = repair in the bulk
-    model). Untouched shards are reused verbatim."""
+    model). Untouched shards are reused verbatim; touched shards are
+    known driver-side (shard = id mod n_shards), so the only job is the
+    rebuild itself."""
     idx = dyn.index
-    if dyn.tombstones.limit(1).count() == 0:
+    if not dyn.tomb_ids:
         return dyn
-    touched = _touched_shards(dyn.tombstones, "id", idx.n_shards)
-    tomb = dyn.tombstones.select(F.col("id").alias(idx.id_col))
-    base = idx.base.join(F.broadcast(tomb), idx.id_col, "left_anti")
+    touched = sorted({int(i) % idx.n_shards for i in dyn.tomb_ids})
+    base = _without_ids(idx.base, idx.id_col, dyn.tomb_ids)
     rebuilt = vamana_build(
         base.withColumn(
             "__s", F.pmod(F.col(idx.id_col).cast("long"), F.lit(idx.n_shards)).cast("int")
@@ -303,12 +372,10 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         id_col=idx.id_col,
         vec_col=idx.vec_col,
     ).graph
-    graph = idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt)
-    graph = graph.cache()  # in-place-update analog, see add_points
-    graph.count()
-    spark = idx.base.sparkSession
-    empty = spark.createDataFrame([], "id long")
-    return DynamicVamana(index=replace(idx, base=base, graph=graph), tombstones=empty)
+    graph = _cache_graph(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt)
+    )
+    return DynamicVamana(index=replace(idx, base=base, graph=graph), tomb_ids=())
 
 
 def compact(base: DataFrame, graph: DataFrame, id_col: str = "id") -> tuple[DataFrame, DataFrame, DataFrame]:
