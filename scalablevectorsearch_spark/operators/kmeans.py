@@ -187,6 +187,33 @@ def assign_clusters(
     return _scan(base, id_col, vec_col).mapInPandas(_assign_fn(bc), ASSIGN_SCHEMA)
 
 
+def stamp_clusters(
+    base: DataFrame,
+    model: KMeansModel,
+    vec_col: str = "vector",
+) -> DataFrame:
+    """``base`` + a ``cluster_id`` column, stamped map-side against the
+    broadcast centroids — no join back on id (the assign-then-join shape
+    shuffles the base twice; this is one pass, zero shuffles)."""
+    sc = base.sparkSession.sparkContext
+    bc = sc.broadcast(model.centroids)
+
+    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            pdf = pdf.copy()
+            pdf["cluster_id"] = _nearest_centroid(V, C)
+            yield pdf
+
+    schema = StructType(
+        list(base.schema.fields) + [StructField("cluster_id", IntegerType())]
+    )
+    return base.mapInPandas(stamp, schema)
+
+
 def _local_lloyd(
     X: np.ndarray, k: int, n_iters: int, round_decimals: int = 6
 ) -> np.ndarray:

@@ -28,8 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scalablevectorsearch_spark.functions.distances import cosine_expr
-from scalablevectorsearch_spark.operators.kmeans import assign_clusters, train_kmeans
+from scalablevectorsearch_spark.functions.distances import ip_expr, norm_expr
+from scalablevectorsearch_spark.operators.kmeans import stamp_clusters, train_kmeans
 
 
 def _e4(c: F.Column) -> F.Column:
@@ -37,6 +37,12 @@ def _e4(c: F.Column) -> F.Column:
 
 
 def _pairs_with_cosine(side: DataFrame, join_on) -> DataFrame:
+    """Self-join emitting per-pair cosine. Norms are hoisted to one fold
+    per ROW before the join (the reference's ``fix_argument``,
+    cosine.h:102) — numerically identical to a per-pair norm (same fold
+    over the same array), 3x less per-pair work; only the ip fold
+    remains inside the pair loop."""
+    side = side.withColumn("__n", norm_expr(F.col("__v")))
     a = side.alias("a")
     b = side.alias("b")
     cond = F.col("a.__id") < F.col("b.__id")
@@ -47,7 +53,10 @@ def _pairs_with_cosine(side: DataFrame, join_on) -> DataFrame:
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            cosine_expr(F.col("a.__v"), F.col("b.__v")).alias("cosine"),
+            (
+                ip_expr(F.col("a.__v"), F.col("b.__v"))
+                / (F.col("a.__n") * F.col("b.__n"))
+            ).alias("cosine"),
         )
     )
 
@@ -81,10 +90,14 @@ def embedding_neardup_clustered(
     """Cluster-bucketed near-dup mining: k-means assign, then pairs only
     within a cluster. The join shuffles on cluster_id — never all-pairs."""
     model = train_kmeans(df, n_clusters, n_iters, id_col, vec_col)
-    assign = assign_clusters(df, model, id_col, vec_col)
-    side = (
-        df.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v"))
-        .join(assign.withColumnRenamed("id", "__id"), "__id")
+    # map-side stamp against the broadcast centroids: one pass over the
+    # base, no assign-then-join shuffle
+    side = stamp_clusters(
+        df.select(
+            F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__v")
+        ),
+        model,
+        vec_col="__v",
     )
     t_e4 = int(threshold * 10000)
     a_cl = F.col("a.cluster_id") == F.col("b.cluster_id")
