@@ -28,10 +28,15 @@ from scalablevectorsearch_spark.operators.topk import topk_per_group
 from scalablevectorsearch_spark.operators.recall import k_recall_at
 from scalablevectorsearch_spark.operators.kmeans import (
     assign_clusters,
+    stamp_clusters,
     train_hierarchical_kmeans,
     train_kmeans,
 )
 from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+from scalablevectorsearch_spark.operators.router import (
+    CentroidRouter,
+    build_centroid_router,
+)
 from scalablevectorsearch_spark.operators.vamana import (
     VamanaParams,
     vamana_build,

@@ -226,13 +226,18 @@ def ivf_search(
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
     where=None,
+    router=None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
     Cluster selection: fixed ``n_probes`` nearest centroids (IVF,
     common.h:151-166) or, when ``epsilon_bp`` is set, every cluster
     within (1 + epsilon) of the best centroid distance (the two-level
-    Inverted index's cutoff rule, memory_based.h:407-460).
+    Inverted index's cutoff rule, memory_based.h:407-460). Passing a
+    ``router`` (operators.router.CentroidRouter over this index's
+    centroids) replaces the exact O(C·d)-per-query centroid argmin with
+    a sublinear graph traversal — the two-level Inverted "primary
+    index" design (clustering.h:786-809), for large cluster counts.
 
     ``k_reorder`` (common.h:156): first retrieve k_reorder candidates
     with the index's stored vectors, then re-rank them EXACTLY against
@@ -267,6 +272,13 @@ def ivf_search(
             for c in cids:
                 probe_of.setdefault(int(c), []).append(qi)
         probe_of = {c: np.asarray(v, dtype=np.int64) for c, v in probe_of.items()}
+    elif router is not None:
+        from scalablevectorsearch_spark.operators.router import route
+
+        probes = route(router, Q, min(n_probes, index.n_clusters))
+        for c in np.unique(probes):
+            if c >= 0:
+                probe_of[int(c)] = np.nonzero((probes == c).any(axis=1))[0]
     else:
         n_probes = min(n_probes, index.n_clusters)
         probes = probe_clusters(Q, index.model.centroids, n_probes, distance)

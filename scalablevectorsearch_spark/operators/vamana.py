@@ -174,6 +174,7 @@ def vamana_search(
     exclude_ids: list[int] | None = None,
     buffer_capacity: int | None = None,
     n_probes: int | None = None,
+    router=None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -185,7 +186,12 @@ def vamana_search(
     ``n_probes``: for kmeans-sharded indexes, route each query to its
     n_probes nearest shard centroids only — unprobed shards are filtered
     out of the scan entirely (partition pruning on a persisted layout),
-    so search compute scales with n_probes/n_shards of the base."""
+    so search compute scales with n_probes/n_shards of the base.
+    ``router``: optional CentroidRouter (operators.router) over this
+    index's shard centroids — replaces the exact O(S·d)-per-query
+    centroid argmin with a sublinear graph traversal for very large
+    shard counts (the two-level Inverted primary-index design,
+    clustering.h:786-809)."""
     params, distance = index.params, index.distance
     sws = search_window_size or params.window_size
     qvec_col = qvec_col or index.vec_col
@@ -201,13 +207,20 @@ def vamana_search(
     if n_probes is not None:
         if index.shard_model is None:
             raise ValueError("n_probes routing requires a kmeans-sharded index")
-        from scalablevectorsearch_spark.operators.ivf import probe_clusters
+        if router is not None:
+            from scalablevectorsearch_spark.operators.router import route
 
-        probes = probe_clusters(
-            Q, index.shard_model.centroids, min(n_probes, index.n_shards), distance
-        )
+            probes = route(router, Q, min(n_probes, index.n_shards))
+        else:
+            from scalablevectorsearch_spark.operators.ivf import probe_clusters
+
+            probes = probe_clusters(
+                Q, index.shard_model.centroids, min(n_probes, index.n_shards), distance
+            )
         probe_of = {
-            int(c): np.nonzero((probes == c).any(axis=1))[0] for c in np.unique(probes)
+            int(c): np.nonzero((probes == c).any(axis=1))[0]
+            for c in np.unique(probes)
+            if c >= 0
         }
 
     excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None

@@ -105,6 +105,7 @@ def greedy_search(
     capacity: int | None = None,
     x_sq: np.ndarray | None = None,
     all_d: np.ndarray | None = None,
+    lazy: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Best-first traversal (greedy_search.h:124-203). Returns the final
     search-buffer contents (ids, dists) sorted best-first. ``x_sq``:
@@ -114,6 +115,12 @@ def greedy_search(
     batch callers amortize the matmul across queries; per-expansion
     distances are pure index lookups either way.
 
+    ``lazy=True`` skips the upfront dense distance vector and evaluates
+    distances only for VISITED nodes (each node enters the buffer at
+    most once, so nothing is recomputed) — O(window · degree · d) per
+    query instead of O(n · d); the sublinear mode the centroid router
+    depends on. Ignored when ``all_d`` is supplied.
+
     Split buffer (search_buffer.h:39-60): ``capacity`` >= window_size
     keeps extra sorted candidates beyond the exploration window —
     termination only consults the first window_size entries, but up to
@@ -121,13 +128,19 @@ def greedy_search(
     invariant). Default: capacity == window_size."""
     cap = max(capacity or window_size, window_size)
     n = X.shape[0]
-    if all_d is None:
+    if all_d is None and not lazy:
         all_d = batch_distances(X, q[None, :], distance, x_sq=x_sq)[0]
+
+    def _d_of(ids: np.ndarray) -> np.ndarray:
+        if all_d is not None:
+            return all_d[ids]
+        return _dists(X, q, ids, distance)
+
     seen = np.zeros(n, dtype=bool)  # VisitedFilter analog (filter.h:31-49)
     expanded = np.zeros(n, dtype=bool)
     eps = np.unique(np.asarray(list(entry_points), dtype=np.int64))
     seen[eps] = True
-    d0 = all_d[eps]
+    d0 = _d_of(eps)
     order = np.lexsort((eps, d0))
     buf_ids = eps[order]
     buf_d = d0[order]
@@ -146,7 +159,7 @@ def greedy_search(
         if len(nb) == 0:
             continue
         seen[nb] = True
-        nd = all_d[nb]
+        nd = _d_of(nb)
         # merge into buffer, keep best ``cap`` by (dist, id)
         ids = np.concatenate([buf_ids, nb])
         ds = np.concatenate([buf_d, nd])
