@@ -60,6 +60,7 @@ from scalablevectorsearch_spark.sources.index_store import (
     load_vamana,
     save_ivf,
     save_vamana,
+    upgrade_index,
 )
 from scalablevectorsearch_spark.sources.vecs import (
     generate_test_dataset,

@@ -13,7 +13,18 @@ one manifest.json; ``load`` = manifest validation (schema name, major
 version, declared tables present) + ``spark.read.parquet`` per table.
 An index on disk is exactly its DataFrames — readable by any Spark job,
 no custom binary format (the reference's mmap'd native file is a
-single-node optimization Spark's columnar scan replaces)."""
+single-node optimization Spark's columnar scan replaces).
+
+Format versions (mirrors the reference's global serialization version,
+load.h:810-825 ``check_global_version`` + the ``svs.upgrader`` tool):
+ - v0.1.0: ``tables`` is a list of table names.
+ - v0.2.0 (current): ``tables`` maps each table name to its parquet
+   column->type dict (read back from the written footers), so ``load``
+   self-validates the on-disk layout against the manifest without a
+   Spark job. ``upgrade_index`` migrates v0.1 manifests in place (with
+   a ``manifest.backup.json``, like the reference's ``.backup.toml``);
+   ``load_index`` refuses older formats with an upgrade hint and
+   refuses files from the future, exactly as the reference does."""
 
 from __future__ import annotations
 
@@ -26,11 +37,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 MANIFEST_NAME = "manifest.json"
-FORMAT_VERSION = [0, 1, 0]
+BACKUP_NAME = "manifest.backup.json"
+FORMAT_VERSION = [0, 2, 0]
 
 
 class ManifestError(ValueError):
     pass
+
+
+def _table_schema(table_dir: str) -> dict[str, str]:
+    """Column -> arrow type string, from the parquet footer (no Spark
+    job — the upgrader and save both run driver-side only)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    parts = sorted(glob.glob(os.path.join(table_dir, "*.parquet")))
+    if not parts:
+        raise ManifestError(f"no parquet files under {table_dir}")
+    sch = pq.read_schema(parts[0])
+    return {name: str(sch.field(name).type) for name in sch.names}
 
 
 def save_index(
@@ -46,7 +72,9 @@ def save_index(
     manifest = {
         "__schema__": schema_name,
         "__version__": FORMAT_VERSION,
-        "tables": sorted(tables),
+        "tables": {
+            name: _table_schema(os.path.join(path, name)) for name in sorted(tables)
+        },
         "params": params or {},
     }
     with open(os.path.join(path, MANIFEST_NAME), "w") as f:
@@ -54,10 +82,7 @@ def save_index(
     return manifest
 
 
-def load_index(
-    spark: SparkSession, path: str, expect_schema: str | None = None
-) -> tuple[dict[str, Any], dict[str, DataFrame]]:
-    """Validate the manifest and load each declared table."""
+def _read_manifest(path: str) -> dict[str, Any]:
     mpath = os.path.join(path, MANIFEST_NAME)
     if not os.path.exists(mpath):
         raise ManifestError(f"no {MANIFEST_NAME} at {path}")
@@ -66,18 +91,92 @@ def load_index(
     for key in ("__schema__", "__version__", "tables"):
         if key not in manifest:
             raise ManifestError(f"manifest missing {key!r}")
+    return manifest
+
+
+def _check_version(version: list, path: str) -> None:
+    """check_global_version (load.h:810-825): refuse old formats with an
+    upgrade hint, refuse formats from the future."""
+    if list(version) == FORMAT_VERSION:
+        return
+    if list(version) < FORMAT_VERSION:
+        raise ManifestError(
+            f"{path} uses serialization version {version}; upgrade with "
+            f"scalablevectorsearch_spark.sources.index_store.upgrade_index({path!r})"
+        )
+    raise ManifestError(
+        f"cannot handle file from the future with serialization version {version}"
+    )
+
+
+def load_index(
+    spark: SparkSession,
+    path: str,
+    expect_schema: str | None = None,
+    check_layout: bool = True,
+) -> tuple[dict[str, Any], dict[str, DataFrame]]:
+    """Validate the manifest and load each declared table.
+
+    ``check_layout``: verify each table's on-disk parquet schema matches
+    the manifest's recorded column types (footer reads only — catches
+    partial/corrupted writes before any job runs)."""
+    manifest = _read_manifest(path)
     if expect_schema is not None and manifest["__schema__"] != expect_schema:
         raise ManifestError(
             f"schema mismatch: found {manifest['__schema__']!r}, expected {expect_schema!r}"
         )
-    if manifest["__version__"][0] != FORMAT_VERSION[0]:
-        raise ManifestError(
-            f"major version mismatch: {manifest['__version__']} vs {FORMAT_VERSION}"
-        )
+    _check_version(manifest["__version__"], path)
+    if check_layout:
+        for name, cols in manifest["tables"].items():
+            found = _table_schema(os.path.join(path, name))
+            if found != cols:
+                raise ManifestError(
+                    f"table {name!r} layout drifted from manifest: "
+                    f"found {found}, manifest {cols}"
+                )
     tables = {
         name: spark.read.parquet(os.path.join(path, name)) for name in manifest["tables"]
     }
     return manifest, tables
+
+
+def upgrade_index(path: str, backup: bool = True) -> dict[str, Any]:
+    """Upgrade a saved index's manifest to FORMAT_VERSION in place —
+    the reference's ``svs.upgrader.upgrade(path, backup=True)``.
+
+    v0.1 -> v0.2: the ``tables`` name list becomes a name -> parquet
+    column/type map read from the written footers. Already-current
+    manifests are left unchanged; future versions raise."""
+    manifest = _read_manifest(path)
+    version = list(manifest["__version__"])
+    if version == FORMAT_VERSION:
+        return manifest  # up to date — no-op, like the reference
+    if version > FORMAT_VERSION:
+        raise ManifestError(
+            f"cannot handle file from the future with serialization version {version}"
+        )
+    if backup:
+        bpath = os.path.join(path, BACKUP_NAME)
+        if os.path.exists(bpath):
+            raise ManifestError(f"backup {bpath} already exists; aborting")
+        import shutil
+
+        shutil.copy(os.path.join(path, MANIFEST_NAME), bpath)
+    # v0.1.x -> v0.2.0
+    names = (
+        list(manifest["tables"])
+        if isinstance(manifest["tables"], (list, dict))
+        else None
+    )
+    if names is None:
+        raise ManifestError(f"unrecognized tables entry: {manifest['tables']!r}")
+    manifest["tables"] = {
+        name: _table_schema(os.path.join(path, name)) for name in sorted(names)
+    }
+    manifest["__version__"] = FORMAT_VERSION
+    with open(os.path.join(path, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
 
 
 def _dims_of(df: DataFrame, vec_col: str) -> int:

@@ -127,3 +127,76 @@ def test_manifest_schema_mismatch_raises(spark, base):
 def test_missing_manifest_raises(spark):
     with pytest.raises(ManifestError, match="no manifest"):
         load_index(spark, f"{ART}/nonexistent")
+
+
+def test_upgrade_v01_manifest_and_load(spark, base):
+    """v0.1 manifests (tables as a name list) are refused by load with
+    an upgrade hint; upgrade_index migrates in place with a backup and
+    the index then loads (upgrader.py upgrade() parity)."""
+    import json
+    import os
+
+    from scalablevectorsearch_spark.sources.index_store import (
+        BACKUP_NAME,
+        FORMAT_VERSION,
+        MANIFEST_NAME,
+        upgrade_index,
+    )
+
+    p = f"{ART}/upgr"
+    save_index(p, {"data": base.limit(5)}, "flat_data")
+    # rewrite the manifest as the old v0.1 layout
+    mpath = os.path.join(p, MANIFEST_NAME)
+    with open(mpath) as f:
+        m = json.load(f)
+    m["__version__"] = [0, 1, 0]
+    m["tables"] = sorted(m["tables"])
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    with pytest.raises(ManifestError, match="upgrade"):
+        load_index(spark, p)
+
+    upgraded = upgrade_index(p)
+    assert upgraded["__version__"] == FORMAT_VERSION
+    assert isinstance(upgraded["tables"], dict)
+    assert "id" in upgraded["tables"]["data"]
+    assert os.path.exists(os.path.join(p, BACKUP_NAME))
+
+    manifest, tables = load_index(spark, p)
+    assert tables["data"].count() == 5
+
+    # idempotent: second upgrade is a no-op and does not touch the backup
+    assert upgrade_index(p)["__version__"] == FORMAT_VERSION
+
+
+def test_future_version_refused(spark, base):
+    import json
+    import os
+
+    from scalablevectorsearch_spark.sources.index_store import MANIFEST_NAME, upgrade_index
+
+    p = f"{ART}/future"
+    save_index(p, {"data": base.limit(3)}, "flat_data")
+    mpath = os.path.join(p, MANIFEST_NAME)
+    with open(mpath) as f:
+        m = json.load(f)
+    m["__version__"] = [9, 0, 0]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    with pytest.raises(ManifestError, match="future"):
+        load_index(spark, p)
+    with pytest.raises(ManifestError, match="future"):
+        upgrade_index(p)
+
+
+def test_layout_drift_detected(spark, base):
+    """check_layout: a table rewritten with different columns after save
+    is caught at load time from the footers alone."""
+    p = f"{ART}/drift"
+    save_index(p, {"data": base.limit(3)}, "flat_data")
+    base.limit(3).selectExpr("id as renamed", "vector").write.mode(
+        "overwrite"
+    ).parquet(f"{p}/data")
+    with pytest.raises(ManifestError, match="drifted"):
+        load_index(spark, p)
