@@ -91,7 +91,10 @@ def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    signed: DataFrame, n_bands: int = 4, max_bucket_size: int | None = None
+    signed: DataFrame,
+    n_bands: int = 4,
+    max_bucket_size: int | None = None,
+    sig_len: int | None = None,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band's full sub-signature become a
     candidate pair. Returns distinct (doc_a, doc_b), doc_a < doc_b.
@@ -101,8 +104,12 @@ def lsh_candidate_pairs(
     hot bucket (boilerplate/templated content) would otherwise produce
     |bucket|^2 pairs; buckets above the cap are excluded here (their
     members are, by construction, near-identical — route them through
-    exact dedup or cluster-representative selection instead)."""
-    sig_len = signed.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
+    exact dedup or cluster-representative selection instead).
+
+    ``sig_len``: signature length when the caller knows it (n_perm) —
+    skips the one-row probe job."""
+    if sig_len is None:
+        sig_len = signed.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
     r = sig_len // n_bands
     bands = signed.select(
         "doc_id",
@@ -166,10 +173,19 @@ def dedup_minhash(
     """Full banded-MinHash near-dup pipeline: shingle -> minhash -> band
     buckets -> within-bucket candidates -> exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard). Never an all-pairs join."""
+    from pyspark.storagelevel import StorageLevel
+
     shingled = shingle_hashes(df, n_shingle, text_col, id_col)
-    signed = minhash_signature(shingled, n_perm)
-    pairs = lsh_candidate_pairs(signed, n_bands, max_bucket_size)
-    return jaccard_verify(pairs, shingled, threshold)
+    # persist the signature table ONCE: the banded join reads it twice
+    # (a/b sides) and the verify stage twice more — without this the
+    # shingle+minhash expressions (the expensive part) re-execute per
+    # branch. MEMORY_AND_DISK: at corpus scale this is the standard
+    # materialized-signatures step of a MapReduce LSH pipeline.
+    signed = minhash_signature(shingled, n_perm).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    pairs = lsh_candidate_pairs(signed, n_bands, max_bucket_size, sig_len=n_perm)
+    return jaccard_verify(pairs, signed.select("doc_id", "shingles"), threshold)
 
 
 def simhash(
