@@ -168,6 +168,104 @@ def greedy_search(
     return buf_ids, buf_d
 
 
+def _pad_graph(graph: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """(n, max_deg) int64 neighbor matrix padded with -1 + (n,) degree
+    vector — the gatherable form of the ragged adjacency."""
+    n = len(graph)
+    lens = np.fromiter((len(a) for a in graph), dtype=np.int64, count=n)
+    md = int(lens.max()) if n else 0
+    NB = np.full((n, max(md, 1)), -1, dtype=np.int64)
+    if lens.sum():
+        rows = np.repeat(np.arange(n), lens)
+        cols = np.concatenate([np.arange(l) for l in lens]) if n else np.empty(0, int)
+        NB[rows, cols] = np.concatenate([a for a in graph if len(a)])
+    return NB, lens
+
+
+def batch_greedy_search(
+    X: np.ndarray,
+    graph: list[np.ndarray],
+    entry_points: list[int],
+    Q: np.ndarray,
+    window_size: int,
+    distance: str = "l2",
+    capacity: int | None = None,
+    D: np.ndarray | None = None,
+    NB: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Frontier-synchronous batch traversal: every query expands its
+    best unexpanded in-window node each round, vectorized across the
+    batch. Query-for-query IDENTICAL to looping :func:`greedy_search`
+    (queries are independent; rounds only interleave them) — the batch
+    form exists to amortize the Python-loop overhead, which dominates
+    the per-shard kernels at build time (vamana_build.h's
+    batch-synchronous generate_neighbors searches a frozen graph, so
+    whole batches can traverse in lockstep).
+
+    ``D``: optional precomputed (nq, n) distances (the chunked-GEMM
+    block batch callers already hold). ``NB``: optional pre-padded
+    adjacency from :func:`_pad_graph`, amortized across chunks.
+    Returns (ids, dists) as (nq, cap) arrays padded with id -1 / inf,
+    each row sorted best-first by (distance, id)."""
+    nq = Q.shape[0]
+    n = X.shape[0]
+    cap = max(capacity or window_size, window_size)
+    if D is None:
+        D = batch_distances(X, Q, distance)
+    if NB is None:
+        NB, _ = _pad_graph(graph)
+    eps = np.unique(np.asarray(list(entry_points), dtype=np.int64))
+    ne = len(eps)
+
+    buf_ids = np.full((nq, cap + NB.shape[1]), -1, dtype=np.int64)
+    buf_d = np.full((nq, cap + NB.shape[1]), np.inf, dtype=np.float64)
+    seen = np.zeros((nq, n), dtype=bool)
+    expanded = np.zeros((nq, n), dtype=bool)
+    # init: entry points sorted by (dist, id) per query
+    d0 = D[:, eps]
+    order = np.lexsort((np.broadcast_to(eps, d0.shape), d0), axis=-1)
+    buf_ids[:, :ne] = eps[order]
+    buf_d[:, :ne] = np.take_along_axis(d0, order, axis=-1)
+    seen[:, eps] = True
+    rows = np.arange(nq)
+
+    w = min(window_size, cap)
+    while True:
+        # next(): nearest unexpanded inside each query's window
+        win_ids = buf_ids[:, :w]
+        flags = expanded[rows[:, None], np.maximum(win_ids, 0)] | (win_ids < 0)
+        has = ~flags.all(axis=1)
+        if not has.any():
+            break
+        act = np.nonzero(has)[0]
+        pos = np.argmax(~flags[act], axis=1)
+        node = buf_ids[act, pos]
+        expanded[act, node] = True
+        nbrs = NB[node]  # (a, md)
+        ok = (nbrs >= 0) & ~seen[act[:, None], np.maximum(nbrs, 0)]
+        if not ok.any():
+            continue
+        safe = np.where(ok, nbrs, 0)
+        # scatter only the True positions: a buffered |= through `safe`
+        # would write pad slots (mapped to column 0) LAST, clobbering a
+        # real neighbor-0 update in the same row
+        ai, aj = np.nonzero(ok)
+        seen[act[ai], nbrs[ai, aj]] = True
+        nd = np.where(ok, D[act[:, None], safe], np.inf)
+        nid = np.where(ok, nbrs, -1)
+        # merge: buffer keeps (cap) best by (dist, id); padded slots
+        # (inf, -1) sort last and are never expanded
+        md = NB.shape[1]
+        buf_ids[act, cap:cap + md] = nid
+        buf_d[act, cap:cap + md] = nd
+        order = np.lexsort((buf_ids[act], buf_d[act]), axis=-1)
+        buf_ids[act] = np.take_along_axis(buf_ids[act], order, axis=-1)
+        buf_d[act] = np.take_along_axis(buf_d[act], order, axis=-1)
+        buf_ids[act, cap:] = -1
+        buf_d[act, cap:] = np.inf
+    return buf_ids[:, :cap], buf_d[:, :cap]
+
+
 def alpha_prune(
     X: np.ndarray,
     node: int,
@@ -201,6 +299,33 @@ def alpha_prune(
         with np.errstate(divide="ignore", invalid="ignore"):
             D = -np.where(denom > 0, (P @ P.T) / denom, 0.0)
     AVAILABLE, ADDED, PRUNED = 0, 1, 2
+    if n < 200:
+        # scalar path: for the small pools that dominate call counts
+        # (reverse-edge re-prunes, pool ~ degree) the per-op dispatch
+        # overhead of the vector path exceeds the arithmetic; identical
+        # state machine, plain Python floats
+        Dl = D.tolist()
+        dl = pool_d.tolist()
+        st = [AVAILABLE] * n
+        res: list[int] = []
+        current_alpha = 1.0
+        while len(res) < max_result and current_alpha <= alpha + 1e-12:
+            for start in range(n):
+                if len(res) >= max_result:
+                    break
+                if st[start] != AVAILABLE or pool_ids[start] == node:
+                    continue
+                st[start] = ADDED
+                res.append(int(pool_ids[start]))
+                row = Dl[start]
+                for j in range(start + 1, n):
+                    if st[j] == AVAILABLE and current_alpha * row[j] < dl[j]:
+                        st[j] = PRUNED
+            if alpha == 1.0:
+                break
+            st = [AVAILABLE if s == PRUNED else s for s in st]
+            current_alpha *= alpha
+        return np.asarray(res, dtype=np.int64)
     state = np.full(n, AVAILABLE, dtype=np.int8)
     is_self = pool_ids == node
     result: list[int] = []
@@ -224,6 +349,35 @@ def alpha_prune(
         state[state == PRUNED] = AVAILABLE
         current_alpha *= alpha
     return np.asarray(result, dtype=np.int64)
+
+
+def _generate_one(
+    X: np.ndarray,
+    graph: list[np.ndarray],
+    node: int,
+    ids: np.ndarray,
+    ds: np.ndarray,
+    params: VamanaParams,
+    distance: str,
+) -> tuple[int, np.ndarray]:
+    """Per-node tail of generate_neighbors (vamana_build.h:424-441):
+    merge the search pool with the node's current neighbors, then
+    alpha-prune. ``ids``/``ds`` are one (possibly padded) row of the
+    batch search buffer."""
+    m = ids >= 0
+    pool_ids, pool_d = ids[m], ds[m]
+    extra = [int(v) for v in graph[node] if int(v) not in set(int(i) for i in pool_ids)]
+    if extra:
+        ea = np.asarray(extra, dtype=np.int64)
+        ed = _dists(X, X[node], ea, distance)
+        pool_ids = np.concatenate([pool_ids, ea])
+        pool_d = np.concatenate([pool_d, ed])
+    order = np.lexsort((pool_ids, pool_d))[: params.max_candidate_pool_size]
+    pool_ids, pool_d = pool_ids[order], pool_d[order]
+    new_adj = alpha_prune(
+        X, node, pool_ids, pool_d, params.alpha, params.graph_max_degree, distance
+    )
+    return node, new_adj
 
 
 def build_graph(
@@ -250,37 +404,22 @@ def build_graph(
         # distances for the batch's searches come from chunked GEMMs
         # (chunk bounds the (chunk, n) f64 block at ~64 MB)
         cs = max(1, 8_000_000 // max(n, 1))
-        D_cache: dict[int, np.ndarray] = {}
-
-        def _row(node: int) -> np.ndarray:
-            c0 = start + ((node - start) // cs) * cs
-            blk = D_cache.get(c0)
-            if blk is None:
-                D_cache.clear()
-                blk = batch_distances(
-                    X, X[c0 : min(stop, c0 + cs)], distance, x_sq=x_sq
-                )
-                D_cache[c0] = blk
-            return blk[node - c0]
+        NB, _ = _pad_graph(graph)  # frozen for the whole batch
 
         updates: list[tuple[int, np.ndarray]] = []
-        for node in range(start, stop):
-            ids, ds = greedy_search(
-                X, graph, [entry], X[node], params.window_size, distance,
-                all_d=_row(node),
+        for c0 in range(start, stop, cs):
+            c1 = min(stop, c0 + cs)
+            blk = batch_distances(X, X[c0:c1], distance, x_sq=x_sq)
+            bids, bds = batch_greedy_search(
+                X, graph, [entry], X[c0:c1], params.window_size, distance,
+                D=blk, NB=NB,
             )
-            pool_ids, pool_d = ids, ds
-            # add current neighbors not already in the pool (build.h:424-441)
-            extra = [int(v) for v in graph[node] if int(v) not in set(int(i) for i in ids)]
-            if extra:
-                ea = np.asarray(extra, dtype=np.int64)
-                ed = _dists(X, X[node], ea, distance)
-                pool_ids = np.concatenate([pool_ids, ea])
-                pool_d = np.concatenate([pool_d, ed])
-            order = np.lexsort((pool_ids, pool_d))[: params.max_candidate_pool_size]
-            pool_ids, pool_d = pool_ids[order], pool_d[order]
-            new_adj = alpha_prune(X, node, pool_ids, pool_d, params.alpha, deg, distance)
-            updates.append((node, new_adj))
+            updates.extend(
+                _generate_one(
+                    X, graph, node, bids[node - c0], bds[node - c0], params, distance
+                )
+                for node in range(c0, c1)
+            )
         for node, adj in updates:
             graph[node] = adj
 
@@ -336,21 +475,25 @@ def search_graph(
     out_d = np.full((nq, k), np.inf, dtype=np.float64)
     x_sq = np.einsum("ij,ij->i", X, X) if distance in ("l2", "cosine") else None
     n = X.shape[0]
+    NB, _ = _pad_graph(graph)
     # one GEMM per query chunk (chunked to bound the (chunk, n) f64
-    # distance block at ~64 MB); traversals then do index lookups only
+    # distance block at ~64 MB); the frontier-synchronous traversal
+    # then works on index lookups only, vectorized across the chunk
     chunk = max(1, min(nq, 8_000_000 // max(n, 1)))
     for c0 in range(0, nq, chunk):
         c1 = min(nq, c0 + chunk)
         D = batch_distances(X, Q[c0:c1], distance, x_sq=x_sq)
-        for qi in range(c0, c1):
-            ids, ds = greedy_search(
-                X, graph, [entry], Q[qi], window_size, distance,
-                capacity=cap, all_d=D[qi - c0],
-            )
-            if valid is not None and len(ids):
-                keep = valid[ids]
-                ids, ds = ids[keep], ds[keep]
-            m = min(k, len(ids))
-            out_ids[qi, :m] = ids[:m]
-            out_d[qi, :m] = ds[:m]
+        bids, bds = batch_greedy_search(
+            X, graph, [entry], Q[c0:c1], window_size, distance,
+            capacity=cap, D=D, NB=NB,
+        )
+        keep = bids >= 0
+        if valid is not None:
+            keep &= valid[np.maximum(bids, 0)]
+        # first k kept entries per row (rows are sorted best-first)
+        keep &= np.cumsum(keep, axis=1) <= k
+        r, c = np.nonzero(keep)
+        dest = (np.cumsum(keep, axis=1) - 1)[keep]
+        out_ids[c0 + r, dest] = bids[keep]
+        out_d[c0 + r, dest] = bds[keep]
     return out_ids, out_d
