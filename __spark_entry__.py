@@ -318,6 +318,30 @@ def _vamana_routed_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matched.crossJoin(nq)
 
 
+def _vamana_router_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sublinear probe selection: a Vamana graph over the shard
+    centroids (the two-level Inverted primary-index design,
+    clustering.h:786-809) routes each query to its n_probes cells
+    without the exact O(C*d) centroid argmin. Recall vs exact flat
+    (rows-only; probe-overlap and recall floors in
+    tests/test_router.py)."""
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=4, shard_by="kmeans")
+    router = build_centroid_router(index.shard_model, distance="l2")
+    res = vamana_search(
+        index, q, k=K, search_window_size=VAMANA_SWS, n_probes=3, router=router
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return matched.crossJoin(nq)
+
+
 def _calibrate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall-targeted window calibration (§2.13) — rows-only: the
     binary search over a deterministic index is itself deterministic."""
@@ -509,6 +533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamana_knn": _vamana_knn_query,
         "vamana_recall": _vamana_recall_query,
         "vamana_routed_recall": _vamana_routed_recall_query,
+        "vamana_router_recall": _vamana_router_recall_query,
         "calibrate_window": _calibrate_query,
         "graph_degree_stats": _graph_degree_stats_query,
         "dynamic_flat_knn": _dynamic_flat_query,

@@ -190,6 +190,23 @@ def main() -> None:
             }
         )
     )
+    # per-run history (one JSON line per invocation) so later rounds can
+    # grade regressions query-by-query; stdout stays exactly one line
+    try:
+        import datetime
+
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_HISTORY.jsonl"), "a") as f:
+            f.write(json.dumps({
+                "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                    timespec="seconds"
+                ),
+                "total_sec": total,
+                "queries": timings,
+                "sf": _sf(),
+            }) + "\n")
+    except OSError:
+        pass  # read-only checkout — history is best-effort
 
 
 if __name__ == "__main__":
