@@ -256,6 +256,24 @@ def _cache_graph(graph: DataFrame) -> DataFrame:
     return g
 
 
+def _merge_layout(idx, touched: list, rebuilt) -> DataFrame:
+    """Mutated data layout = untouched shards of the old persisted
+    layout + the rebuilt index's layout, re-partitioned (a union loses
+    the partitioning) and persisted — searches keep reading a
+    shard-partitioned copy instead of re-shuffling the base."""
+    from pyspark.storagelevel import StorageLevel
+
+    from scalablevectorsearch_spark.operators.vamana import _by_shard
+
+    merged = _by_shard(
+        idx.layout.filter(~F.col("shard_id").isin(touched)).unionByName(
+            rebuilt.layout
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    merged.count()
+    return merged
+
+
 def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     """Insert rows; raises on id collision with live rows
     (dynamic_index.h:640-656 id validation). Rebuilds only the shards
@@ -306,11 +324,14 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         distance=idx.distance,
         id_col=id_col,
         vec_col=vec_col,
-    ).graph
-    graph = _cache_graph(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt)
     )
-    return DynamicVamana(index=replace(idx, base=base, graph=graph), tomb_ids=tomb)
+    graph = _cache_graph(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt.graph)
+    )
+    layout = _merge_layout(idx, touched, rebuilt)
+    return DynamicVamana(
+        index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=tomb
+    )
 
 
 def delete_entries(dyn: DynamicVamana, ids: DataFrame) -> DynamicVamana:
@@ -371,11 +392,14 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         distance=idx.distance,
         id_col=idx.id_col,
         vec_col=idx.vec_col,
-    ).graph
-    graph = _cache_graph(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt)
     )
-    return DynamicVamana(index=replace(idx, base=base, graph=graph), tomb_ids=())
+    graph = _cache_graph(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt.graph)
+    )
+    layout = _merge_layout(idx, touched, rebuilt)
+    return DynamicVamana(
+        index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=()
+    )
 
 
 def compact(base: DataFrame, graph: DataFrame, id_col: str = "id") -> tuple[DataFrame, DataFrame, DataFrame]:

@@ -19,7 +19,12 @@ pointer-chasing port):
  - SEARCH cogroups (vectors, graph) by shard and runs the greedy
    traversal per shard against the broadcast query batch, emitting each
    shard's top-k; a final window merge keeps the global top-k — the
-   same O(Q·k·S)-row shuffle bound as the flat/IVF operators. A search
+   same O(Q·k·S)-row shuffle bound as the flat/IVF operators. The
+   vector side reads the index's PERSISTED shard-partitioned ``layout``
+   (built once at build time, like the reference index's materialized
+   ``data_`` copy), so a search batch never re-shuffles the base: the
+   only search-time exchanges are the tiny graph repartition and the
+   bounded merge. A search
    over S shards with window w has the recall of single-graph searches
    with effective window S·w ≥ w, at S× the compute — the
    scale/recall trade is explicit and tunable via n_shards.
@@ -75,6 +80,13 @@ class VamanaIndex:
     #: set for cluster-sharded (SPANN-style) indexes: shards are k-means
     #: cells, searches can route to the n_probes nearest shards
     shard_model: object | None = None
+    #: the index's OWN data layout: (shard_id, __id, __vec), persisted
+    #: hash-partitioned on shard_id. The reference's index materializes
+    #: a reordered copy of the data (vamana/index.h data_ member); the
+    #: Spark analog is this persisted shard-partitioned table — without
+    #: it every search batch would re-shuffle the full base to co-locate
+    #: shards, a per-query-batch full-base shuffle at 100 TB.
+    layout: DataFrame | None = None
 
 
 def _sharded(
@@ -151,15 +163,23 @@ def vamana_build(
             }
         )
 
-    scan = _sharded(base, n_shards, id_col, shard_model, vec_col).select(
-        "shard_id",
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(vec_col).alias("__vec"),
-    )
-    graph = _by_shard(scan).groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
+    from pyspark.storagelevel import StorageLevel
+
+    # the index's data layout: stamp + one co-locating shuffle, persisted
+    # so build AND every later search read the shard-partitioned copy
+    # instead of re-shuffling the base (index.h's materialized data_)
+    layout = _by_shard(
+        _sharded(base, n_shards, id_col, shard_model, vec_col).select(
+            "shard_id",
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    graph = layout.groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
     return VamanaIndex(
         graph=graph, base=base, params=params, distance=distance,
         n_shards=n_shards, id_col=id_col, vec_col=vec_col, shard_model=shard_model,
+        layout=layout,
     )
 
 
@@ -293,13 +313,20 @@ def vamana_search(
             }
         )
 
-    scan = _sharded(
-        index.base, index.n_shards, index.id_col, index.shard_model, index.vec_col
-    ).select(
-        "shard_id",
-        F.col(index.id_col).cast("long").alias("__id"),
-        F.col(index.vec_col).alias("__vec"),
-    )
+    if index.layout is not None:
+        # persisted shard-partitioned layout: no base shuffle at search
+        scan = index.layout
+    else:
+        scan = _by_shard(
+            _sharded(
+                index.base, index.n_shards, index.id_col, index.shard_model,
+                index.vec_col,
+            ).select(
+                "shard_id",
+                F.col(index.id_col).cast("long").alias("__id"),
+                F.col(index.vec_col).alias("__vec"),
+            )
+        )
     graph = index.graph
     if probe_of is not None:
         # unprobed shards never reach the kernel (pruning on a persisted
@@ -308,7 +335,7 @@ def vamana_search(
         scan = scan.filter(F.col("shard_id").isin(probed))
         graph = graph.filter(F.col("shard_id").isin(probed))
     cand = (
-        _by_shard(scan).groupBy("shard_id")
+        scan.groupBy("shard_id")
         .cogroup(_by_shard(graph).groupBy("shard_id"))
         .applyInPandas(search_fn, RESULT_SCHEMA)
     )

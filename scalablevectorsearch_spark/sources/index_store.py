@@ -235,7 +235,7 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         max_candidate_pool_size=p["max_candidate_pool_size"],
         prune_to=p["prune_to"],
     )
-    return VamanaIndex(
+    idx = VamanaIndex(
         graph=tables["graph"],
         base=data,
         params=params,
@@ -244,6 +244,20 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         id_col="id",
         vec_col="vector",
     )
+    # hash-sharded layouts are reconstructible from the data table (shard
+    # = id mod n_shards); kmeans-sharded indexes fall back to the
+    # stamp-per-search path (their shard_model is not persisted here)
+    from scalablevectorsearch_spark.operators.vamana import _by_shard, _sharded
+    from pyspark.storagelevel import StorageLevel
+
+    idx.layout = _by_shard(
+        _sharded(data, p["n_shards"], "id", None, "vector").select(
+            "shard_id",
+            F.col("id").cast("long").alias("__id"),
+            F.col("vector").alias("__vec"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return idx
 
 
 # ---------------------------------------------------------------- sq
