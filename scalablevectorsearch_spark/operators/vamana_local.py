@@ -35,11 +35,20 @@ class VamanaParams:
     graph_max_degree: int = 32
     window_size: int = 100
     max_candidate_pool_size: int = 750
-    prune_to: int | None = None  # None -> graph_max_degree
+    #: None -> reference default (index.h:1066-1070): degree - 4 when
+    #: degree >= 16, else degree. Pruning BELOW the max degree frees
+    #: slots, so overfull nodes are re-pruned ~deg/4x less often during
+    #: reverse-edge insertion — "can result in significant speedups in
+    #: index building" (build_params.h:65-67)
+    prune_to: int | None = None
 
     @property
     def prune_target(self) -> int:
-        return self.prune_to if self.prune_to is not None else self.graph_max_degree
+        if self.prune_to is not None:
+            return self.prune_to
+        if self.graph_max_degree >= 16:
+            return self.graph_max_degree - 4
+        return self.graph_max_degree
 
 
 def _dists(X: np.ndarray, q: np.ndarray, idx: np.ndarray, distance: str) -> np.ndarray:
@@ -182,6 +191,14 @@ def _pad_graph(graph: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     return NB, lens
 
 
+#: above this base size the dense (nq, n) distance block costs more
+#: than on-demand per-round evaluation: a traversal visits only
+#: O(window * degree) of the n rows, so lazy mode does ~n*visits*d
+#: work instead of the O(n^2 * d) all-pairs GEMM (the build's
+#: dominant cost at shard sizes >= ~10k)
+LAZY_N = 4096
+
+
 def batch_greedy_search(
     X: np.ndarray,
     graph: list[np.ndarray],
@@ -192,6 +209,8 @@ def batch_greedy_search(
     capacity: int | None = None,
     D: np.ndarray | None = None,
     NB: np.ndarray | None = None,
+    lazy: bool = False,
+    x_sq: np.ndarray | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Frontier-synchronous batch traversal: every query expands its
     best unexpanded in-window node each round, vectorized across the
@@ -205,40 +224,77 @@ def batch_greedy_search(
     ``D``: optional precomputed (nq, n) distances (the chunked-GEMM
     block batch callers already hold). ``NB``: optional pre-padded
     adjacency from :func:`_pad_graph`, amortized across chunks.
+    ``lazy``: evaluate distances on demand per round (gathered rows +
+    one small einsum) instead of a dense (nq, n) block — same formulas
+    and clamps as :func:`batch_distances`, at most 1 ULP apart from the
+    GEMM path (different accumulation blocking); use above
+    :data:`LAZY_N` where the traversal visits a vanishing fraction of
+    the base. Ignored when ``D`` is supplied.
     Returns (ids, dists) as (nq, cap) arrays padded with id -1 / inf,
     each row sorted best-first by (distance, id)."""
     nq = Q.shape[0]
     n = X.shape[0]
     cap = max(capacity or window_size, window_size)
-    if D is None:
+    q_inv = None
+    if D is None and not lazy:
         D = batch_distances(X, Q, distance)
+    if D is None:
+        # per-query/per-row invariants for the on-demand formulas
+        if distance in ("l2", "cosine") and x_sq is None:
+            x_sq = np.einsum("ij,ij->i", X, X)
+        if distance == "l2":
+            q_inv = np.einsum("ij,ij->i", Q, Q)
+        elif distance == "cosine":
+            q_inv = np.sqrt(np.einsum("ij,ij->i", Q, Q))
     if NB is None:
         NB, _ = _pad_graph(graph)
     eps = np.unique(np.asarray(list(entry_points), dtype=np.int64))
     ne = len(eps)
+
+    def _pair_d(qidx: np.ndarray, nodes: np.ndarray) -> np.ndarray:
+        """(a, m) distances of Q[qidx[i]] to X[nodes[i, j]] — the lazy
+        analog of one D gather, same IEEE shape as batch_distances."""
+        V = X[nodes]  # (a, m, d)
+        QD = np.einsum("amd,ad->am", V, Q[qidx])
+        if distance == "l2":
+            return np.maximum(
+                x_sq[nodes] + q_inv[qidx][:, None] - 2.0 * QD, 0.0
+            )
+        if distance == "ip":
+            return -QD
+        denom = q_inv[qidx][:, None] * np.sqrt(x_sq[nodes])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return -np.where(denom > 0, QD / denom, 0.0)
 
     buf_ids = np.full((nq, cap + NB.shape[1]), -1, dtype=np.int64)
     buf_d = np.full((nq, cap + NB.shape[1]), np.inf, dtype=np.float64)
     seen = np.zeros((nq, n), dtype=bool)
     expanded = np.zeros((nq, n), dtype=bool)
     # init: entry points sorted by (dist, id) per query
-    d0 = D[:, eps]
+    if D is not None:
+        d0 = D[:, eps]
+    else:
+        d0 = _pair_d(np.arange(nq), np.broadcast_to(eps, (nq, ne)))
     order = np.lexsort((np.broadcast_to(eps, d0.shape), d0), axis=-1)
     buf_ids[:, :ne] = eps[order]
     buf_d[:, :ne] = np.take_along_axis(d0, order, axis=-1)
     seen[:, eps] = True
-    rows = np.arange(nq)
 
     w = min(window_size, cap)
-    while True:
+    # active-set compaction: a query whose window holds no unexpanded
+    # candidate is DONE forever (its buffer only changes when it expands)
+    # — dropping finished rows keeps late straggler rounds cheap
+    alive = np.arange(nq)
+    while len(alive):
         # next(): nearest unexpanded inside each query's window
-        win_ids = buf_ids[:, :w]
-        flags = expanded[rows[:, None], np.maximum(win_ids, 0)] | (win_ids < 0)
+        win_ids = buf_ids[alive, :w]
+        flags = expanded[alive[:, None], np.maximum(win_ids, 0)] | (win_ids < 0)
         has = ~flags.all(axis=1)
-        if not has.any():
+        alive = alive[has]
+        if not len(alive):
             break
-        act = np.nonzero(has)[0]
-        pos = np.argmax(~flags[act], axis=1)
+        act = alive
+        pos = np.argmax(~flags[has], axis=1)
         node = buf_ids[act, pos]
         expanded[act, node] = True
         nbrs = NB[node]  # (a, md)
@@ -251,7 +307,10 @@ def batch_greedy_search(
         # real neighbor-0 update in the same row
         ai, aj = np.nonzero(ok)
         seen[act[ai], nbrs[ai, aj]] = True
-        nd = np.where(ok, D[act[:, None], safe], np.inf)
+        if D is not None:
+            nd = np.where(ok, D[act[:, None], safe], np.inf)
+        else:
+            nd = np.where(ok, _pair_d(act, safe), np.inf)
         nid = np.where(ok, nbrs, -1)
         # merge: buffer keeps (cap) best by (dist, id); padded slots
         # (inf, -1) sort last and are never expanded
@@ -299,11 +358,13 @@ def alpha_prune(
         with np.errstate(divide="ignore", invalid="ignore"):
             D = -np.where(denom > 0, (P @ P.T) / denom, 0.0)
     AVAILABLE, ADDED, PRUNED = 0, 1, 2
-    if n < 200:
+    if n < 72:
         # scalar path: for the small pools that dominate call counts
-        # (reverse-edge re-prunes, pool ~ degree) the per-op dispatch
-        # overhead of the vector path exceeds the arithmetic; identical
-        # state machine, plain Python floats
+        # (reverse-edge re-prunes, pool ~ degree — ~80% of calls) the
+        # per-op dispatch overhead of the vector path exceeds the
+        # arithmetic; measured crossover is ~72-100 candidates, above
+        # which the vector path wins (generate-phase pools ~window).
+        # Identical state machine, plain Python floats
         Dl = D.tolist()
         dl = pool_d.tolist()
         st = [AVAILABLE] * n
@@ -403,16 +464,19 @@ def build_graph(
         # whole batch (batch-synchronous, vamana_build.h:469-476);
         # distances for the batch's searches come from chunked GEMMs
         # (chunk bounds the (chunk, n) f64 block at ~64 MB)
-        cs = max(1, 8_000_000 // max(n, 1))
+        lazy = n > LAZY_N
+        # dense mode: chunk bounds the (chunk, n) f64 distance block;
+        # lazy mode: the (chunk, n) bool visit masks are the footprint
+        cs = max(1, (64_000_000 if lazy else 8_000_000) // max(n, 1))
         NB, _ = _pad_graph(graph)  # frozen for the whole batch
 
         updates: list[tuple[int, np.ndarray]] = []
         for c0 in range(start, stop, cs):
             c1 = min(stop, c0 + cs)
-            blk = batch_distances(X, X[c0:c1], distance, x_sq=x_sq)
+            blk = None if lazy else batch_distances(X, X[c0:c1], distance, x_sq=x_sq)
             bids, bds = batch_greedy_search(
                 X, graph, [entry], X[c0:c1], params.window_size, distance,
-                D=blk, NB=NB,
+                D=blk, NB=NB, lazy=lazy, x_sq=x_sq if distance != "ip" else None,
             )
             updates.extend(
                 _generate_one(
@@ -423,13 +487,19 @@ def build_graph(
         for node, adj in updates:
             graph[node] = adj
 
-        # add_reverse_edges (vamana_build.h:483-560)
+        # add_reverse_edges (vamana_build.h:483-560). The adjacency is a
+        # SET: a backedge that already exists is a no-op (graph_.add_edge
+        # set semantics) — short-circuiting it avoids a pointless
+        # re-prune of a full node that gained nothing
         overfull: dict[int, list[int]] = {}
         for node in range(start, stop):
             for other in graph[node]:
                 other = int(other)
-                if len(graph[other]) < deg and node not in graph[other]:
-                    graph[other] = np.append(graph[other], np.int64(node))
+                adj = graph[other]
+                if node in adj:
+                    continue
+                if len(adj) < deg:
+                    graph[other] = np.append(adj, np.int64(node))
                 else:
                     overfull.setdefault(other, []).append(node)
         for other, extras in overfull.items():
@@ -476,16 +546,17 @@ def search_graph(
     x_sq = np.einsum("ij,ij->i", X, X) if distance in ("l2", "cosine") else None
     n = X.shape[0]
     NB, _ = _pad_graph(graph)
-    # one GEMM per query chunk (chunked to bound the (chunk, n) f64
-    # distance block at ~64 MB); the frontier-synchronous traversal
-    # then works on index lookups only, vectorized across the chunk
-    chunk = max(1, min(nq, 8_000_000 // max(n, 1)))
+    lazy = n > LAZY_N
+    # dense mode: one GEMM per query chunk (the (chunk, n) f64 block is
+    # the footprint); lazy mode: distances evaluated per round for
+    # visited nodes only, masks are the footprint
+    chunk = max(1, min(nq, (64_000_000 if lazy else 8_000_000) // max(n, 1)))
     for c0 in range(0, nq, chunk):
         c1 = min(nq, c0 + chunk)
-        D = batch_distances(X, Q[c0:c1], distance, x_sq=x_sq)
+        D = None if lazy else batch_distances(X, Q[c0:c1], distance, x_sq=x_sq)
         bids, bds = batch_greedy_search(
             X, graph, [entry], Q[c0:c1], window_size, distance,
-            capacity=cap, D=D, NB=NB,
+            capacity=cap, D=D, NB=NB, lazy=lazy, x_sq=x_sq,
         )
         keep = bids >= 0
         if valid is not None:
