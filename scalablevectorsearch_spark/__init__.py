@@ -64,8 +64,12 @@ from scalablevectorsearch_spark.sources.index_store import (
 )
 from scalablevectorsearch_spark.sources.vecs import (
     generate_test_dataset,
+    random_dataset,
+    read_svs,
     read_vecs,
+    svs_to_df,
     vecs_to_df,
+    write_svs,
     write_vecs,
 )
 

@@ -114,6 +114,67 @@ def write_binary_matrix(path: str, X: np.ndarray) -> None:
         X.tofile(f)
 
 
+#: V1 native-file magic (core/io/native.h:320) — 1024-byte header:
+#: [u64 magic][16-byte uuid][u64 num_vectors][u64 dims][zero padding],
+#: then row-major data (native.h:310-344)
+SVS_MAGIC = 0xCAD4A6B2579980FE
+SVS_HEADER_SIZE = 1024
+
+
+def read_svs(path: str, dtype=np.float32) -> np.ndarray:
+    """Read a reference native data file (common.py:120 read_svs parity;
+    header layout native.h:310-344). The element dtype is caller-declared
+    exactly as in the reference binding ('no type checking is performed')
+    but the magic number IS validated here."""
+    with open(path, "rb") as f:
+        head = f.read(8 + 16 + 8 + 8)
+    if len(head) < 40:
+        raise ValueError(f"{path}: truncated header")
+    magic = int(np.frombuffer(head, dtype=np.uint64, count=1)[0])
+    if magic != SVS_MAGIC:
+        raise ValueError(
+            f"{path}: bad magic {magic:#x} (expected {SVS_MAGIC:#x}) — not a V1 native file"
+        )
+    n, d = (int(v) for v in np.frombuffer(head[24:40], dtype=np.uint64, count=2))
+    X = np.fromfile(path, dtype=dtype, offset=SVS_HEADER_SIZE)
+    if len(X) != n * d:
+        raise ValueError(f"{path}: expected {n}x{d} elements, found {len(X)}")
+    return np.ascontiguousarray(X.reshape(n, d))
+
+
+def write_svs(path: str, X: np.ndarray) -> None:
+    """Write a V1 native data file readable by the reference (zero UUID,
+    like lib::UUID(ZeroInitializer) — native.h:326)."""
+    X = np.ascontiguousarray(X)
+    if X.ndim != 2:
+        raise ValueError(f"expected a 2D matrix, got shape {X.shape}")
+    header = np.zeros(SVS_HEADER_SIZE, dtype=np.uint8)
+    header[0:8] = np.frombuffer(np.uint64(SVS_MAGIC).tobytes(), dtype=np.uint8)
+    header[24:32] = np.frombuffer(np.uint64(X.shape[0]).tobytes(), dtype=np.uint8)
+    header[32:40] = np.frombuffer(np.uint64(X.shape[1]).tobytes(), dtype=np.uint8)
+    with open(path, "wb") as f:
+        header.tofile(f)
+        X.tofile(f)
+
+
+def svs_to_df(
+    spark: SparkSession, path: str, dtype=np.float32, id_offset: int = 0
+) -> DataFrame:
+    """Native file -> DataFrame(id BIGINT, vector ARRAY<FLOAT>)."""
+    X = read_svs(path, dtype)
+    rows = [(id_offset + i, X[i].astype(np.float64).tolist()) for i in range(len(X))]
+    return spark.createDataFrame(rows, "id bigint, vector array<float>")
+
+
+def random_dataset(
+    nvectors: int, ndims: int, dtype=np.float32, seed: int | None = None
+) -> np.ndarray:
+    """Seeded uniform random matrix (common.py:203 random_dataset
+    parity)."""
+    rng = np.random.default_rng(seed)
+    return rng.random((nvectors, ndims)).astype(dtype)
+
+
 def read_npy(path: str) -> np.ndarray:
     """common.py:62 parity."""
     return np.load(path)

@@ -88,3 +88,57 @@ def test_generator_deterministic_and_consistent(spark):
         "qid", "rank", "neighbor_id"
     )
     assert ours.exceptAll(gt).count() == 0 and gt.exceptAll(ours).count() == 0
+
+
+def test_svs_native_roundtrip(tmp_path):
+    """V1 native file (native.h:310-344): header magic/counts honored,
+    row-major payload intact, wrong magic rejected."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.sources.vecs import (
+        SVS_HEADER_SIZE,
+        read_svs,
+        write_svs,
+    )
+
+    X = np.arange(24, dtype=np.float32).reshape(6, 4)
+    p = str(tmp_path / "data.svs")
+    write_svs(p, X)
+    import os
+
+    assert os.path.getsize(p) == SVS_HEADER_SIZE + X.nbytes
+    Y = read_svs(p, np.float32)
+    np.testing.assert_array_equal(X, Y)
+    # reference binding offsets: nvectors at byte 24, dims at byte 32
+    raw = open(p, "rb").read(40)
+    n, d = np.frombuffer(raw[24:40], dtype=np.uint64)
+    assert (int(n), int(d)) == (6, 4)
+
+    with open(p, "r+b") as f:
+        f.write(b"\x00" * 8)  # clobber the magic
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="magic"):
+        read_svs(p)
+
+
+def test_svs_to_df_and_random_dataset(spark, tmp_path):
+    import numpy as np
+
+    from scalablevectorsearch_spark.sources.vecs import (
+        random_dataset,
+        svs_to_df,
+        write_svs,
+    )
+
+    X = random_dataset(10, 8, seed=7)
+    assert X.shape == (10, 8) and X.dtype == np.float32
+    np.testing.assert_array_equal(X, random_dataset(10, 8, seed=7))
+    p = str(tmp_path / "r.svs")
+    write_svs(p, X)
+    df = svs_to_df(spark, p)
+    assert df.count() == 10
+    got = np.array(
+        df.orderBy("id").toPandas()["vector"].tolist(), dtype=np.float32
+    )
+    np.testing.assert_allclose(got, X, rtol=1e-6)
