@@ -58,6 +58,19 @@ def main() -> None:
     again = vamana_search(loaded, queries, k=10, search_window_size=30).count()
     print(f"reloaded index search rows: {again}")
 
+    # 5. SPANN-style cluster shards with a centroid-graph router: probes
+    # are picked by traversing a Vamana over the shard centroids
+    # (sublinear in the shard count) instead of the exact argmin
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+
+    routed = vamana_build(base, params, n_shards=4, shard_by="kmeans")
+    router = build_centroid_router(routed.shard_model, distance="l2")
+    res = vamana_search(
+        routed, queries, k=10, search_window_size=30, n_probes=2, router=router
+    ).select("qid", "neighbor_id")
+    recall = res.join(gt, ["qid", "neighbor_id"], "left_semi").count() / n_gt
+    print(f"router-probed (2/4 shards) recall@10={recall:.4f}")
+
 
 if __name__ == "__main__":
     main()
