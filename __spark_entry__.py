@@ -500,8 +500,8 @@ def _media_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only gate: the feature kernel is mapInPandas (not SQL);
-    # determinism is asserted in tests/test_multimodal.py
+    # hash-gated: the mapInPandas feature kernel is byte arithmetic
+    # (tile + mean), replicated exactly by oracles.media_features_sql
     media = media_from_documents(_docs(spark, sf_dir).select("doc_id", "text"))
     feats = extract_features(media, n_features=8)
     return feats.select(
@@ -594,4 +594,5 @@ def oracle_sql() -> dict[str, str]:
             ND_THRESHOLD, N_CLUSTERS, KM_ITERS, ND_COPIES, ND_OFFSET
         ),
         "media_stats": oracles.media_stats_sql(),
+        "media_features": oracles.media_features_sql(),
     }

@@ -663,6 +663,32 @@ SELECT id_a, id_b, {e4} AS cosine_e4 FROM p WHERE {e4} >= {t_e4}
 """.strip()
 
 
+def media_features_sql() -> str:
+    """Byte-exact replica of the fake-decode feature kernel
+    (pipeline/multimodal.py): width=height=8 makes the resize an
+    identity, so feature[pos] = mean of tiled payload bytes
+    [8*pos .. 8*pos+7] (index mod n_bytes). Bytes are addressed by
+    slicing the hex dump (DuckDB has no BLOB substring); the mean is
+    one sum + one division in both engines, then the shared E4 key."""
+    e4 = E4.format(expr="(sum(v)::DOUBLE / 8.0)")
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS L
+  FROM documents
+),
+px AS (
+  SELECT media_id, L, j.pos, i.k,
+         CASE WHEN L = 0 THEN 0
+              ELSE ('0x' || substring(hx, ((j.pos * 8 + i.k) % L) * 2 + 1, 2))::BIGINT
+         END AS v
+  FROM m, range(8) j(pos), range(8) i(k)
+)
+SELECT media_id, L AS n_bytes, pos, {e4} AS feature_e4
+FROM px GROUP BY media_id, L, pos
+""".strip()
+
+
 def media_stats_sql() -> str:
     """Byte-level media stats over the synthesized media table (payload
     = UTF-8 bytes of documents.text)."""
