@@ -281,6 +281,21 @@ def _vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _vamana_exhaustive_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metamorphic hash gate for the WHOLE Vamana path: with an
+    exploration window >= every shard's size, the greedy traversal
+    expands each shard's entire (connected) graph, so build + search +
+    merge must reproduce exact flat k-NN — which has a SQL oracle. This
+    turns the non-SQL-expressible graph machinery into a hash-gated
+    correctness check (graph connectivity, local remap, buffer, merge)."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = vamana_search(
+        index, _queries_df(spark, sf_dir), k=K, search_window_size=4096
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir).select("id", "vector")
     q = _queries_df(spark, sf_dir)
@@ -531,6 +546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_knn_l2": _sq_knn_query("l2"),
         "sq_knn_ip": _sq_knn_query("ip"),
         "vamana_knn": _vamana_knn_query,
+        "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
         "vamana_recall": _vamana_recall_query,
         "vamana_routed_recall": _vamana_routed_recall_query,
         "vamana_router_recall": _vamana_router_recall_query,
@@ -554,6 +570,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     return {
         "flat_knn_l2": oracles.flat_knn_sql("l2", K, N_QUERIES),
+        # exhaustive-window graph search degenerates to exact k-NN
+        "vamana_exhaustive_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
         "flat_knn_ip": oracles.flat_knn_sql("ip", K, N_QUERIES),
         "flat_knn_cosine": oracles.flat_knn_sql("cosine", K, N_QUERIES),
         "flat_knn_filtered": oracles.flat_knn_sql("l2", K, N_QUERIES, where="label = 3"),

@@ -145,3 +145,25 @@ def test_degree_stats(index):
     stats = graph_degree_stats(index.graph)
     total = stats.agg(F.sum("n_nodes")).collect()[0][0]
     assert total == index.base.count()
+
+
+def test_exhaustive_window_equals_flat(spark, embeddings):
+    """Metamorphic: window >= shard size => greedy expands every
+    (connected) shard graph, so vamana_search must reproduce exact flat
+    k-NN including rank order and tie-breaks."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    q = base.filter(F.col("id") < 30).selectExpr("id as qid", "vector")
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=16, window_size=50), n_shards=4
+    )
+    via_graph = sorted(
+        (r["qid"], r["rank"], r["neighbor_id"])
+        for r in vamana_search(idx, q, k=7, search_window_size=4096).collect()
+    )
+    exact = sorted(
+        (r["qid"], r["rank"], r["neighbor_id"])
+        for r in flat_knn(base, q, k=7).collect()
+    )
+    assert via_graph == exact
