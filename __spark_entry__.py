@@ -408,6 +408,35 @@ def _dynamic_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _dynamic_vamana_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metamorphic hash gate for the DYNAMIC Vamana path: after a full
+    add -> delete -> consolidate cycle, an exhaustive-window search must
+    equal exact flat k-NN over the mutated base — the dynamic-flat SQL
+    oracle. Gates the incremental shard rebuilds, tombstone physical
+    removal, and layout merge by value hash."""
+    from scalablevectorsearch_spark.operators.dynamic import (
+        add_points,
+        consolidate,
+        delete_entries,
+        dynamic_search,
+        dynamic_vamana,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    added = base.filter(F.col("id") < DYN_ADDED).select(
+        (F.col("id") + DYN_OFFSET).alias("id"), "vector"
+    )
+    deleted = base.filter(
+        (F.col("id") >= DYN_DEL_LO) & (F.col("id") < DYN_DEL_HI)
+    ).select("id")
+    dyn = dynamic_vamana(vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS))
+    dyn = add_points(dyn, added)
+    dyn = delete_entries(dyn, deleted)
+    dyn = consolidate(dyn)
+    res = dynamic_search(dyn, _queries_df(spark, sf_dir), k=K, search_window_size=4096)
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 cycle: build -> add 1% -> delete 1% -> consolidate -> search;
     recall vs exact flat over the mutated base (rows-only gate; the
@@ -553,6 +582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibrate_window": _calibrate_query,
         "graph_degree_stats": _graph_degree_stats_query,
         "dynamic_flat_knn": _dynamic_flat_query,
+        "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
         "text_stats": _text_stats_query,
         "lang_id": _lang_id_query,
@@ -597,6 +627,11 @@ def oracle_sql() -> dict[str, str]:
         "sq_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
         "sq_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
         "dynamic_flat_knn": oracles.dynamic_flat_knn_sql(
+            K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
+        ),
+        # post-cycle exhaustive-window graph search == flat over the
+        # mutated base (same mutation constants)
+        "dynamic_vamana_exhaustive_knn": oracles.dynamic_flat_knn_sql(
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
         ),
         "text_stats": oracles.text_stats_sql(),
