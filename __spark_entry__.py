@@ -504,6 +504,15 @@ def _dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_a", "doc_b", E4("jaccard").alias("jaccard_e4"))
 
 
+def _dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_components
+
+    pairs = dedup_minhash(
+        _docs(spark, sf_dir), n_shingle=3, n_perm=16, n_bands=4, threshold=0.5
+    )
+    return dedup_components(pairs)
+
+
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), n_bits=32)
 
@@ -589,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": _doc_fingerprints_query,
         "dedup_exact": _dedup_exact_query,
         "dedup_minhash": _dedup_minhash_query,
+        "dedup_components": _dedup_components_query,
         "simhash": _simhash_query,
         "embedding_neardup": _neardup_query,
         "embedding_neardup_clustered": _neardup_clustered_query,
@@ -639,6 +649,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracles.doc_fingerprints_sql(16, 8),
         "dedup_exact": oracles.dedup_exact_sql(10, 10000),
         "dedup_minhash": oracles.dedup_minhash_sql(3, 16, 4, 0.5),
+        "dedup_components": oracles.dedup_components_sql(3, 16, 4, 0.5),
         "simhash": oracles.simhash_sql(32),
         "embedding_neardup": oracles.embedding_neardup_sql(
             ND_THRESHOLD, ND_COPIES, ND_OFFSET

@@ -591,6 +591,31 @@ FROM ver WHERE jac >= {threshold}
 """.strip()
 
 
+def dedup_components_sql(
+    n_shingle: int = 3, n_perm: int = 16, n_bands: int = 4, threshold: float = 0.5
+) -> str:
+    """Connected components over the minhash pair graph as a recursive
+    CTE: reach(node, rid) enumerates every id reachable from node, the
+    canonical is min(rid). Mirrors pipeline/dedup.py:dedup_components'
+    min-label fixpoint exactly (both compute min over the transitive
+    closure of the undirected pair graph)."""
+    inner = dedup_minhash_sql(n_shingle, n_perm, n_bands, threshold)
+    return f"""
+WITH RECURSIVE mh AS (
+{inner}
+),
+e AS (SELECT doc_a AS s, doc_b AS d FROM mh
+      UNION SELECT doc_b AS s, doc_a AS d FROM mh),
+nodes AS (SELECT DISTINCT s AS node FROM e),
+reach(node, rid) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.s, r.rid FROM e JOIN reach r ON e.d = r.node
+)
+SELECT node AS doc_id, min(rid) AS canonical_id FROM reach GROUP BY node
+""".strip()
+
+
 def simhash_sql(n_bits: int = 32) -> str:
     md5i = _MD5I_SQL.format(s="t")
     bit_terms = " + ".join(

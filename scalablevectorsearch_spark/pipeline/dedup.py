@@ -188,6 +188,64 @@ def dedup_minhash(
     return jaccard_verify(pairs, signed.select("doc_id", "shingles"), threshold)
 
 
+def dedup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph:
+    (doc_id, canonical_id) where canonical = the smallest doc id
+    reachable through dup pairs — the step a real dedup pipeline needs
+    after pair mining (A~B, B~C must collapse to ONE canonical even
+    without an A~C pair). Only documents appearing in a pair are
+    returned; singletons are trivially their own canonical.
+
+    Shape: iterative min-label propagation — per round one join of the
+    (tiny, relative to the corpus) edge table against the labels and a
+    min-aggregate, cached per round, stopping at fixpoint. Dup clusters
+    have small diameter, so rounds ~ a handful; the corpus itself is
+    never touched."""
+    e = pairs.select(
+        F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
+    )
+    edges = (
+        e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("s").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .cache()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        prop = edges.join(
+            labels.withColumnRenamed("node", "d"), "d"
+        ).select(F.col("s").alias("node"), "label")
+        new = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
+    )
+
+
 def simhash(
     df: DataFrame, n_bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -105,3 +105,18 @@ def test_simhash_stable_and_bounded(docs):
     s2 = {r["doc_id"]: r["simhash"] for r in simhash(docs, 32).collect()}
     assert s1 == s2
     assert all(0 <= v < (1 << 32) for v in s1.values())
+
+
+def test_dedup_components_transitive_chain(spark):
+    """A~B and B~C must collapse to one canonical (min id) even with no
+    direct A~C pair; disjoint pairs stay separate components."""
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (9, 12), (20, 21)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in dedup_components(pairs).collect()
+    }
+    assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
