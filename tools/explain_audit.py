@@ -112,6 +112,45 @@ def main() -> int:
         len(re.findall(r"\(\d+\) Exchange", p)) == 1,
     )
 
+    # 5. vamana search reads the index's persisted shard-partitioned
+    # layout with NO exchange between the cogroup and the cached scan —
+    # a query batch must never re-shuffle the base, including after a
+    # dynamic mutation cycle
+    from scalablevectorsearch_spark.operators.dynamic import (
+        add_points,
+        dynamic_search,
+        dynamic_vamana,
+    )
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+
+    idx = vamana_build(
+        base.select("id", "vector"),
+        VamanaParams(graph_max_degree=8, window_size=20),
+        n_shards=4,
+    )
+    idx.graph.cache().count()
+    no_scan_exchange = re.compile(
+        r"FlatMapCoGroupsInPandas \(\d+\)\s*\n\s*:- Sort \(\d+\)\s*\n\s*:  \+- InMemoryTableScan"
+    )
+    p = plan_of(vamana_search(idx, queries, k=5, search_window_size=20))
+    check(
+        "vamana: search cogroups off the persisted layout (no base shuffle)",
+        bool(no_scan_exchange.search(p)),
+    )
+    dyn = add_points(
+        dynamic_vamana(idx),
+        base.filter(F.col("id") < 2).selectExpr("id + 900000 as id", "vector"),
+    )
+    p = plan_of(dynamic_search(dyn, queries, k=5, search_window_size=20))
+    check(
+        "vamana: post-mutation search still reads a persisted layout",
+        bool(no_scan_exchange.search(p)),
+    )
+
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
 
