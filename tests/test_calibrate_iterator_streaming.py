@@ -176,3 +176,34 @@ def test_streaming_windowed_events(spark, sf_dir):
     # totals preserved across windows
     total = agg.agg(F.sum("n_events")).collect()[0][0]
     assert total == events.count()
+
+
+def test_stream_knn_matches_batch(spark, embeddings, tmp_path):
+    """Streaming k-NN (foreachBatch over a query file stream) must equal
+    the batch flat_knn answer for the same queries."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+    from scalablevectorsearch_spark.streaming.search import (
+        stream_knn,
+        stream_queries,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    q_batch = base.filter(F.col("id") < 12).selectExpr("id as qid", "vector")
+    src = str(tmp_path / "qstream")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # two "arrivals" of queries as separate files
+    q_batch.filter(F.col("qid") < 6).write.mode("append").parquet(src)
+    q_batch.filter(F.col("qid") >= 6).write.mode("append").parquet(src)
+
+    stream_knn(base, stream_queries(spark, src), out, ck, k=5, distance="l2")
+
+    got = sorted(
+        (r["qid"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    exact = sorted(
+        (r["qid"], r["rank"], r["neighbor_id"])
+        for r in flat_knn(base, q_batch, k=5).collect()
+    )
+    assert got == exact
