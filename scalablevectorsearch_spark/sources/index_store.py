@@ -194,21 +194,27 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         F.col(index.id_col).cast("long").alias("id"), F.col(index.vec_col).alias("vector")
     )
     p = index.params
-    return save_index(
-        path,
-        {"data": data, "graph": index.graph},
-        "vamana_index",
-        params={
-            "distance": index.distance,
-            "dims": _dims_of(index.base, index.vec_col),
-            "n_shards": index.n_shards,
-            "alpha": p.alpha,
-            "graph_max_degree": p.graph_max_degree,
-            "window_size": p.window_size,
-            "max_candidate_pool_size": p.max_candidate_pool_size,
-            "prune_to": p.prune_to,
-        },
-    )
+    tables = {"data": data, "graph": index.graph}
+    params = {
+        "distance": index.distance,
+        "dims": _dims_of(index.base, index.vec_col),
+        "n_shards": index.n_shards,
+        "shard_by": "hash" if index.shard_model is None else "kmeans",
+        "alpha": p.alpha,
+        "graph_max_degree": p.graph_max_degree,
+        "window_size": p.window_size,
+        "max_candidate_pool_size": p.max_candidate_pool_size,
+        "prune_to": p.prune_to,
+    }
+    if index.shard_model is not None:
+        # cluster-sharded (SPANN-style) layout: the centroids ARE part
+        # of the index — without them a loaded index would re-stamp
+        # vectors by hash and disagree with the saved per-cell graphs
+        spark = index.base.sparkSession
+        tables["shard_centroids"] = index.shard_model.centroids_df(spark)
+        params["shard_n_iters"] = index.shard_model.n_iters
+        params["shard_round_decimals"] = index.shard_model.round_decimals
+    return save_index(path, tables, "vamana_index", params=params)
 
 
 def load_vamana(spark: SparkSession, path: str, validate: bool = False):
@@ -235,6 +241,21 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         max_candidate_pool_size=p["max_candidate_pool_size"],
         prune_to=p["prune_to"],
     )
+    shard_model = None
+    if p.get("shard_by") == "kmeans":
+        from scalablevectorsearch_spark.operators.kmeans import KMeansModel
+
+        rows = tables["shard_centroids"].orderBy("cluster_id").collect()
+        C = np.stack([np.asarray(r["centroid"], dtype=np.float64) for r in rows])
+        if C.shape[0] != p["n_shards"]:
+            raise ManifestError(
+                f"shard centroid count {C.shape[0]} != n_shards {p['n_shards']}"
+            )
+        shard_model = KMeansModel(
+            centroids=C,
+            n_iters=p.get("shard_n_iters", 0),
+            round_decimals=p.get("shard_round_decimals", 6),
+        )
     idx = VamanaIndex(
         graph=tables["graph"],
         base=data,
@@ -243,15 +264,16 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         n_shards=p["n_shards"],
         id_col="id",
         vec_col="vector",
+        shard_model=shard_model,
     )
-    # hash-sharded layouts are reconstructible from the data table (shard
-    # = id mod n_shards); kmeans-sharded indexes fall back to the
-    # stamp-per-search path (their shard_model is not persisted here)
+    # rebuild the persisted layout with the SAME sharding the graphs
+    # were built under (hash: id mod n_shards; kmeans: nearest saved
+    # centroid)
     from scalablevectorsearch_spark.operators.vamana import _by_shard, _sharded
     from pyspark.storagelevel import StorageLevel
 
     idx.layout = _by_shard(
-        _sharded(data, p["n_shards"], "id", None, "vector").select(
+        _sharded(data, p["n_shards"], "id", shard_model, "vector").select(
             "shard_id",
             F.col("id").cast("long").alias("__id"),
             F.col("vector").alias("__vec"),

@@ -200,3 +200,28 @@ def test_layout_drift_detected(spark, base):
     ).parquet(f"{p}/data")
     with pytest.raises(ManifestError, match="drifted"):
         load_index(spark, p)
+
+
+def test_kmeans_sharded_vamana_roundtrip(spark, base, queries):
+    """Cluster-sharded (SPANN-style) indexes must persist their shard
+    centroids: a loaded index re-stamps vectors with the SAME cells the
+    graphs were built under, and routed searches keep working."""
+    from scalablevectorsearch_spark.operators.vamana import vamana_search
+
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20),
+        n_shards=4, shard_by="kmeans",
+    )
+    direct = _rows(vamana_search(idx, queries, k=5, search_window_size=20))
+    save_vamana(idx, f"{ART}/vamana_km")
+    loaded = load_vamana(spark, f"{ART}/vamana_km")
+    assert loaded.shard_model is not None
+    import numpy as np
+
+    np.testing.assert_array_equal(
+        loaded.shard_model.centroids, idx.shard_model.centroids
+    )
+    assert direct == _rows(vamana_search(loaded, queries, k=5, search_window_size=20))
+    # routed search on the loaded index
+    routed = vamana_search(loaded, queries, k=5, search_window_size=20, n_probes=2)
+    assert routed.count() > 0
