@@ -41,6 +41,13 @@ class VamanaParams:
     #: reverse-edge insertion — "can result in significant speedups in
     #: index building" (build_params.h:65-67)
     prune_to: int | None = None
+    #: build_params.h:69-74: prune each node against EVERY node its
+    #: construction search visited, not just the final search buffer.
+    #: The reference defaults to True (preprocessor.h:181) — "may yield
+    #: a slightly better graph at the cost of more [build] time"; this
+    #: engine defaults to False because the visited pool is several
+    #: times the buffer and the alpha-prune is the build's hot spot.
+    use_full_search_history: bool = False
 
     @property
     def prune_target(self) -> int:
@@ -211,7 +218,8 @@ def batch_greedy_search(
     NB: np.ndarray | None = None,
     lazy: bool = False,
     x_sq: np.ndarray | None = None,
-) -> tuple[np.ndarray, np.ndarray]:
+    track: bool = False,
+):
     """Frontier-synchronous batch traversal: every query expands its
     best unexpanded in-window node each round, vectorized across the
     batch. Query-for-query IDENTICAL to looping :func:`greedy_search`
@@ -230,8 +238,13 @@ def batch_greedy_search(
     GEMM path (different accumulation blocking); use above
     :data:`LAZY_N` where the traversal visits a vanishing fraction of
     the base. Ignored when ``D`` is supplied.
+    ``track``: additionally return the FULL visited history as
+    (offsets, ids, dists) — per-query segments ids[offsets[q]:
+    offsets[q+1]] sorted by (distance, id); the OptionalTracker of
+    vamana_build.h:353 that feeds use_full_search_history pruning.
     Returns (ids, dists) as (nq, cap) arrays padded with id -1 / inf,
-    each row sorted best-first by (distance, id)."""
+    each row sorted best-first by (distance, id); with ``track`` a
+    third element carries the history."""
     nq = Q.shape[0]
     n = X.shape[0]
     cap = max(capacity or window_size, window_size)
@@ -279,6 +292,15 @@ def batch_greedy_search(
     buf_ids[:, :ne] = eps[order]
     buf_d[:, :ne] = np.take_along_axis(d0, order, axis=-1)
     seen[:, eps] = True
+    log: list[tuple[np.ndarray, np.ndarray, np.ndarray]] = []
+    if track:
+        log.append(
+            (
+                np.repeat(np.arange(nq), ne),
+                np.tile(eps, nq),
+                d0.reshape(-1),
+            )
+        )
 
     w = min(window_size, cap)
     # active-set compaction: a query whose window holds no unexpanded
@@ -312,6 +334,9 @@ def batch_greedy_search(
         else:
             nd = np.where(ok, _pair_d(act, safe), np.inf)
         nid = np.where(ok, nbrs, -1)
+        if track:
+            ti, tj = np.nonzero(ok)
+            log.append((act[ti], nbrs[ti, tj], nd[ti, tj]))
         # merge: buffer keeps (cap) best by (dist, id); padded slots
         # (inf, -1) sort last and are never expanded
         md = NB.shape[1]
@@ -322,7 +347,15 @@ def batch_greedy_search(
         buf_d[act] = np.take_along_axis(buf_d[act], order, axis=-1)
         buf_ids[act, cap:] = -1
         buf_d[act, cap:] = np.inf
-    return buf_ids[:, :cap], buf_d[:, :cap]
+    if not track:
+        return buf_ids[:, :cap], buf_d[:, :cap]
+    rows = np.concatenate([r for r, _, _ in log])
+    vids = np.concatenate([i for _, i, _ in log])
+    vds = np.concatenate([d for _, _, d in log])
+    order = np.lexsort((vids, vds, rows))
+    rows, vids, vds = rows[order], vids[order], vds[order]
+    offsets = np.searchsorted(rows, np.arange(nq + 1))
+    return buf_ids[:, :cap], buf_d[:, :cap], (offsets, vids, vds)
 
 
 def alpha_prune(
@@ -471,19 +504,37 @@ def build_graph(
         NB, _ = _pad_graph(graph)  # frozen for the whole batch
 
         updates: list[tuple[int, np.ndarray]] = []
+        full = params.use_full_search_history
         for c0 in range(start, stop, cs):
             c1 = min(stop, c0 + cs)
             blk = None if lazy else batch_distances(X, X[c0:c1], distance, x_sq=x_sq)
-            bids, bds = batch_greedy_search(
+            out = batch_greedy_search(
                 X, graph, [entry], X[c0:c1], params.window_size, distance,
                 D=blk, NB=NB, lazy=lazy, x_sq=x_sq if distance != "ip" else None,
+                track=full,
             )
-            updates.extend(
-                _generate_one(
-                    X, graph, node, bids[node - c0], bds[node - c0], params, distance
+            if full:
+                # prune against the whole visited history, not just the
+                # final buffer (vamana_build.h:353 OptionalTracker,
+                # reference default use_full_search_history=true)
+                bids, bds, (offs, vids, vds) = out
+                updates.extend(
+                    _generate_one(
+                        X, graph, node,
+                        vids[offs[node - c0]:offs[node - c0 + 1]],
+                        vds[offs[node - c0]:offs[node - c0 + 1]],
+                        params, distance,
+                    )
+                    for node in range(c0, c1)
                 )
-                for node in range(c0, c1)
-            )
+            else:
+                bids, bds = out
+                updates.extend(
+                    _generate_one(
+                        X, graph, node, bids[node - c0], bds[node - c0], params, distance
+                    )
+                    for node in range(c0, c1)
+                )
         for node, adj in updates:
             graph[node] = adj
 

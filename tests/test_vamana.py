@@ -167,3 +167,33 @@ def test_exhaustive_window_equals_flat(spark, embeddings):
         for r in flat_knn(base, q, k=7).collect()
     )
     assert via_graph == exact
+
+
+def test_full_search_history_build(spark, embeddings):
+    """use_full_search_history=True (the reference default,
+    preprocessor.h:181) prunes against every visited node; the build
+    stays deterministic and searches stay sane."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.vamana_local import (
+        batch_greedy_search,
+        build_graph,
+    )
+
+    pdf = embeddings.orderBy("vec_id").toPandas()
+    X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    P = VamanaParams(
+        graph_max_degree=8, window_size=20, use_full_search_history=True
+    )
+    g1, e1 = build_graph(X, P, "l2")
+    g2, e2 = build_graph(X, P, "l2")
+    assert e1 == e2 and all(np.array_equal(a, b) for a, b in zip(g1, g2))
+    assert max(len(a) for a in g1) <= 8
+    # tracked history is a sorted superset of the returned buffer
+    bids, _, (offs, vids, vds) = batch_greedy_search(
+        X, g1, [e1], X[:10], 15, "l2", track=True
+    )
+    for qi in range(10):
+        seg = vids[offs[qi]:offs[qi + 1]]
+        assert set(bids[qi][bids[qi] >= 0]) <= set(seg.tolist())
+        assert np.all(np.diff(vds[offs[qi]:offs[qi + 1]]) >= 0)
