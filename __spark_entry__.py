@@ -513,6 +513,19 @@ def _dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs)
 
 
+def _normalize_text_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from scalablevectorsearch_spark.pipeline.text import normalize_text
+
+    clean = normalize_text(_docs(spark, sf_dir))
+    return clean.select(
+        "doc_id",
+        F.length("clean_text").alias("clean_n_chars"),
+        F.conv(F.substring(F.md5("clean_text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("clean_hash"),
+    )
+
+
 def _simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_docs(spark, sf_dir), n_bits=32)
 
@@ -594,6 +607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
         "text_stats": _text_stats_query,
+        "normalize_text": _normalize_text_query,
         "lang_id": _lang_id_query,
         "doc_fingerprints": _doc_fingerprints_query,
         "dedup_exact": _dedup_exact_query,
@@ -645,6 +659,7 @@ def oracle_sql() -> dict[str, str]:
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
         ),
         "text_stats": oracles.text_stats_sql(),
+        "normalize_text": oracles.normalize_text_sql(),
         "lang_id": oracles.lang_id_sql(),
         "doc_fingerprints": oracles.doc_fingerprints_sql(16, 8),
         "dedup_exact": oracles.dedup_exact_sql(10, 10000),

@@ -688,6 +688,26 @@ SELECT id_a, id_b, {e4} AS cosine_e4 FROM p WHERE {e4} >= {t_e4}
 """.strip()
 
 
+def normalize_text_sql() -> str:
+    """Same passes, same order as pipeline/text.py:NORMALIZE_PASSES.
+    DuckDB regexp_replace needs the 'g' flag (Spark replaces all
+    matches by default); the gate compares (doc_id, clean_n_chars,
+    clean_hash) so row size stays bounded."""
+    from scalablevectorsearch_spark.pipeline.text import NORMALIZE_PASSES
+
+    expr = "text"
+    for pat, rep in NORMALIZE_PASSES:
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{rep}', 'g')"
+    expr = f"lower(trim({expr}))"
+    md5i = _MD5I_SQL.format(s="clean_text")
+    return f"""
+WITH c AS (SELECT doc_id, {expr} AS clean_text FROM documents)
+SELECT doc_id, length(clean_text) AS clean_n_chars, {md5i} AS clean_hash
+FROM c
+""".strip()
+
+
 def media_features_sql() -> str:
     """Byte-exact replica of the fake-decode feature kernel
     (pipeline/multimodal.py): width=height=8 makes the resize an

@@ -139,3 +139,35 @@ def doc_fingerprints(
         df.select(F.col(id_col).alias("doc_id"), F.expr(hs).alias("__hs"))
         .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
     )
+
+
+#: normalization passes applied IN ORDER in both engines (order is part
+#: of the cross-engine contract: a URL containing '@' must be removed
+#: by the URL pass, not mangled by the email pass)
+NORMALIZE_PASSES = [
+    (r"https?://[^\s]+", " "),   # URLs
+    (r"[^\s]+@[^\s]+\.[^\s]+", " "),  # emails
+    (r"\s+", " "),               # collapse whitespace
+]
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lowercase: bool = True,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Boilerplate-stripping text normalization — the cleaning pass a
+    training-data pipeline runs before dedup/quality scoring: drop
+    URLs and emails, collapse whitespace, trim, optionally lowercase.
+    Pure Catalyst regexp_replace chain (JVM-side, one scan, no
+    shuffle); the same passes in the same order are SQL-expressible,
+    so the operator is hash-gated cross-engine."""
+    c = F.col(text_col)
+    for pat, rep in NORMALIZE_PASSES:
+        c = F.regexp_replace(c, pat, rep)
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.select(F.col(id_col).alias("doc_id"), c.alias(out_col))

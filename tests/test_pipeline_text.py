@@ -120,3 +120,22 @@ def test_dedup_components_transitive_chain(spark):
         for r in dedup_components(pairs).collect()
     }
     assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
+
+
+def test_normalize_text_strips_boilerplate(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_exact  # noqa: F401
+    from scalablevectorsearch_spark.pipeline.text import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Visit https://example.com/page?q=1 NOW"),
+            (2, "mail me at a.b@test.org   please"),
+            (3, "  Already   Clean  "),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["clean_text"]
+        for r in normalize_text(docs).collect()
+    }
+    assert got == {1: "visit now", 2: "mail me at please", 3: "already clean"}
