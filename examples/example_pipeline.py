@@ -34,10 +34,24 @@ def main() -> None:
     # 2. language distribution (heuristic)
     lang_id(docs).groupBy("pred_lang").count().orderBy("pred_lang").show()
 
-    # 3. exact + near dedup (banded MinHash, never all-pairs)
+    # 2b. boilerplate strip before fingerprinting/dedup
+    from scalablevectorsearch_spark.pipeline.text import normalize_text
+
+    clean = normalize_text(docs)
+    print(f"normalized {clean.count()} docs (URLs/emails stripped)")
+
+    # 3. exact + near dedup (banded MinHash, never all-pairs), then
+    # collapse the pair graph to canonical ids (A~B, B~C -> one cluster)
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_components
+
     exact = dedup_exact(docs).filter("is_dup").count()
     near = dedup_minhash(docs, threshold=0.5)
-    print(f"exact dups: {exact}, near-dup pairs (j>=0.5): {near.count()}")
+    comp = dedup_components(near)
+    n_clusters_dup = comp.select("canonical_id").distinct().count()
+    print(
+        f"exact dups: {exact}, near-dup pairs (j>=0.5): {near.count()}, "
+        f"dup clusters: {n_clusters_dup}"
+    )
 
     # 4. embedding-space near-dups, cluster-bucketed
     pairs = embedding_neardup_clustered(emb, threshold=0.9, n_clusters=16)
