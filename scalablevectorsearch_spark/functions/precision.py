@@ -38,9 +38,16 @@ def unpack_f16(buf: bytes) -> np.ndarray:
 
 def pack_bf16(X: np.ndarray) -> np.ndarray:
     """float32 -> bfloat16 bytes (keep high 16 bits, round-to-nearest-even
-    on the dropped mantissa half — the standard truncation rule)."""
-    U = np.ascontiguousarray(X, dtype=np.float32).view(np.uint32)
+    on the dropped mantissa half — the standard truncation rule).
+
+    NaN inputs bypass the rounding add (whose uint32 wrap would turn
+    e.g. 0xFFFFFFFF into +0.0 and 0x7F800001 into +Inf): they truncate
+    with a forced mantissa bit so the result stays NaN — the TF/torch
+    bf16 rule."""
+    F32 = np.ascontiguousarray(X, dtype=np.float32)
+    U = F32.view(np.uint32)
     rounded = (U + 0x7FFF + ((U >> 16) & 1)) >> 16
+    rounded = np.where(np.isnan(F32), (U >> 16) | 0x0040, rounded)
     H = rounded.astype(np.uint16)
     return np.asarray([h.tobytes() for h in H], dtype=object)
 

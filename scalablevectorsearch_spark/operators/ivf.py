@@ -105,20 +105,22 @@ def probe_clusters_epsilon(
     :508 refinement_epsilon_): probe every cluster whose e4 centroid
     key is within (1 + epsilon) of the best, epsilon expressed in basis
     points so the cutoff is exact integer arithmetic in both engines:
-    probe c iff key_c * 10000 <= key_best * (10000 + epsilon_bp).
+    probe c iff key_c * 10000 <= key_best * 10000 + |key_best| * epsilon_bp.
+    The additive |key_best| slack equals the reference's multiplicative
+    (1 + epsilon) rule for non-negative keys (the L2 case the oracle
+    gates) and stays sign-correct when the best key is negative (negated
+    similarity keys): a pure multiplicative cutoff would shrink BELOW
+    the best key there and probe nothing. The argmin cluster always
+    satisfies the cutoff (slack >= 0).
     Returns one variable-length cluster-id array per query."""
     D = pairwise_distances(Q, centroids, distance)
     key = np.floor(D * 1e4 + 0.5).astype(np.int64)
-    maximize = is_similarity(distance)
-    if maximize:
+    if is_similarity(distance):
         key = -key
-    # widen the cutoff away from the best key; for similarity metrics the
-    # negated key flips the factor (cutoff toward smaller similarity)
-    factor = 10000 - epsilon_bp if maximize else 10000 + epsilon_bp
     out: list[np.ndarray] = []
     for qi in range(key.shape[0]):
         k_best = int(key[qi].min())
-        cut = k_best * factor
+        cut = k_best * 10000 + abs(k_best) * epsilon_bp
         sel = np.nonzero(key[qi] * 10000 <= cut)[0]
         if max_probes is not None and len(sel) > max_probes:
             order = np.lexsort((sel, key[qi, sel]))[:max_probes]
@@ -222,6 +224,7 @@ def ivf_search(
     qvec_col: str | None = None,
     round_to: int | None = 4,
     epsilon_bp: int | None = None,
+    max_probes: int | None = None,
     k_reorder: int | None = None,
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
@@ -264,8 +267,11 @@ def ivf_search(
 
     probe_of: dict[int, np.ndarray] = {}
     if epsilon_bp is not None:
+        # epsilon probing is uncapped by default ("every cluster within
+        # (1+epsilon)", memory_based.h:508); the fixed n_probes budget
+        # does NOT apply here — cap only via the explicit max_probes.
         sel = probe_clusters_epsilon(
-            Q, index.model.centroids, epsilon_bp, max_probes=n_probes or None,
+            Q, index.model.centroids, epsilon_bp, max_probes=max_probes,
             distance=distance,
         )
         for qi, cids in enumerate(sel):

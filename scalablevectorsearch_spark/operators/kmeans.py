@@ -326,7 +326,13 @@ def assign_hierarchical(
             ca = np.zeros(len(V), dtype=np.int32)
             for p in np.unique(pa):
                 rows_ = pa == p
-                ca[rows_] = _nearest_centroid(V[rows_], CM[int(p)])
+                # a parent empty at training time has no child model
+                # (children are trained per non-empty parent only);
+                # assigning NEW data can still land on it — fall back
+                # to child 0 (= the parent centroid's whole cell)
+                cm = CM.get(int(p))
+                if cm is not None:
+                    ca[rows_] = _nearest_centroid(V[rows_], cm)
             yield pd.DataFrame(
                 {
                     "id": pdf["__id"].to_numpy(dtype=np.int64),

@@ -584,14 +584,21 @@ def search_graph(
 
     ``valid``: optional (n,) bool — tombstoned nodes (False) are
     traversed but excluded from results, matching the dynamic index's
-    skip-deleted buffer (dynamic_search_buffer.h). The capacity is
-    widened so deleted entries don't crowd out k live results."""
+    skip-deleted buffer (dynamic_search_buffer.h). The reference buffer
+    does not count deleted entries toward the window target, so the
+    traversal keeps exploring until enough LIVE candidates settle; this
+    batch kernel emulates that by re-searching any query that yielded
+    fewer than k live results with a doubled window+capacity, until it
+    finds k or the window covers the whole set (then the traversal has
+    seen the entire reachable component). A fixed widening of
+    min(#deleted, k) can starve when deletions crowd the buffer top."""
     nq = Q.shape[0]
+    w = window_size
     cap = max(capacity or window_size, window_size, k)
     if valid is not None:
-        # worst case the top of the buffer is all deleted; widen by the
-        # smaller of (#deleted, k) like the capacity-extended buffer
-        cap = cap + int(min((~valid).sum(), k))
+        # first guess: widen by the smaller of (#deleted, cap); the
+        # retry loop below guarantees correctness when this undershoots
+        cap = cap + int(min((~valid).sum(), cap))
     out_ids = np.full((nq, k), -1, dtype=np.int64)
     out_d = np.full((nq, k), np.inf, dtype=np.float64)
     x_sq = np.einsum("ij,ij->i", X, X) if distance in ("l2", "cosine") else None
@@ -602,20 +609,36 @@ def search_graph(
     # the footprint); lazy mode: distances evaluated per round for
     # visited nodes only, masks are the footprint
     chunk = max(1, min(nq, (64_000_000 if lazy else 8_000_000) // max(n, 1)))
-    for c0 in range(0, nq, chunk):
-        c1 = min(nq, c0 + chunk)
-        D = None if lazy else batch_distances(X, Q[c0:c1], distance, x_sq=x_sq)
-        bids, bds = batch_greedy_search(
-            X, graph, [entry], Q[c0:c1], window_size, distance,
-            capacity=cap, D=D, NB=NB, lazy=lazy, x_sq=x_sq,
-        )
-        keep = bids >= 0
-        if valid is not None:
-            keep &= valid[np.maximum(bids, 0)]
-        # first k kept entries per row (rows are sorted best-first)
-        keep &= np.cumsum(keep, axis=1) <= k
-        r, c = np.nonzero(keep)
-        dest = (np.cumsum(keep, axis=1) - 1)[keep]
-        out_ids[c0 + r, dest] = bids[keep]
-        out_d[c0 + r, dest] = bds[keep]
+    remaining = np.arange(nq, dtype=np.int64)
+    while len(remaining):
+        deficient: list[np.ndarray] = []
+        for c0 in range(0, len(remaining), chunk):
+            idx = remaining[c0 : c0 + chunk]
+            D = None if lazy else batch_distances(X, Q[idx], distance, x_sq=x_sq)
+            bids, bds = batch_greedy_search(
+                X, graph, [entry], Q[idx], w, distance,
+                capacity=cap, D=D, NB=NB, lazy=lazy, x_sq=x_sq,
+            )
+            keep = bids >= 0
+            if valid is not None:
+                keep &= valid[np.maximum(bids, 0)]
+            live_counts = keep.sum(axis=1)
+            # first k kept entries per row (rows are sorted best-first)
+            keep &= np.cumsum(keep, axis=1) <= k
+            out_ids[idx] = -1
+            out_d[idx] = np.inf
+            r, c = np.nonzero(keep)
+            dest = (np.cumsum(keep, axis=1) - 1)[keep]
+            out_ids[idx[r], dest] = bids[keep]
+            out_d[idx[r], dest] = bds[keep]
+            short = live_counts < k
+            if short.any():
+                deficient.append(idx[short])
+        # w >= n => the settled buffer held every reachable node; the
+        # remaining shortfall means the live component is just < k
+        if not deficient or w >= n:
+            break
+        remaining = np.concatenate(deficient)
+        w = min(n, w * 2)
+        cap = max(cap * 2, w)
     return out_ids, out_d
