@@ -272,13 +272,29 @@ VAMANA_SWS = 30
 
 
 def _vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # no SQL oracle (iterative graph build is not SQL-expressible);
-    # the driver records the weaker rows-only check, and vamana_recall +
-    # tests/test_vamana.py carry the quality gate
+    """Invariant-verdict hash gate for the approximate search at its
+    PRODUCTION window size (the exact values aren't SQL-expressible;
+    vamana_exhaustive_knn hash-gates the machinery, vamana_recall the
+    quality): one row per (qid, rank) verifying rank completeness,
+    distance monotonicity, per-query neighbor distinctness, and base
+    membership — the oracle is the constant all-true verdict table, so
+    any violated invariant (or missing/extra row) breaks the hash."""
+    from pyspark.sql import Window
+
     base = _base(spark, sf_dir).select("id", "vector")
     index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
     res = vamana_search(index, _queries_df(spark, sf_dir), k=K, search_window_size=VAMANA_SWS)
-    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+    res = res.withColumn("d_e4", E4("distance"))
+    members = base.select(F.col("id").alias("neighbor_id"), F.lit(1).alias("__in_base"))
+    res = res.join(F.broadcast(members), "neighbor_id", "left")
+    prev = F.lag("d_e4").over(Window.partitionBy("qid").orderBy("rank"))
+    dup = F.count("*").over(Window.partitionBy("qid", "neighbor_id"))
+    ok = (
+        (F.col("__in_base") == 1)
+        & (prev.isNull() | (F.col("d_e4") >= prev))
+        & (dup == 1)
+    )
+    return res.select("qid", "rank", ok.cast("long").alias("ok"))
 
 
 def _vamana_exhaustive_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -296,7 +312,30 @@ def _vamana_exhaustive_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+# Recall floors for the verdict gates: observed recalls are 0.992-0.996
+# (vamana), 0.896-0.904 (routed/router), 0.994-0.999 (dynamic) at
+# sf0.001/sf0.01 — floors sit a safety margin below while still
+# catching any real quality regression.
+VAMANA_RECALL_FLOOR_E4 = 9500
+ROUTED_RECALL_FLOOR_E4 = 8500
+DYNAMIC_RECALL_FLOOR_E4 = 9500
+
+
+def _recall_verdict(matched_nq: DataFrame, floor_e4: int) -> DataFrame:
+    """(ok, floor_e4, n_queries) — ok = recall >= floor in exact integer
+    arithmetic (matched * 10000 >= floor_e4 * k * n_queries)."""
+    return matched_nq.select(
+        (F.col("matched") * 10000 >= F.lit(floor_e4) * K * F.col("n_queries"))
+        .cast("long")
+        .alias("ok"),
+        F.lit(floor_e4).cast("long").alias("floor_e4"),
+        F.col("n_queries").cast("long").alias("n_queries"),
+    )
+
+
 def _vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall-floor verdict (hash-gated): matched count vs the exact
+    flat oracle, asserted >= VAMANA_RECALL_FLOOR_E4."""
     base = _base(spark, sf_dir).select("id", "vector")
     q = _queries_df(spark, sf_dir)
     gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
@@ -308,7 +347,7 @@ def _vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("matched")
     )
     nq = res.agg(F.countDistinct("qid").alias("n_queries"))
-    return matched.crossJoin(nq)
+    return _recall_verdict(matched.crossJoin(nq), VAMANA_RECALL_FLOOR_E4)
 
 
 DYN_ADDED = 5
@@ -318,7 +357,7 @@ DYN_DEL_LO, DYN_DEL_HI = 5, 15
 
 def _vamana_routed_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPANN-style: kmeans-sharded Vamana with n_probes routing; recall
-    vs exact flat (rows-only; floors in tests/test_vamana.py)."""
+    vs exact flat, emitted as a hash-gated floor verdict."""
     base = _base(spark, sf_dir).select("id", "vector")
     q = _queries_df(spark, sf_dir)
     gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
@@ -330,15 +369,15 @@ def _vamana_routed_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("matched")
     )
     nq = res.agg(F.countDistinct("qid").alias("n_queries"))
-    return matched.crossJoin(nq)
+    return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
 
 
 def _vamana_router_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sublinear probe selection: a Vamana graph over the shard
     centroids (the two-level Inverted primary-index design,
     clustering.h:786-809) routes each query to its n_probes cells
-    without the exact O(C*d) centroid argmin. Recall vs exact flat
-    (rows-only; probe-overlap and recall floors in
+    without the exact O(C*d) centroid argmin. Recall vs exact flat,
+    emitted as a hash-gated floor verdict (probe-overlap floors in
     tests/test_router.py)."""
     from scalablevectorsearch_spark.operators.router import build_centroid_router
 
@@ -354,12 +393,17 @@ def _vamana_router_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("matched")
     )
     nq = res.agg(F.countDistinct("qid").alias("n_queries"))
-    return matched.crossJoin(nq)
+    return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
+
+
+CALIBRATE_TARGET_E4 = 9000
+CALIBRATE_MAX_WINDOW = 64
 
 
 def _calibrate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-targeted window calibration (§2.13) — rows-only: the
-    binary search over a deterministic index is itself deterministic."""
+    """Recall-targeted window calibration (§2.13), hash-gated as a
+    verdict: the calibrated window must actually achieve the target
+    recall and respect the window bounds."""
     from scalablevectorsearch_spark.operators.calibrate import calibrate_window
 
     base = _base(spark, sf_dir).select("id", "vector")
@@ -368,29 +412,36 @@ def _calibrate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     gt = flat_knn(base, q, k=K, distance="l2", round_to=4)
     res = calibrate_window(
         lambda w: vamana_search(index, q, k=K, search_window_size=w),
-        gt, k=K, target_recall=0.9, max_window=64,
+        gt, k=K, target_recall=CALIBRATE_TARGET_E4 / 10000, max_window=CALIBRATE_MAX_WINDOW,
     )
     import math
 
+    ok_recall = int(math.floor(res.recall * 10000 + 0.5) >= CALIBRATE_TARGET_E4)
+    ok_window = int(1 <= res.search_window_size <= CALIBRATE_MAX_WINDOW)
     return spark.createDataFrame(
-        [
-            (
-                res.search_window_size,
-                int(math.floor(res.recall * 10000 + 0.5)),
-                len(res.probes),
-            )
-        ],
-        "search_window_size int, recall_e4 long, n_probes_evaluated int",
+        [(ok_recall, ok_window, CALIBRATE_TARGET_E4, CALIBRATE_MAX_WINDOW)],
+        "ok_recall long, ok_window long, target_e4 long, max_window long",
     )
 
 
 def _graph_degree_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Degree histogram of the deterministic Vamana graph — rows-only."""
+    """Degree-stat verdicts over the deterministic Vamana graph,
+    hash-gated against real data: n_nodes must equal count(*) of the
+    base table (the graph covers every row — the oracle computes the
+    count from the embeddings table itself), max degree must respect
+    the build bound, min degree >= 1 (no isolated nodes)."""
     from scalablevectorsearch_spark.operators.vamana import graph_degree_stats
 
     base = _base(spark, sf_dir).select("id", "vector")
     index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
-    return graph_degree_stats(index.graph)
+    stats = graph_degree_stats(index.graph)
+    return stats.agg(
+        F.sum("n_nodes").cast("long").alias("n_nodes"),
+        (F.max("degree") <= VAMANA_PARAMS.graph_max_degree)
+        .cast("long")
+        .alias("ok_max_degree"),
+        (F.min("degree") >= 1).cast("long").alias("ok_min_degree"),
+    )
 
 
 def _dynamic_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -439,8 +490,8 @@ def _dynamic_vamana_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFr
 
 def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 cycle: build -> add 1% -> delete 1% -> consolidate -> search;
-    recall vs exact flat over the mutated base (rows-only gate; the
-    recall floor is asserted in tests/test_dynamic.py)."""
+    recall vs exact flat over the mutated base, emitted as a hash-gated
+    floor verdict."""
     base = _base(spark, sf_dir).select("id", "vector")
     q = _queries_df(spark, sf_dir)
     n = base.count()
@@ -466,7 +517,7 @@ def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("matched")
     )
     nq = res.agg(F.countDistinct("qid").alias("n_queries"))
-    return matched.crossJoin(nq)
+    return _recall_verdict(matched.crossJoin(nq), DYNAMIC_RECALL_FLOOR_E4)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -650,6 +701,23 @@ def oracle_sql() -> dict[str, str]:
         "sq_roundtrip": oracles.sq_roundtrip_sql(50),
         "sq_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
         "sq_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
+        # invariant-verdict gates (oracles.py tail): constant-truth /
+        # data-dependent verdict tables for the non-SQL-expressible ops
+        "vamana_knn": oracles.knn_invariant_verdict_sql(K, N_QUERIES),
+        "vamana_recall": oracles.recall_verdict_sql(VAMANA_RECALL_FLOOR_E4, N_QUERIES),
+        "vamana_routed_recall": oracles.recall_verdict_sql(
+            ROUTED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "vamana_router_recall": oracles.recall_verdict_sql(
+            ROUTED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "calibrate_window": oracles.calibrate_verdict_sql(
+            CALIBRATE_TARGET_E4, CALIBRATE_MAX_WINDOW
+        ),
+        "graph_degree_stats": oracles.degree_stats_verdict_sql(),
+        "dynamic_vamana_recall": oracles.recall_verdict_sql(
+            DYNAMIC_RECALL_FLOOR_E4, N_QUERIES
+        ),
         "dynamic_flat_knn": oracles.dynamic_flat_knn_sql(
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
         ),

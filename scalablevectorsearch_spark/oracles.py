@@ -755,3 +755,51 @@ SELECT vec_id AS id, pos - 1 AS pos, {val_e4} AS val_e4
 FROM (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
       FROM embeddings WHERE vec_id < {n_ids}) u
 """.strip()
+
+
+# ---------------------------------------------------------------------------
+# Invariant-verdict oracles: for operators whose VALUES are not
+# SQL-expressible (iterative graph builds, binary-search calibration),
+# the Spark query emits deterministic PASS/FAIL verdicts on invariants
+# the result must satisfy, and the oracle is the constant all-true
+# table — so the driver's value hash bites on the verdicts. This is the
+# reference's golden-gating style (vamana_reference.toml:26-59: recall
+# floors + structural expectations, not exact neighbor lists).
+
+
+def recall_verdict_sql(floor_e4: int, n_queries: int) -> str:
+    """ok = (matched/(k*n_queries) >= floor) as 1/0; the oracle asserts
+    the floor holds and pins the floor + query count as values."""
+    return (
+        f"SELECT CAST(1 AS BIGINT) AS ok, CAST({floor_e4} AS BIGINT) AS floor_e4, "
+        f"CAST({n_queries} AS BIGINT) AS n_queries"
+    )
+
+
+def knn_invariant_verdict_sql(k: int, n_queries: int) -> str:
+    """One verdict row per expected (qid, rank): the Spark side checks
+    rank ordering, distance monotonicity, per-query neighbor
+    distinctness and base membership; row count doubles as a
+    completeness check (every query returns exactly k results)."""
+    return (
+        f"SELECT q.qid, r.r AS rank, CAST(1 AS BIGINT) AS ok\n"
+        f"FROM range(0, {n_queries}) q(qid) CROSS JOIN range(1, {k} + 1) r(r)"
+    )
+
+
+def degree_stats_verdict_sql() -> str:
+    """n_nodes is data-dependent (the graph must cover every base row —
+    count(*) FROM embeddings); degree bounds are constant verdicts."""
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST(1 AS BIGINT) AS ok_max_degree, CAST(1 AS BIGINT) AS ok_min_degree "
+        "FROM embeddings"
+    )
+
+
+def calibrate_verdict_sql(target_e4: int, max_window: int) -> str:
+    return (
+        f"SELECT CAST(1 AS BIGINT) AS ok_recall, CAST(1 AS BIGINT) AS ok_window, "
+        f"CAST({target_e4} AS BIGINT) AS target_e4, "
+        f"CAST({max_window} AS BIGINT) AS max_window"
+    )
