@@ -19,11 +19,11 @@ Spark shape (bulk-synchronous, scale-first):
    a broadcast skip-set. The 100 TB base is NEVER shuffled by a
    mutation: validations are pushed-down ``isin`` filters or broadcast
    semi-joins, additions are a union, deletes are a filter.
- - ``add_points`` re-links only the touched shards: the reference
-   inserts one point by searching+pruning within the whole single-node
-   graph; sharded, the unit of incremental work is the shard, so an
-   insert batch triggers an applyInPandas rebuild of just the shards
-   that received rows (untouched shards' adjacency is reused verbatim).
+ - ``add_points`` links new points INCREMENTALLY into the touched
+   shards' existing graphs (greedy search + alpha-prune + reverse
+   edges, dynamic_index.h:631-700) via a cogroup of the persisted
+   layout with the adjacency — per-batch cost O(batch), independent of
+   shard size; untouched shards' adjacency is reused verbatim.
  - ``consolidate`` = filter tombstoned rows + rebuild the shards that
    contained them (graph repair-through-deleted-neighborhoods collapses
    to a shard-local rebuild in the bulk model); ``compact`` = dense id
@@ -40,7 +40,6 @@ from pyspark.sql import functions as F
 from scalablevectorsearch_spark.operators.flat import flat_knn
 from scalablevectorsearch_spark.operators.vamana import (
     VamanaIndex,
-    vamana_build,
     vamana_search,
 )
 
@@ -256,32 +255,36 @@ def _cache_graph(graph: DataFrame) -> DataFrame:
     return g
 
 
-def _merge_layout(idx, touched: list, rebuilt) -> DataFrame:
-    """Mutated data layout = untouched shards of the old persisted
-    layout + the rebuilt index's layout, re-partitioned (a union loses
-    the partitioning) and persisted — searches keep reading a
-    shard-partitioned copy instead of re-shuffling the base."""
-    from pyspark.storagelevel import StorageLevel
-
-    from scalablevectorsearch_spark.operators.vamana import _by_shard
-
-    merged = _by_shard(
-        idx.layout.filter(~F.col("shard_id").isin(touched)).unionByName(
-            rebuilt.layout
-        )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    merged.count()
-    return merged
-
-
 def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     """Insert rows; raises on id collision with live rows
-    (dynamic_index.h:640-656 id validation). Rebuilds only the shards
-    that received new points; the base table is never shuffled (insert
-    batches are broadcast-sized by contract — bulk loads go through
-    ``vamana_build``)."""
+    (dynamic_index.h:640-656 id validation). New points are linked
+    INCREMENTALLY into the touched shards' existing graphs — greedy
+    search + alpha-prune + reverse edges, the reference's insert path
+    (dynamic_index.h:631-700) — so per-batch cost is O(batch · window ·
+    degree · d), not O(shard size); untouched shards' rows are reused
+    verbatim and the base table is never shuffled (insert batches are
+    broadcast-sized by contract — bulk loads go through
+    ``vamana_build``). Reinserting a tombstoned id revives the slot with
+    the new vector (reuse_empty semantics): its old adjacency row is
+    dropped and it re-links as a new point; edges INTO the slot remain
+    until consolidate, now pointing at the new vector — the reference's
+    lazy repair contract."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.vamana import (
+        GRAPH_SCHEMA,
+        _by_shard,
+        _decode_adjacency,
+    )
+    from scalablevectorsearch_spark.operators.vamana_local import (
+        build_graph,
+        insert_points,
+        medioid,
+    )
+
     idx = dyn.index
     id_col, vec_col = idx.id_col, idx.vec_col
+    params, distance = idx.params, idx.distance
     new_rows = new_rows.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     )
@@ -313,22 +316,79 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         idx.base.select(id_col, vec_col), id_col, revived
     ).unionByName(new_rows)
 
-    rebuilt = vamana_build(
-        base.withColumn(
-            "__s", F.pmod(F.col(id_col).cast("long"), F.lit(idx.n_shards)).cast("int")
+    # vector side of the link cogroup: the touched shards' PERSISTED
+    # layout rows (minus revived slots, whose vectors are replaced)
+    # plus the new rows, flagged — only touched shards ever reach the
+    # kernel, and the old layout is read from cache, not the base
+    new_layout = new_rows.select(
+        F.pmod(F.col(id_col).cast("long"), F.lit(idx.n_shards))
+        .cast("int")
+        .alias("shard_id"),
+        F.col(id_col).cast("long").alias("__id"),
+        F.col(vec_col).alias("__vec"),
+    )
+    old_touched = _without_ids(
+        idx.layout.filter(F.col("shard_id").isin(touched)), "__id", revived
+    )
+    vside = old_touched.withColumn("__new", F.lit(False)).unionByName(
+        new_layout.withColumn("__new", F.lit(True))
+    )
+    # graph side: touched shards' adjacency; revived slots re-link as
+    # new points, so their outgoing rows are dropped
+    gside = _without_ids(
+        idx.graph.filter(F.col("shard_id").isin(touched)), "src", revived
+    )
+
+    def link_fn(key, vdf, gdf):
+        import pandas as pd
+
+        if len(vdf) == 0:
+            return pd.DataFrame(
+                {"shard_id": [], "src": [], "neighbors": [], "is_entry": []}
+            )
+        vdf = vdf.sort_values("__id").reset_index(drop=True)
+        gids = vdf["__id"].to_numpy(dtype=np.int64)
+        X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        new_mask = vdf["__new"].to_numpy(dtype=bool)
+        if len(gdf) == 0 or new_mask.all():
+            # shard had no prior graph — fresh build
+            graph, entry = build_graph(X, params, distance)
+        else:
+            graph, entry = _decode_adjacency(gids, gdf)
+            if entry is None or new_mask[entry]:
+                # the old entry point was revived — fall back to the
+                # medioid of the surviving old nodes
+                old_pos = np.nonzero(~new_mask)[0]
+                entry = int(old_pos[medioid(X[old_pos])])
+            insert_points(
+                X, graph, entry, np.nonzero(new_mask)[0], params, distance
+            )
+        return pd.DataFrame(
+            {
+                "shard_id": int(key[0]),
+                "src": gids,
+                "neighbors": [gids[adj].tolist() for adj in graph],
+                "is_entry": [i == entry for i in range(len(gids))],
+            }
         )
-        .filter(F.col("__s").isin(touched))
-        .drop("__s"),
-        idx.params,
-        n_shards=idx.n_shards,
-        distance=idx.distance,
-        id_col=id_col,
-        vec_col=vec_col,
+
+    linked = (
+        _by_shard(vside)
+        .groupBy("shard_id")
+        .cogroup(_by_shard(gside).groupBy("shard_id"))
+        .applyInPandas(link_fn, GRAPH_SCHEMA)
     )
     graph = _cache_graph(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt.graph)
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked)
     )
-    layout = _merge_layout(idx, touched, rebuilt)
+    from pyspark.storagelevel import StorageLevel
+
+    layout = _by_shard(
+        _without_ids(idx.layout, "__id", revived).unionByName(
+            new_layout.select("shard_id", "__id", "__vec")
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    layout.count()
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=tomb
     )
@@ -371,32 +431,76 @@ def dynamic_search(
 
 
 def consolidate(dyn: DynamicVamana) -> DynamicVamana:
-    """Physically remove tombstones and repair the affected shards'
-    graphs (consolidate.h:357; shard rebuild = repair in the bulk
-    model). Untouched shards are reused verbatim; touched shards are
-    known driver-side (shard = id mod n_shards), so the only job is the
-    rebuild itself."""
+    """Physically remove tombstones by REPAIRING the affected shards'
+    adjacency through the deleted neighborhoods (consolidate.h:357):
+    each live node with deleted neighbors inherits their live neighbors
+    and re-prunes — O(affected nodes), independent of shard size, via
+    the same layout×graph cogroup as the insert path. Untouched shards
+    are reused verbatim; touched shards are known driver-side
+    (shard = id mod n_shards)."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.vamana import (
+        GRAPH_SCHEMA,
+        _by_shard,
+        _decode_adjacency,
+    )
+    from scalablevectorsearch_spark.operators.vamana_local import consolidate_graph
+
     idx = dyn.index
     if not dyn.tomb_ids:
         return dyn
+    params, distance = idx.params, idx.distance
     touched = sorted({int(i) % idx.n_shards for i in dyn.tomb_ids})
     base = _without_ids(idx.base, idx.id_col, dyn.tomb_ids)
-    rebuilt = vamana_build(
-        base.withColumn(
-            "__s", F.pmod(F.col(idx.id_col).cast("long"), F.lit(idx.n_shards)).cast("int")
+    tomb_arr = np.asarray(sorted(dyn.tomb_ids), dtype=np.int64)
+    bc = idx.base.sparkSession.sparkContext.broadcast(tomb_arr)
+
+    def repair_fn(key, vdf, gdf):
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {"shard_id": [], "src": [], "neighbors": [], "is_entry": []}
         )
-        .filter(F.col("__s").isin(touched))
-        .drop("__s"),
-        idx.params,
-        n_shards=idx.n_shards,
-        distance=idx.distance,
-        id_col=idx.id_col,
-        vec_col=idx.vec_col,
+        if len(vdf) == 0 or len(gdf) == 0:
+            return empty
+        vdf = vdf.sort_values("__id").reset_index(drop=True)
+        gids = vdf["__id"].to_numpy(dtype=np.int64)
+        X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        graph, entry = _decode_adjacency(gids, gdf)
+        deleted = np.isin(gids, bc.value)
+        entry = consolidate_graph(
+            X, graph, deleted, 0 if entry is None else entry, params, distance
+        )
+        live = np.nonzero(~deleted)[0]
+        if len(live) == 0:
+            return empty
+        return pd.DataFrame(
+            {
+                "shard_id": int(key[0]),
+                "src": gids[live],
+                "neighbors": [gids[graph[i]].tolist() for i in live],
+                "is_entry": [int(i) == entry for i in live],
+            }
+        )
+
+    vside = idx.layout.filter(F.col("shard_id").isin(touched))
+    gside = idx.graph.filter(F.col("shard_id").isin(touched))
+    repaired = (
+        _by_shard(vside)
+        .groupBy("shard_id")
+        .cogroup(_by_shard(gside).groupBy("shard_id"))
+        .applyInPandas(repair_fn, GRAPH_SCHEMA)
     )
     graph = _cache_graph(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(rebuilt.graph)
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired)
     )
-    layout = _merge_layout(idx, touched, rebuilt)
+    from pyspark.storagelevel import StorageLevel
+
+    layout = _by_shard(
+        _without_ids(idx.layout, "__id", dyn.tomb_ids)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    layout.count()
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=()
     )

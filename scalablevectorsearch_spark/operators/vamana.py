@@ -54,6 +54,48 @@ GRAPH_SCHEMA = "shard_id int, src long, neighbors array<long>, is_entry boolean"
 RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
 
 
+def _decode_adjacency(
+    gids: np.ndarray, gdf: pd.DataFrame
+) -> tuple[list[np.ndarray], int | None]:
+    """Vectorized global->local adjacency decode shared by the search
+    and incremental-insert kernels: ``gids`` is the shard's sorted
+    global-id vector, ``gdf`` its (src, neighbors, is_entry) rows. A
+    single searchsorted over the flattened adjacency replaces
+    per-element dict lookups (the decode was the search hot spot, not
+    BLAS). Edges or sources referencing ids absent from ``gids`` are
+    dropped (stale rows). Returns (local adjacency lists, entry local id
+    or None if no is_entry row survived)."""
+    n_local = len(gids)
+    src = gdf["src"].to_numpy(dtype=np.int64)
+    nbr_lists = gdf["neighbors"].to_numpy()
+    lens = np.fromiter((len(v) for v in nbr_lists), dtype=np.int64, count=len(src))
+    flat = (
+        np.concatenate([np.asarray(v, dtype=np.int64) for v in nbr_lists])
+        if lens.sum()
+        else np.empty(0, dtype=np.int64)
+    )
+    pos = np.searchsorted(gids, flat)
+    posc = np.minimum(pos, n_local - 1)
+    ok = gids[posc] == flat
+    spos = np.searchsorted(gids, src)
+    sposc = np.minimum(spos, n_local - 1)
+    sok = gids[sposc] == src
+    offs = np.zeros(len(src) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    is_ep = gdf["is_entry"].to_numpy(dtype=bool)
+    graph = [np.empty(0, dtype=np.int64) for _ in range(n_local)]
+    entry: int | None = None
+    for i in range(len(src)):
+        if not sok[i]:
+            continue
+        s = int(sposc[i])
+        sl = slice(offs[i], offs[i + 1])
+        graph[s] = posc[sl][ok[sl]]
+        if is_ep[i]:
+            entry = s
+    return graph, entry
+
+
 def _by_shard(df: DataFrame) -> DataFrame:
     """Explicit hash repartition on shard_id ahead of a per-shard
     kernel. AQE coalesces shuffles by BYTES, and a shard's graph
@@ -255,37 +297,9 @@ def vamana_search(
         vdf = vdf.sort_values("__id").reset_index(drop=True)
         gids = vdf["__id"].to_numpy(dtype=np.int64)
         X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
-        n_local = len(gids)
-        # vectorized global->local remap: gids is sorted, so a single
-        # searchsorted over the flattened adjacency replaces per-element
-        # dict lookups (the decode was the search hot spot, not BLAS)
-        src = gdf["src"].to_numpy(dtype=np.int64)
-        nbr_lists = gdf["neighbors"].to_numpy()
-        lens = np.fromiter((len(v) for v in nbr_lists), dtype=np.int64, count=len(src))
-        flat = (
-            np.concatenate([np.asarray(v, dtype=np.int64) for v in nbr_lists])
-            if lens.sum()
-            else np.empty(0, dtype=np.int64)
-        )
-        pos = np.searchsorted(gids, flat)
-        posc = np.minimum(pos, n_local - 1)
-        ok = gids[posc] == flat
-        spos = np.searchsorted(gids, src)
-        sposc = np.minimum(spos, n_local - 1)
-        sok = gids[sposc] == src
-        offs = np.zeros(len(src) + 1, dtype=np.int64)
-        np.cumsum(lens, out=offs[1:])
-        is_ep = gdf["is_entry"].to_numpy(dtype=bool)
-        graph = [np.empty(0, dtype=np.int64) for _ in range(n_local)]
-        entry = 0
-        for i in range(len(src)):
-            if not sok[i]:
-                continue
-            s = int(sposc[i])
-            sl = slice(offs[i], offs[i + 1])
-            graph[s] = posc[sl][ok[sl]]
-            if is_ep[i]:
-                entry = s
+        graph, entry = _decode_adjacency(gids, gdf)
+        if entry is None:
+            entry = 0
         mqids, mQ, mexcl, mprobe = bc.value
         if mprobe is not None:
             qsel = mprobe.get(int(key[0]))

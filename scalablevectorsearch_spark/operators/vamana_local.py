@@ -474,6 +474,93 @@ def _generate_one(
     return node, new_adj
 
 
+def _link_nodes(
+    X: np.ndarray,
+    graph: list[np.ndarray],
+    entry_points: list[int],
+    nodes: np.ndarray,
+    params: VamanaParams,
+    distance: str,
+    x_sq: np.ndarray,
+) -> None:
+    """One batch-synchronous linking round — the shared body of a
+    construction batch (vamana_build.h:233-312) and of incremental
+    insertion (dynamic_index.h:631-700): greedy-search the FROZEN graph
+    for every node in ``nodes``, alpha-prune each pool into that node's
+    adjacency, apply all updates, then add reverse edges (re-pruned on
+    overflow). Mutates ``graph`` in place.
+
+    Distances for the batch's searches come from chunked GEMMs (chunk
+    bounds the (chunk, n) f64 block); lazy mode above :data:`LAZY_N`
+    evaluates visited nodes only."""
+    n = X.shape[0]
+    deg = params.graph_max_degree
+    lazy = n > LAZY_N
+    # dense mode: chunk bounds the (chunk, n) f64 distance block;
+    # lazy mode: the (chunk, n) bool visit masks are the footprint
+    cs = max(1, (64_000_000 if lazy else 8_000_000) // max(n, 1))
+    NB, _ = _pad_graph(graph)  # frozen for the whole batch
+
+    updates: list[tuple[int, np.ndarray]] = []
+    full = params.use_full_search_history
+    for c0 in range(0, len(nodes), cs):
+        chunk = nodes[c0 : c0 + cs]
+        blk = None if lazy else batch_distances(X, X[chunk], distance, x_sq=x_sq)
+        out = batch_greedy_search(
+            X, graph, entry_points, X[chunk], params.window_size, distance,
+            D=blk, NB=NB, lazy=lazy, x_sq=x_sq if distance != "ip" else None,
+            track=full,
+        )
+        if full:
+            # prune against the whole visited history, not just the
+            # final buffer (vamana_build.h:353 OptionalTracker,
+            # reference default use_full_search_history=true)
+            bids, bds, (offs, vids, vds) = out
+            updates.extend(
+                _generate_one(
+                    X, graph, int(node),
+                    vids[offs[j]:offs[j + 1]],
+                    vds[offs[j]:offs[j + 1]],
+                    params, distance,
+                )
+                for j, node in enumerate(chunk)
+            )
+        else:
+            bids, bds = out
+            updates.extend(
+                _generate_one(X, graph, int(node), bids[j], bds[j], params, distance)
+                for j, node in enumerate(chunk)
+            )
+    for node, adj in updates:
+        graph[node] = adj
+
+    # add_reverse_edges (vamana_build.h:483-560). The adjacency is a
+    # SET: a backedge that already exists is a no-op (graph_.add_edge
+    # set semantics) — short-circuiting it avoids a pointless
+    # re-prune of a full node that gained nothing
+    overfull: dict[int, list[int]] = {}
+    for node in nodes:
+        node = int(node)
+        for other in graph[node]:
+            other = int(other)
+            adj = graph[other]
+            if node in adj:
+                continue
+            if len(adj) < deg:
+                graph[other] = np.append(adj, np.int64(node))
+            else:
+                overfull.setdefault(other, []).append(node)
+    for other, extras in overfull.items():
+        cand = np.unique(np.concatenate([graph[other], np.asarray(extras, dtype=np.int64)]))
+        cand = cand[cand != other]
+        cd = _dists(X, X[other], cand, distance)
+        order = np.lexsort((cand, cd))
+        pruned = alpha_prune(
+            X, other, cand[order], cd[order], params.alpha, params.prune_target, distance
+        )
+        graph[other] = pruned
+
+
 def build_graph(
     X: np.ndarray,
     params: VamanaParams,
@@ -486,7 +573,6 @@ def build_graph(
     graph: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
     num_batches = min(n, max(40, -(-n // (64 * 64))))
     batchsize = -(-n // num_batches)
-    deg = params.graph_max_degree
     x_sq = np.einsum("ij,ij->i", X, X)  # shared across every node's search
 
     for b in range(num_batches):
@@ -494,75 +580,93 @@ def build_graph(
         if start >= stop:
             break
         # generate_neighbors: search + prune, updates applied after the
-        # whole batch (batch-synchronous, vamana_build.h:469-476);
-        # distances for the batch's searches come from chunked GEMMs
-        # (chunk bounds the (chunk, n) f64 block at ~64 MB)
-        lazy = n > LAZY_N
-        # dense mode: chunk bounds the (chunk, n) f64 distance block;
-        # lazy mode: the (chunk, n) bool visit masks are the footprint
-        cs = max(1, (64_000_000 if lazy else 8_000_000) // max(n, 1))
-        NB, _ = _pad_graph(graph)  # frozen for the whole batch
-
-        updates: list[tuple[int, np.ndarray]] = []
-        full = params.use_full_search_history
-        for c0 in range(start, stop, cs):
-            c1 = min(stop, c0 + cs)
-            blk = None if lazy else batch_distances(X, X[c0:c1], distance, x_sq=x_sq)
-            out = batch_greedy_search(
-                X, graph, [entry], X[c0:c1], params.window_size, distance,
-                D=blk, NB=NB, lazy=lazy, x_sq=x_sq if distance != "ip" else None,
-                track=full,
-            )
-            if full:
-                # prune against the whole visited history, not just the
-                # final buffer (vamana_build.h:353 OptionalTracker,
-                # reference default use_full_search_history=true)
-                bids, bds, (offs, vids, vds) = out
-                updates.extend(
-                    _generate_one(
-                        X, graph, node,
-                        vids[offs[node - c0]:offs[node - c0 + 1]],
-                        vds[offs[node - c0]:offs[node - c0 + 1]],
-                        params, distance,
-                    )
-                    for node in range(c0, c1)
-                )
-            else:
-                bids, bds = out
-                updates.extend(
-                    _generate_one(
-                        X, graph, node, bids[node - c0], bds[node - c0], params, distance
-                    )
-                    for node in range(c0, c1)
-                )
-        for node, adj in updates:
-            graph[node] = adj
-
-        # add_reverse_edges (vamana_build.h:483-560). The adjacency is a
-        # SET: a backedge that already exists is a no-op (graph_.add_edge
-        # set semantics) — short-circuiting it avoids a pointless
-        # re-prune of a full node that gained nothing
-        overfull: dict[int, list[int]] = {}
-        for node in range(start, stop):
-            for other in graph[node]:
-                other = int(other)
-                adj = graph[other]
-                if node in adj:
-                    continue
-                if len(adj) < deg:
-                    graph[other] = np.append(adj, np.int64(node))
-                else:
-                    overfull.setdefault(other, []).append(node)
-        for other, extras in overfull.items():
-            cand = np.unique(np.concatenate([graph[other], np.asarray(extras, dtype=np.int64)]))
-            cand = cand[cand != other]
-            cd = _dists(X, X[other], cand, distance)
-            order = np.lexsort((cand, cd))
-            pruned = alpha_prune(
-                X, other, cand[order], cd[order], params.alpha, params.prune_target, distance
-            )
-            graph[other] = pruned
+        # whole batch (batch-synchronous, vamana_build.h:469-476)
+        _link_nodes(
+            X, graph, [entry], np.arange(start, stop, dtype=np.int64),
+            params, distance, x_sq,
+        )
     return graph, entry
+
+
+#: incremental-insert linking rounds process at most this many new nodes
+#: per frozen-graph batch, so later inserts in a large batch can reach
+#: earlier ones (build bootstraps with much smaller batches because it
+#: starts from an empty graph; inserts start from a full one)
+INSERT_BATCH = 4096
+
+
+def insert_points(
+    X: np.ndarray,
+    graph: list[np.ndarray],
+    entry: int,
+    new_nodes: np.ndarray,
+    params: VamanaParams,
+    distance: str = "l2",
+) -> None:
+    """Incremental insertion (dynamic_index.h:631-700): link each new
+    node by greedy-searching the EXISTING graph from the entry point,
+    alpha-pruning the search pool into the node's adjacency, then adding
+    reverse edges (pruned on overflow) — per-batch cost
+    O(batch · window · degree · d), independent of graph size, vs the
+    O(n) of a rebuild. ``X`` holds old and new rows; ``graph`` has the
+    old adjacency (empty arrays at ``new_nodes``) and is mutated in
+    place; the entry point is unchanged (the reference keeps the
+    medioid of the original load until consolidation)."""
+    x_sq = np.einsum("ij,ij->i", X, X)
+    new_nodes = np.asarray(new_nodes, dtype=np.int64)
+    for b0 in range(0, len(new_nodes), INSERT_BATCH):
+        _link_nodes(
+            X, graph, [entry], new_nodes[b0 : b0 + INSERT_BATCH],
+            params, distance, x_sq,
+        )
+
+
+def consolidate_graph(
+    X: np.ndarray,
+    graph: list[np.ndarray],
+    deleted: np.ndarray,
+    entry: int,
+    params: VamanaParams,
+    distance: str = "l2",
+) -> int:
+    """Physically remove deleted nodes by repairing adjacency THROUGH
+    their neighborhoods (consolidate.h:357 semantics): every live node
+    with >= 1 deleted neighbor replaces those edges with the deleted
+    nodes' own live neighbors and alpha-prunes the merged pool — cost
+    O(affected nodes · degree² · d), independent of shard size. Deleted
+    nodes' adjacency rows are emptied; callers drop them from the
+    emitted graph. Mutates ``graph``; returns the (possibly moved) entry
+    point — if the entry was deleted, the medioid of the live rows
+    (dynamic_index.h consolidate entry-point repair)."""
+    deleted = np.asarray(deleted, dtype=bool)
+    affected = [
+        u
+        for u in range(len(graph))
+        if not deleted[u] and len(graph[u]) and deleted[graph[u]].any()
+    ]
+    for u in affected:
+        adj = graph[u]
+        dead = adj[deleted[adj]]
+        cand = set(int(v) for v in adj[~deleted[adj]])
+        for dnode in dead:
+            nb = graph[int(dnode)]
+            cand.update(int(v) for v in nb[~deleted[nb]])
+        cand.discard(u)
+        if not cand:
+            graph[u] = np.empty(0, dtype=np.int64)
+            continue
+        ca = np.asarray(sorted(cand), dtype=np.int64)
+        cd = _dists(X, X[u], ca, distance)
+        order = np.lexsort((ca, cd))
+        graph[u] = alpha_prune(
+            X, u, ca[order], cd[order], params.alpha, params.graph_max_degree, distance
+        )
+    for dnode in np.nonzero(deleted)[0]:
+        graph[dnode] = np.empty(0, dtype=np.int64)
+    if deleted[entry]:
+        live = np.nonzero(~deleted)[0]
+        entry = int(live[medioid(X[live])]) if len(live) else -1
+    return entry
 
 
 def search_graph(

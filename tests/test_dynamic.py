@@ -158,3 +158,48 @@ def test_compact_remaps_dense(base):
     # every graph src/neighbor is a valid new id
     max_nbr = ng.select(F.max(F.array_max("neighbors"))).collect()[0][0]
     assert max_nbr is None or max_nbr < n
+
+
+def test_incremental_add_degree_and_exactness(base, queries):
+    """add_points links new points incrementally (dynamic_index.h:631-700):
+    the degree bound survives reverse-edge insertion, and an
+    exhaustive-window search over the mutated index equals the exact
+    flat result over (base + added) — i.e. every inserted node is
+    reachable and correctly linked."""
+    sub = base.filter(F.col("id") < 1000)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    added = base.filter((F.col("id") >= 1000) & (F.col("id") < 1050)).select(
+        (F.col("id") + 60000).alias("id"), "vector"
+    )
+    d = add_points(dynamic_vamana(idx), added)
+    assert (
+        d.index.graph.select(F.max(F.size("neighbors"))).first()[0] <= 8
+    ), "degree bound violated after incremental insert"
+    res = dynamic_search(d, queries, k=5, search_window_size=2000)
+    gt = flat_knn(sub.unionByName(added), queries, k=5)
+    assert sorted(map(tuple, res.select("qid", "rank", "neighbor_id").collect())) == sorted(
+        map(tuple, gt.select("qid", "rank", "neighbor_id").collect())
+    )
+
+
+def test_revive_entry_point(base, queries):
+    """Deleting every entry point and reinserting those ids exercises
+    the revived-entry fallback (medioid of surviving old nodes) in the
+    incremental link kernel; exhaustive search stays exact."""
+    sub = base.filter(F.col("id") < 500)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    d = dynamic_vamana(idx)
+    entries = idx.graph.filter("is_entry").select(F.col("src").alias("id"))
+    d = delete_entries(d, entries)
+    revived = sub.join(F.broadcast(entries), "id", "left_semi").select("id", "vector")
+    d = add_points(d, revived)
+    assert d.n_tombstones() == 0
+    res = dynamic_search(d, queries, k=5, search_window_size=1000)
+    gt = flat_knn(sub, queries, k=5)
+    assert sorted(map(tuple, res.select("qid", "rank", "neighbor_id").collect())) == sorted(
+        map(tuple, gt.select("qid", "rank", "neighbor_id").collect())
+    )
