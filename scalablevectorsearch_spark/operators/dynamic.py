@@ -207,18 +207,30 @@ def _without_ids(df: DataFrame, col: str, ids: tuple, keep: bool = False) -> Dat
     return df.join(F.broadcast(ids_df), col, "left_semi" if keep else "left_anti")
 
 
+#: delete waves up to this size stay driver-resident (the reference's
+#: in-memory status-vector parity — fast isin/broadcast paths); larger
+#: waves switch to a tombstone DataFrame that only ever lives
+#: executor-side (anti-joins + broadcast flag stamps)
+_TOMB_DRIVER_MAX = 100_000
+
+
 @dataclass
 class DynamicVamana:
     """A Vamana index + a tombstone set (lazy deletes).
 
-    ``tomb_ids`` is DRIVER-RESIDENT — exact parity with the reference,
-    which tracks deleted slots in an in-memory status vector
-    (dynamic_index.h:617-630); between consolidations the set is small
-    by design, so validation/membership is driver work and no Spark job
-    ever shuffles the base because of a delete."""
+    Small delete sets are DRIVER-RESIDENT (``tomb_ids`` — exact parity
+    with the reference, which tracks deleted slots in an in-memory
+    status vector, dynamic_index.h:617-630): membership is driver work,
+    search exclusion ships in the query broadcast, and no Spark job
+    ever shuffles the base because of a delete. A delete wave larger
+    than the driver threshold flips the representation to ``tomb_df``,
+    an id DataFrame that is anti-joined / flag-stamped executor-side —
+    the wave is never collect()ed. Exactly one representation is active
+    (``tomb_df is not None`` wins)."""
 
     index: VamanaIndex
-    tomb_ids: tuple = ()  # sorted tombstoned ids
+    tomb_ids: tuple = ()  # sorted tombstoned ids (small path)
+    tomb_df: DataFrame | None = None  # authoritative when not None
 
     @property
     def spark(self):
@@ -227,9 +239,13 @@ class DynamicVamana:
     @property
     def tombstones(self) -> DataFrame:
         """The tombstone set as an id DataFrame (joinable API surface)."""
+        if self.tomb_df is not None:
+            return self.tomb_df
         return self.spark.createDataFrame([(int(i),) for i in self.tomb_ids], "id long")
 
     def n_tombstones(self) -> int:
+        if self.tomb_df is not None:
+            return self.tomb_df.count()
         return len(self.tomb_ids)
 
 
@@ -297,21 +313,53 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     ).first()
     touched = sorted(stats["shards"])
     new_ids = set(stats["ids"])
-    # reinserting a tombstoned id revives the slot (reuse_empty
-    # semantics, dynamic_index.h:631) — pure driver set work
-    revived = tuple(sorted(new_ids & set(dyn.tomb_ids)))
-    tomb = tuple(i for i in dyn.tomb_ids if i not in new_ids)
-    # collision check: one broadcast semi-join count, base stays put
-    n_dup = (
-        _without_ids(
-            _without_ids(idx.base.select(id_col), id_col, dyn.tomb_ids),
-            id_col,
-            tuple(new_ids),
-            keep=True,
-        ).count()
-    )
-    if n_dup:
-        raise ValueError(f"{n_dup} ids already exist in the index")
+    tomb_df_after = None
+    if dyn.tomb_df is not None:
+        # large-wave tombstones: revived = tomb ∩ batch (bounded by the
+        # broadcast-sized batch, so the collect is small even though the
+        # tombstone set is not), collision check is join-only
+        spark = new_rows.sparkSession
+        batch_ids = spark.createDataFrame(
+            [(int(i),) for i in sorted(new_ids)], "id long"
+        )
+        revived = tuple(
+            sorted(
+                r[0]
+                for r in dyn.tomb_df.join(
+                    F.broadcast(batch_ids), "id", "left_semi"
+                ).collect()
+            )
+        )
+        n_dup = (
+            idx.base.select(F.col(id_col).cast("long").alias("id"))
+            .join(F.broadcast(batch_ids), "id", "left_semi")
+            .join(dyn.tomb_df, "id", "left_anti")
+            .count()
+        )
+        if n_dup:
+            raise ValueError(f"{n_dup} ids already exist in the index")
+        tomb = ()
+        tomb_df_after = dyn.tomb_df
+        if revived:
+            tomb_df_after = dyn.tomb_df.join(
+                F.broadcast(batch_ids), "id", "left_anti"
+            )
+    else:
+        # reinserting a tombstoned id revives the slot (reuse_empty
+        # semantics, dynamic_index.h:631) — pure driver set work
+        revived = tuple(sorted(new_ids & set(dyn.tomb_ids)))
+        tomb = tuple(i for i in dyn.tomb_ids if i not in new_ids)
+        # collision check: one broadcast semi-join count, base stays put
+        n_dup = (
+            _without_ids(
+                _without_ids(idx.base.select(id_col), id_col, dyn.tomb_ids),
+                id_col,
+                tuple(new_ids),
+                keep=True,
+            ).count()
+        )
+        if n_dup:
+            raise ValueError(f"{n_dup} ids already exist in the index")
     base = _without_ids(
         idx.base.select(id_col, vec_col), id_col, revived
     ).unionByName(new_rows)
@@ -390,40 +438,73 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     layout.count()
     return DynamicVamana(
-        index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=tomb
+        index=replace(idx, base=base, graph=graph, layout=layout),
+        tomb_ids=tomb,
+        tomb_df=tomb_df_after,
     )
 
 
-def delete_entries(dyn: DynamicVamana, ids: DataFrame) -> DynamicVamana:
+def delete_entries(
+    dyn: DynamicVamana, ids: DataFrame, max_driver_ids: int = _TOMB_DRIVER_MAX
+) -> DynamicVamana:
     """Lazy tombstone (dynamic_index.h:747): ids vanish from results
     immediately, stay in the graph until consolidate. Raises on unknown
-    or already-deleted ids (:617-630)."""
+    or already-deleted ids (:617-630).
+
+    Waves that keep the total tombstone count <= ``max_driver_ids``
+    stay driver-resident; beyond that the set becomes a DataFrame and
+    every membership/validation below is a join — the ids are never
+    materialized on the driver."""
     idx = dyn.index
-    id_list = sorted(
-        {r[0] for r in ids.select(F.col(idx.id_col).cast("long")).collect()}
-    )
-    already = [i for i in id_list if i in set(dyn.tomb_ids)]
-    if already:
-        raise ValueError(f"{len(already)} ids are unknown or already deleted")
-    # existence check: pushed-down isin filter — the scan prunes, the
-    # base never shuffles
-    present = _without_ids(
-        idx.base.select(idx.id_col), idx.id_col, tuple(id_list), keep=True
-    ).count()
-    if present < len(id_list):
-        raise ValueError(
-            f"{len(id_list) - present} ids are unknown or already deleted"
+    ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
+    n_new = ids.count()
+    if dyn.tomb_df is None and len(dyn.tomb_ids) + n_new <= max_driver_ids:
+        id_list = sorted({r[0] for r in ids.collect()})
+        already = [i for i in id_list if i in set(dyn.tomb_ids)]
+        if already:
+            raise ValueError(f"{len(already)} ids are unknown or already deleted")
+        # existence check: pushed-down isin filter — the scan prunes,
+        # the base never shuffles
+        present = _without_ids(
+            idx.base.select(idx.id_col), idx.id_col, tuple(id_list), keep=True
+        ).count()
+        if present < len(id_list):
+            raise ValueError(
+                f"{len(id_list) - present} ids are unknown or already deleted"
+            )
+        return DynamicVamana(
+            index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list)))
         )
-    return DynamicVamana(
-        index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list)))
+    # large-wave path: all joins, zero driver materialization. The
+    # existence check shuffles only the id column of the (pruned) base
+    # scan — unavoidable when the wave itself exceeds broadcast size.
+    tomb = dyn.tombstones
+    already = ids.join(tomb, "id", "left_semi").count()
+    if already:
+        raise ValueError(f"{already} ids are unknown or already deleted")
+    present = (
+        idx.base.select(F.col(idx.id_col).cast("long").alias("id"))
+        .join(ids, "id", "left_semi")
+        .count()
     )
+    if present < n_new:
+        raise ValueError(f"{n_new - present} ids are unknown or already deleted")
+    new_tomb = tomb.unionByName(ids).cache()
+    new_tomb.count()
+    return DynamicVamana(index=idx, tomb_ids=(), tomb_df=new_tomb)
 
 
 def dynamic_search(
     dyn: DynamicVamana, queries: DataFrame, k: int, search_window_size: int | None = None, **kw
 ) -> DataFrame:
     """Search skipping tombstoned ids (traversed, never returned) —
-    zero extra jobs: the skip-set ships inside the query broadcast."""
+    zero extra jobs: a small skip-set ships inside the query broadcast;
+    a large one is flag-stamped onto the scan via broadcast join."""
+    if dyn.tomb_df is not None:
+        return vamana_search(
+            dyn.index, queries, k=k, search_window_size=search_window_size,
+            exclude_df=dyn.tomb_df, **kw,
+        )
     return vamana_search(
         dyn.index, queries, k=k, search_window_size=search_window_size,
         exclude_ids=list(dyn.tomb_ids) or None, **kw,
@@ -448,13 +529,29 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     from scalablevectorsearch_spark.operators.vamana_local import consolidate_graph
 
     idx = dyn.index
-    if not dyn.tomb_ids:
+    if not dyn.tomb_ids and dyn.tomb_df is None:
         return dyn
     params, distance = idx.params, idx.distance
-    touched = sorted({int(i) % idx.n_shards for i in dyn.tomb_ids})
-    base = _without_ids(idx.base, idx.id_col, dyn.tomb_ids)
-    tomb_arr = np.asarray(sorted(dyn.tomb_ids), dtype=np.int64)
-    bc = idx.base.sparkSession.sparkContext.broadcast(tomb_arr)
+    large = dyn.tomb_df is not None
+    if large:
+        # touched-shard list is bounded by n_shards — safe to collect
+        touched = sorted(
+            r[0]
+            for r in dyn.tomb_df.select(
+                F.pmod(F.col("id"), F.lit(idx.n_shards)).cast("int")
+            )
+            .distinct()
+            .collect()
+        )
+        base = idx.base.join(
+            dyn.tomb_df.withColumnRenamed("id", idx.id_col), idx.id_col, "left_anti"
+        )
+        bc = None
+    else:
+        touched = sorted({int(i) % idx.n_shards for i in dyn.tomb_ids})
+        base = _without_ids(idx.base, idx.id_col, dyn.tomb_ids)
+        tomb_arr = np.asarray(sorted(dyn.tomb_ids), dtype=np.int64)
+        bc = idx.base.sparkSession.sparkContext.broadcast(tomb_arr)
 
     def repair_fn(key, vdf, gdf):
         import pandas as pd
@@ -468,7 +565,10 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         gids = vdf["__id"].to_numpy(dtype=np.int64)
         X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
         graph, entry = _decode_adjacency(gids, gdf)
-        deleted = np.isin(gids, bc.value)
+        if "__del" in vdf.columns:
+            deleted = vdf["__del"].to_numpy(dtype=bool)
+        else:
+            deleted = np.isin(gids, bc.value)
         entry = consolidate_graph(
             X, graph, deleted, 0 if entry is None else entry, params, distance
         )
@@ -485,6 +585,17 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         )
 
     vside = idx.layout.filter(F.col("shard_id").isin(touched))
+    if large:
+        # the deleted mask reaches the kernel as a joined flag column —
+        # the wave never lands on the driver ( _by_shard repartitions
+        # vside next, so the join shape doesn't disturb the cogroup)
+        vside = vside.join(
+            dyn.tomb_df.select(
+                F.col("id").alias("__id"), F.lit(True).alias("__del")
+            ),
+            "__id",
+            "left",
+        ).withColumn("__del", F.coalesce(F.col("__del"), F.lit(False)))
     gside = idx.graph.filter(F.col("shard_id").isin(touched))
     repaired = (
         _by_shard(vside)
@@ -497,9 +608,13 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     )
     from pyspark.storagelevel import StorageLevel
 
-    layout = _by_shard(
-        _without_ids(idx.layout, "__id", dyn.tomb_ids)
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if large:
+        new_layout = idx.layout.join(
+            dyn.tomb_df.withColumnRenamed("id", "__id"), "__id", "left_anti"
+        )
+    else:
+        new_layout = _without_ids(idx.layout, "__id", dyn.tomb_ids)
+    layout = _by_shard(new_layout).persist(StorageLevel.MEMORY_AND_DISK)
     layout.count()
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=()

@@ -234,6 +234,7 @@ def vamana_search(
     qvec_col: str | None = None,
     round_to: int | None = 4,
     exclude_ids: list[int] | None = None,
+    exclude_df: DataFrame | None = None,
     buffer_capacity: int | None = None,
     n_probes: int | None = None,
     router=None,
@@ -242,7 +243,11 @@ def vamana_search(
     (qid, rank, neighbor_id, distance) like flat_knn.
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
-    (dynamic_search_buffer.h skip-deleted semantics).
+    (dynamic_search_buffer.h skip-deleted semantics). ``exclude_df``:
+    the same skip-set as an id DataFrame for delete waves too large to
+    ship on the driver — stamped onto the scan as a ``__del`` flag via
+    a broadcast join, so the set reaches the kernels without ever being
+    collected (mutually exclusive with ``exclude_ids``).
     ``buffer_capacity``: split-buffer capacity >= the exploration window
     (search_buffer.h:39-60); defaults to max(window, k).
     ``n_probes``: for kmeans-sharded indexes, route each query to its
@@ -297,6 +302,9 @@ def vamana_search(
         vdf = vdf.sort_values("__id").reset_index(drop=True)
         gids = vdf["__id"].to_numpy(dtype=np.int64)
         X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        del_flag = (
+            vdf["__del"].to_numpy(dtype=bool) if "__del" in vdf.columns else None
+        )
         graph, entry = _decode_adjacency(gids, gdf)
         if entry is None:
             entry = 0
@@ -309,6 +317,8 @@ def vamana_search(
         valid = None
         if mexcl is not None and len(mexcl):
             valid = ~np.isin(gids, mexcl)
+        elif del_flag is not None and del_flag.any():
+            valid = ~del_flag
         ids, ds = search_graph(
             X, graph, entry, mQ, k, sws, distance, valid=valid, capacity=buffer_capacity
         )
@@ -340,6 +350,18 @@ def vamana_search(
                 F.col(index.id_col).cast("long").alias("__id"),
                 F.col(index.vec_col).alias("__vec"),
             )
+        )
+    if exclude_df is not None:
+        if exclude_ids:
+            raise ValueError("pass exclude_ids or exclude_df, not both")
+        # broadcast-join flag stamp: narrow op, the scan's shard
+        # partitioning survives and the skip-set never touches the driver
+        flags = exclude_df.select(
+            F.col(exclude_df.columns[0]).cast("long").alias("__id"),
+            F.lit(True).alias("__del"),
+        )
+        scan = scan.join(F.broadcast(flags), "__id", "left").withColumn(
+            "__del", F.coalesce(F.col("__del"), F.lit(False))
         )
     graph = index.graph
     if probe_of is not None:

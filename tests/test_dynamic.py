@@ -203,3 +203,69 @@ def test_revive_entry_point(base, queries):
     assert sorted(map(tuple, res.select("qid", "rank", "neighbor_id").collect())) == sorted(
         map(tuple, gt.select("qid", "rank", "neighbor_id").collect())
     )
+
+
+def test_large_delete_wave_dataframe_tombstones(base, queries):
+    """A delete wave above the driver threshold flips to DataFrame
+    tombstones: exclusion, consolidate, and the post-consolidate result
+    all behave identically to the driver-resident path, with no
+    driver-side id materialization (max_driver_ids forces the flip)."""
+    sub = base.filter(F.col("id") < 1000)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    wave = sub.filter((F.col("id") % 7 == 0) & (F.col("id") >= 50)).select("id")
+    d = delete_entries(dynamic_vamana(idx), wave, max_driver_ids=10)
+    assert d.tomb_df is not None and d.tomb_ids == ()
+    live = sub.join(F.broadcast(wave), "id", "left_anti")
+    gt = sorted(
+        map(
+            tuple,
+            flat_knn(live, queries, k=5)
+            .select("qid", "rank", "neighbor_id")
+            .collect(),
+        )
+    )
+    # pre-consolidate: tombstones excluded from results (exhaustive
+    # window -> exact equality with flat over the live rows)
+    res = dynamic_search(d, queries, k=5, search_window_size=1200)
+    assert sorted(map(tuple, res.select("qid", "rank", "neighbor_id").collect())) == gt
+    # consolidate drains the wave via repair, not rebuild
+    d = consolidate(d)
+    assert d.n_tombstones() == 0 and d.tomb_df is None
+    res2 = dynamic_search(d, queries, k=5, search_window_size=1200)
+    assert sorted(map(tuple, res2.select("qid", "rank", "neighbor_id").collect())) == gt
+
+
+def test_add_points_with_dataframe_tombstones(base, queries):
+    """add_points against an active DataFrame tombstone set: revived ids
+    leave the set (join-only), fresh ids collide correctly."""
+    import pytest as _pytest
+
+    sub = base.filter(F.col("id") < 500)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    wave = sub.filter((F.col("id") >= 100) & (F.col("id") < 200)).select("id")
+    d = delete_entries(dynamic_vamana(idx), wave, max_driver_ids=10)
+    assert d.tomb_df is not None
+    # reviving 5 tombstoned ids shrinks the set to 95
+    revive = sub.filter((F.col("id") >= 100) & (F.col("id") < 105)).select(
+        "id", "vector"
+    )
+    d = add_points(d, revive)
+    assert d.tomb_df is not None and d.n_tombstones() == 95
+    # adding a live id still raises
+    with _pytest.raises(ValueError, match="already exist"):
+        add_points(d, sub.filter(F.col("id") == 0).select("id", "vector"))
+    live = sub.filter((F.col("id") < 105) | (F.col("id") >= 200))
+    gt = sorted(
+        map(
+            tuple,
+            flat_knn(live, queries, k=5)
+            .select("qid", "rank", "neighbor_id")
+            .collect(),
+        )
+    )
+    res = dynamic_search(d, queries, k=5, search_window_size=600)
+    assert sorted(map(tuple, res.select("qid", "rank", "neighbor_id").collect())) == gt
