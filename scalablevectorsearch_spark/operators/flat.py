@@ -172,6 +172,31 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
     return fn
 
 
+def query_blocks(queries: DataFrame, qid_col: str, qvec_col: str, max_block: int):
+    """Yield driver-side pandas blocks of at most ~``max_block`` queries
+    without ever materializing the full query table: blocks are
+    xxhash64-partitioned on qid (uniform regardless of qid layout) and
+    collected one at a time — the caller runs one distributed pass per
+    block and frees the block before fetching the next, so driver
+    memory is bounded by a single block for arbitrarily large query
+    tables."""
+    sel = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+    )
+    n_q = sel.count()
+    n_blocks = max(1, math.ceil(n_q / max_block))
+    if n_blocks == 1:
+        pdf = sel.toPandas()
+        if len(pdf):
+            yield pdf
+        return
+    h = F.pmod(F.xxhash64(F.col("qid")), F.lit(n_blocks))
+    for b in range(n_blocks):
+        pdf = sel.filter(h == F.lit(b)).toPandas()
+        if len(pdf):
+            yield pdf
+
+
 def flat_knn(
     base: DataFrame,
     queries: DataFrame,
@@ -184,6 +209,7 @@ def flat_knn(
     where: Column | str | None = None,
     round_to: int | None = 4,
     query_chunk_size: int = 8192,
+    max_query_block: int | None = None,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -193,31 +219,58 @@ def flat_knn(
     set (default 4), ranking happens on ``floor(d*10^round_to + 0.5)``
     and the emitted distance is that rounded value — bit-stable against
     a SQL oracle using the same formula.
-    """
+
+    ``max_query_block``: for query TABLES too large for the driver —
+    iterate hash-partitioned blocks of at most this many queries, one
+    base scan per block, materializing each block's Q_b×k top-k before
+    freeing its broadcast (driver memory bounded by one block; total
+    cost n_blocks base scans instead of one). Default None = single
+    batch, one scan total — the right plan whenever the batch fits."""
     qvec_col = qvec_col or vec_col
     if where is not None:
         base = base.filter(where)
     scan = base.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec"))
-
-    qp = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
-    ).toPandas()
-    if len(qp) == 0:
-        raise ValueError("empty query batch")
-    all_qids = qp["qid"].to_numpy(dtype=np.int64)
-    all_Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
-
     sc = base.sparkSession.sparkContext
-    bc = sc.broadcast((all_qids, all_Q))
-    fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to)
-    cand = scan.mapInArrow(fn, RESULT_SCHEMA)
 
-    out = topk_per_group(
-        cand,
-        group_col="qid",
-        order_col="distance",
-        k=k,
-        ascending=not is_similarity(distance),
-        tie_col="neighbor_id",
-    )
+    if max_query_block is None:
+        blocks = iter(
+            [
+                queries.select(
+                    F.col(qid_col).cast("long").alias("qid"),
+                    F.col(qvec_col).alias("qv"),
+                ).toPandas()
+            ]
+        )
+    else:
+        blocks = query_blocks(queries, qid_col, qvec_col, max_query_block)
+
+    parts: list[DataFrame] = []
+    for qp in blocks:
+        if len(qp) == 0:
+            continue
+        qids = qp["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+        bc = sc.broadcast((qids, Q))
+        fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to)
+        cand = scan.mapInArrow(fn, RESULT_SCHEMA)
+        part = topk_per_group(
+            cand,
+            group_col="qid",
+            order_col="distance",
+            k=k,
+            ascending=not is_similarity(distance),
+            tie_col="neighbor_id",
+        )
+        if max_query_block is not None:
+            # eager: materialize this block's Q_b×k result, then drop
+            # the block's broadcast before the next block is fetched
+            part = part.persist()
+            part.count()
+            bc.unpersist()
+        parts.append(part)
+    if not parts:
+        raise ValueError("empty query batch")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out.select("qid", "rank", "neighbor_id", "distance")

@@ -230,6 +230,7 @@ def ivf_search(
     rerank_queries: DataFrame | None = None,
     where=None,
     router=None,
+    max_query_block: int | None = None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -255,13 +256,80 @@ def ivf_search(
     filter for combined cluster + predicate pushdown.
 
     Returns (qid, rank, neighbor_id, distance) like flat_knn; recall < 1
-    exactly when true neighbors live outside probed clusters."""
+    exactly when true neighbors live outside probed clusters.
+
+    ``max_query_block``: for query tables too large for the driver —
+    iterate hash-partitioned blocks, one probe+scan pass per block,
+    each block's result materialized before the next is fetched (see
+    flat_knn); incompatible with ``k_reorder``."""
     qvec_col = qvec_col or index.vec_col
-    qp = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
-    ).toPandas()
-    if len(qp) == 0:
+    if max_query_block is None:
+        qp = queries.select(
+            F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+        ).toPandas()
+        blocks = iter([qp])
+    else:
+        if k_reorder is not None:
+            raise ValueError("max_query_block does not compose with k_reorder")
+        from scalablevectorsearch_spark.operators.flat import query_blocks
+
+        blocks = query_blocks(queries, qid_col, qvec_col, max_query_block)
+
+    parts: list[DataFrame] = []
+    for qp in blocks:
+        if len(qp) == 0:
+            continue
+        part, bc = _ivf_search_block(
+            index, qp, k, n_probes, distance, round_to, epsilon_bp,
+            max_probes, k_reorder, where, router,
+        )
+        if max_query_block is not None:
+            part = part.persist()
+            part.count()
+            bc.unpersist()
+        parts.append(part)
+    if not parts:
         raise ValueError("empty query batch")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if k_reorder is None:
+        return out.select("qid", "rank", "neighbor_id", "distance")
+    if rerank_base is None:
+        raise ValueError("k_reorder requires rerank_base (full-precision vectors)")
+    sc = queries.sparkSession.sparkContext
+    qids = qp["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    if rerank_queries is not None:
+        rq = rerank_queries.select(
+            F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
+        ).toPandas()
+        rqids = rq["qid"].to_numpy(dtype=np.int64)
+        rQ = np.stack(rq["qv"].to_numpy()).astype(np.float64)
+    else:
+        rqids, rQ = qids, Q
+    return _rerank_exact(
+        out, rerank_base, sc.broadcast((rqids, rQ)), k, distance, round_to,
+        id_col=index.id_col, vec_col=index.vec_col,
+    )
+
+
+def _ivf_search_block(
+    index: IVFIndex,
+    qp,
+    k: int,
+    n_probes: int,
+    distance: str,
+    round_to: int | None,
+    epsilon_bp: int | None,
+    max_probes: int | None,
+    k_reorder: int | None,
+    where,
+    router,
+) -> tuple[DataFrame, object]:
+    """One query block's probe + member scan + merge; returns the
+    ranked candidates (inner_k deep when re-ranking) and the block's
+    broadcast."""
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
 
@@ -291,12 +359,7 @@ def ivf_search(
         for c in np.unique(probes):
             probe_of[int(c)] = np.nonzero((probes == c).any(axis=1))[0]
 
-    if k_reorder is not None:
-        if rerank_base is None:
-            raise ValueError("k_reorder requires rerank_base (full-precision vectors)")
-        inner_k = max(k_reorder, k)
-    else:
-        inner_k = k
+    inner_k = k if k_reorder is None else max(k_reorder, k)
 
     probed_union = [int(c) for c in sorted(probe_of)]
     clustered = index.clustered
@@ -314,7 +377,7 @@ def ivf_search(
         )
     )
 
-    sc = queries.sparkSession.sparkContext
+    sc = index.clustered.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q, probe_of))
     cand = scan.mapInArrow(_ivf_kernel(bc, distance, inner_k, round_to), RESULT_SCHEMA)
     out = topk_per_group(
@@ -325,20 +388,7 @@ def ivf_search(
         ascending=not is_similarity(distance),
         tie_col="neighbor_id",
     )
-    if k_reorder is None:
-        return out.select("qid", "rank", "neighbor_id", "distance")
-    if rerank_queries is not None:
-        rq = rerank_queries.select(
-            F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
-        ).toPandas()
-        rqids = rq["qid"].to_numpy(dtype=np.int64)
-        rQ = np.stack(rq["qv"].to_numpy()).astype(np.float64)
-    else:
-        rqids, rQ = qids, Q
-    return _rerank_exact(
-        out, rerank_base, sc.broadcast((rqids, rQ)), k, distance, round_to,
-        id_col=index.id_col, vec_col=index.vec_col,
-    )
+    return out, bc
 
 
 def _rerank_exact(

@@ -238,6 +238,7 @@ def vamana_search(
     buffer_capacity: int | None = None,
     n_probes: int | None = None,
     router=None,
+    max_query_block: int | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -258,16 +259,72 @@ def vamana_search(
     index's shard centroids — replaces the exact O(S·d)-per-query
     centroid argmin with a sublinear graph traversal for very large
     shard counts (the two-level Inverted primary-index design,
-    clustering.h:786-809)."""
+    clustering.h:786-809).
+    ``max_query_block``: for query tables too large for the driver —
+    iterate hash-partitioned blocks (one shard pass per block, each
+    block's result materialized before the next block is fetched), as
+    in :func:`flat_knn`."""
     params, distance = index.params, index.distance
     sws = search_window_size or params.window_size
     qvec_col = qvec_col or index.vec_col
+    sc = queries.sparkSession.sparkContext
+    excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
+    maximize = is_similarity(distance)
+    scale = None if round_to is None else float(10**round_to)
 
-    qp = queries.select(
-        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qv")
-    ).toPandas()
-    if len(qp) == 0:
+    if max_query_block is None:
+        blocks = iter(
+            [
+                queries.select(
+                    F.col(qid_col).cast("long").alias("qid"),
+                    F.col(qvec_col).alias("qv"),
+                ).toPandas()
+            ]
+        )
+    else:
+        from scalablevectorsearch_spark.operators.flat import query_blocks
+
+        blocks = query_blocks(queries, qid_col, qvec_col, max_query_block)
+
+    parts: list[DataFrame] = []
+    for qp in blocks:
+        if len(qp) == 0:
+            continue
+        part, bc = _vamana_search_block(
+            index, qp, k, sws, excl, exclude_df, buffer_capacity,
+            n_probes, router, maximize, scale, sc,
+        )
+        if max_query_block is not None:
+            part = part.persist()
+            part.count()
+            bc.unpersist()
+        parts.append(part)
+    if not parts:
         raise ValueError("empty query batch")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("qid", "rank", "neighbor_id", "distance")
+
+
+def _vamana_search_block(
+    index: VamanaIndex,
+    qp: pd.DataFrame,
+    k: int,
+    sws: int,
+    excl,
+    exclude_df: DataFrame | None,
+    buffer_capacity: int | None,
+    n_probes: int | None,
+    router,
+    maximize: bool,
+    scale: float | None,
+    sc,
+) -> tuple[DataFrame, object]:
+    """One query block's shard-cogroup search + merge; returns the
+    ranked result and the block's broadcast (caller frees it when
+    iterating blocks eagerly)."""
+    params, distance = index.params, index.distance
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     probe_of = None
@@ -290,11 +347,7 @@ def vamana_search(
             if c >= 0
         }
 
-    excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
-    sc = queries.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q, excl, probe_of))
-    maximize = is_similarity(distance)
-    scale = None if round_to is None else float(10**round_to)
 
     def search_fn(key, vdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
         if len(vdf) == 0 or len(gdf) == 0:
@@ -352,7 +405,7 @@ def vamana_search(
             )
         )
     if exclude_df is not None:
-        if exclude_ids:
+        if excl is not None:
             raise ValueError("pass exclude_ids or exclude_df, not both")
         # broadcast-join flag stamp: narrow op, the scan's shard
         # partitioning survives and the skip-set never touches the driver
@@ -383,7 +436,7 @@ def vamana_search(
         ascending=not maximize,
         tie_col="neighbor_id",
     )
-    return out.select("qid", "rank", "neighbor_id", "distance")
+    return out, bc
 
 
 def graph_degree_stats(graph: DataFrame) -> DataFrame:

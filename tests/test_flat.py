@@ -126,3 +126,24 @@ def test_flat_knn_filtered(spark, embeddings):
     )
     assert set(res["neighbor_id"]).issubset(allowed)
     assert (res.groupby("qid").size() == K).all()
+
+
+def test_chunked_query_blocks_match_single_batch(embeddings):
+    """max_query_block partitions the query table into hash blocks, one
+    scan per block with eager per-block materialization — results must
+    be IDENTICAL to the single-batch plan (same total order, same
+    rounding), for every operator offering the chunked path."""
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter("id < 100").selectExpr("id as qid", "vector")
+
+    single = flat_knn(base, queries, k=5).collect()
+    chunked = flat_knn(base, queries, k=5, max_query_block=17).collect()
+    assert sorted(map(tuple, chunked)) == sorted(map(tuple, single))
+
+    idx = ivf_build(base, 8, n_iters=2)
+    idx.clustered.cache().count()
+    s = ivf_search(idx, queries, k=5, n_probes=8).collect()
+    c = ivf_search(idx, queries, k=5, n_probes=8, max_query_block=17).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, s))

@@ -197,3 +197,25 @@ def test_full_search_history_build(spark, embeddings):
         seg = vids[offs[qi]:offs[qi + 1]]
         assert set(bids[qi][bids[qi] >= 0]) <= set(seg.tolist())
         assert np.all(np.diff(vds[offs[qi]:offs[qi + 1]]) >= 0)
+
+
+def test_vamana_chunked_query_blocks_match(embeddings):
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector").filter(
+        "id < 1000"
+    )
+    queries = base.filter("id < 60").selectExpr("id as qid", "vector")
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    idx.graph.cache().count()
+    s = vamana_search(idx, queries, k=5, search_window_size=30).collect()
+    c = vamana_search(
+        idx, queries, k=5, search_window_size=30, max_query_block=13
+    ).collect()
+    assert sorted(map(tuple, c)) == sorted(map(tuple, s))
