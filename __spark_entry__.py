@@ -401,10 +401,15 @@ CALIBRATE_MAX_WINDOW = 64
 
 
 def _calibrate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall-targeted window calibration (§2.13), hash-gated as a
-    verdict: the calibrated window must actually achieve the target
-    recall and respect the window bounds."""
-    from scalablevectorsearch_spark.operators.calibrate import calibrate_window
+    """Recall-targeted calibration (§2.13), hash-gated as a verdict:
+    the calibrated window must achieve the target recall within bounds,
+    and the split-buffer optimization (calibrate.h:171) must return a
+    configuration that still holds the target with capacity >=
+    max(window, k)."""
+    from scalablevectorsearch_spark.operators.calibrate import (
+        calibrate_split_buffer,
+        calibrate_window,
+    )
 
     base = _base(spark, sf_dir).select("id", "vector")
     q = _queries_df(spark, sf_dir)
@@ -414,13 +419,26 @@ def _calibrate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda w: vamana_search(index, q, k=K, search_window_size=w),
         gt, k=K, target_recall=CALIBRATE_TARGET_E4 / 10000, max_window=CALIBRATE_MAX_WINDOW,
     )
+    split = calibrate_split_buffer(
+        lambda w, cap: vamana_search(
+            index, q, k=K, search_window_size=w, buffer_capacity=cap
+        ),
+        gt, k=K, target_recall=CALIBRATE_TARGET_E4 / 10000,
+        window=res.search_window_size, capacity_upper=CALIBRATE_MAX_WINDOW,
+        cost_fn=lambda w, cap: 10.0 * w + cap,  # deterministic cost model
+    )
     import math
 
     ok_recall = int(math.floor(res.recall * 10000 + 0.5) >= CALIBRATE_TARGET_E4)
     ok_window = int(1 <= res.search_window_size <= CALIBRATE_MAX_WINDOW)
+    ok_split = int(
+        math.floor(split.recall * 10000 + 0.5) >= CALIBRATE_TARGET_E4
+        and split.buffer_capacity >= max(split.search_window_size, K)
+        and split.search_window_size <= res.search_window_size
+    )
     return spark.createDataFrame(
-        [(ok_recall, ok_window, CALIBRATE_TARGET_E4, CALIBRATE_MAX_WINDOW)],
-        "ok_recall long, ok_window long, target_e4 long, max_window long",
+        [(ok_recall, ok_window, ok_split, CALIBRATE_TARGET_E4, CALIBRATE_MAX_WINDOW)],
+        "ok_recall long, ok_window long, ok_split long, target_e4 long, max_window long",
     )
 
 

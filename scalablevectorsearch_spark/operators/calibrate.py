@@ -1,18 +1,25 @@
 """Recall-targeted calibration — binary-search the search window size
-to hit a target recall at minimal cost.
+(and optionally the split-buffer capacity) to hit a target recall at
+minimal cost.
 
 Parity: /root/reference/include/svs/index/vamana/calibrate.h:91
 (CalibrationParameters), :249 (optimize_search_buffer = binary search
 over search_window_size against a groundtruth + target recall),
-orchestrators/vamana.h:211-246 (experimental_calibrate surface).
+:152/:171 (optimize_split_buffer_using_binary_search /
+optimize_split_buffer = shrink the exploration window below the
+capacity when a wider result buffer alone preserves recall at lower
+traversal cost), orchestrators/vamana.h:211-246
+(experimental_calibrate surface).
 
 Spark shape: a driver loop that re-runs the search job at candidate
-window sizes and evaluates recall with the §2.4 aggregate. Each probe
-is one Spark job; the loop is O(log window_range) jobs. Works over any
-index family exposing a (queries, k, window) search callable."""
+(window, capacity) points and evaluates recall with the §2.4 aggregate.
+Each probe is one Spark job; the loops are O(log range) jobs. Works
+over any index family exposing a (queries, k, window[, capacity])
+search callable."""
 
 from __future__ import annotations
 
+import time
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -71,3 +78,88 @@ def calibrate_window(
         else:
             lo = mid + 1
     return CalibrationResult(best_w, best_r, target_recall, probes)
+
+
+@dataclass
+class SplitBufferResult:
+    search_window_size: int
+    buffer_capacity: int
+    recall: float
+    target_recall: float
+    cost: float
+    probes: list[tuple[int, int, float]]  # (window, capacity, recall)
+
+
+def calibrate_split_buffer(
+    search_fn: Callable[[int, int], DataFrame],
+    groundtruth: DataFrame,
+    k: int,
+    target_recall: float,
+    window: int,
+    capacity_upper: int | None = None,
+    cost_fn: Callable[[int, int], float] | None = None,
+    timing_reps: int = 1,
+) -> SplitBufferResult:
+    """Split-buffer optimization (calibrate.h:171 optimize_split_buffer):
+    starting from the uniform buffer ``(window, window)`` — normally the
+    output of :func:`calibrate_window` — decrement the exploration
+    window; a smaller window that holds the target recall with SOME
+    capacity <= ``capacity_upper`` gets its minimal such capacity via
+    binary search (lower-bounded by max(window, k), calibrate.h:221),
+    and the cheapest passing configuration wins. If a window fails even
+    at the max capacity, smaller windows cannot do better and the loop
+    terminates (calibrate.h:206-210).
+
+    ``search_fn(window, capacity)`` returns the standard result frame.
+    ``cost_fn(window, capacity)`` scores a configuration; default =
+    measured wall time of the search job (min over ``timing_reps``
+    runs, the reference's get_search_time). Tests inject a
+    deterministic model to sidestep host noise."""
+    capacity_upper = capacity_upper or 4 * window
+    probes: list[tuple[int, int, float]] = []
+
+    def probe(w: int, cap: int) -> float:
+        r = _recall_of(groundtruth, search_fn(w, cap), k)
+        probes.append((w, cap, r))
+        return r
+
+    def cost_of(w: int, cap: int) -> float:
+        if cost_fn is not None:
+            return cost_fn(w, cap)
+        best = float("inf")
+        for _ in range(max(1, timing_reps)):
+            t0 = time.perf_counter()
+            search_fn(w, cap).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # the uniform baseline's EFFECTIVE capacity is max(window, k) — every
+    # search buffer holds at least k results (search_buffer.h invariant)
+    best = SplitBufferResult(
+        window, max(window, k), probe(window, window), target_recall,
+        cost_of(window, window), probes,
+    )
+    sws = window
+    while sws > 1:
+        sws -= 1
+        if probe(sws, capacity_upper) < target_recall:
+            break  # shrinking further cannot recover recall
+        # smallest capacity in [max(sws, k), capacity_upper] that holds
+        lo, hi = max(sws, k), capacity_upper
+        best_cap, best_r = hi, None
+        while lo < hi:
+            mid = (lo + hi) // 2
+            r = probe(sws, mid)
+            if r >= target_recall:
+                best_cap, best_r = mid, r
+                hi = mid
+            else:
+                lo = mid + 1
+        if best_r is None:
+            best_r = _recall_of(groundtruth, search_fn(sws, best_cap), k)
+        c = cost_of(sws, best_cap)
+        if c < best.cost:
+            best = SplitBufferResult(
+                sws, best_cap, best_r, target_recall, c, probes
+            )
+    return best

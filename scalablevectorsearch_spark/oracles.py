@@ -800,6 +800,7 @@ def degree_stats_verdict_sql() -> str:
 def calibrate_verdict_sql(target_e4: int, max_window: int) -> str:
     return (
         f"SELECT CAST(1 AS BIGINT) AS ok_recall, CAST(1 AS BIGINT) AS ok_window, "
+        f"CAST(1 AS BIGINT) AS ok_split, "
         f"CAST({target_e4} AS BIGINT) AS target_e4, "
         f"CAST({max_window} AS BIGINT) AS max_window"
     )

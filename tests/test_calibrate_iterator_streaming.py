@@ -207,3 +207,38 @@ def test_stream_knn_matches_batch(spark, embeddings, tmp_path):
         for r in flat_knn(base, q_batch, k=5).collect()
     )
     assert got == exact
+
+
+def test_calibrate_split_buffer(base, queries):
+    """optimize_split_buffer parity (calibrate.h:171): shrinking the
+    exploration window below the calibrated uniform size while widening
+    the result capacity must keep the target recall; with a cost model
+    that prices traversal by window, the optimizer picks a split
+    configuration (capacity >= window) and never a failing one."""
+    from scalablevectorsearch_spark.operators.calibrate import (
+        calibrate_split_buffer,
+    )
+
+    idx = vamana_build(base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2)
+    idx.graph.cache().count()
+    gt = flat_knn(base, queries, k=5, distance="l2")
+    gt.cache()
+
+    uniform = calibrate_window(
+        lambda w: vamana_search(idx, queries, k=5, search_window_size=w),
+        gt, k=5, target_recall=0.9, min_window=1, max_window=64,
+    )
+    res = calibrate_split_buffer(
+        lambda w, cap: vamana_search(
+            idx, queries, k=5, search_window_size=w, buffer_capacity=cap
+        ),
+        gt, k=5, target_recall=0.9,
+        window=uniform.search_window_size, capacity_upper=64,
+        cost_fn=lambda w, cap: 10.0 * w + cap,  # traversal dominates
+    )
+    assert res.recall >= 0.9
+    assert res.buffer_capacity >= max(res.search_window_size, 5)
+    assert res.search_window_size <= uniform.search_window_size
+    # the chosen config is never costlier than the uniform baseline
+    assert res.cost <= 10.0 * uniform.search_window_size + uniform.search_window_size
+    assert len(res.probes) >= 1
