@@ -103,15 +103,28 @@ def _merge_topk(
     return out_key, out_id
 
 
-def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | None):
+def _scan_kernel(
+    bc,
+    distance: str,
+    k: int,
+    chunk_size: int,
+    round_to: int | None,
+    deadline: float | None = None,
+):
     """Build the mapInArrow function: one pass over the partition's
-    Arrow batches, updating a running top-k for every query chunk."""
+    Arrow batches, updating a running top-k for every query chunk.
+    ``deadline`` (epoch seconds): checked before each Arrow batch — the
+    reference's per-tile cancel() predicate (flat.h:344-346); an
+    expired deadline fails the task immediately instead of finishing
+    the partition."""
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
     kernel = resolve_kernel(distance)  # bound driver-side (custom kernels ship in closure)
     builtin = distance in ("l2", "ip", "cosine")
 
     def fn(batches):
+        import time as _time
+
         import pyarrow as pa
 
         qids, Q = bc.value
@@ -125,6 +138,10 @@ def _scan_kernel(bc, distance: str, k: int, chunk_size: int, round_to: int | Non
         n_chunks = max(1, math.ceil(nqt / chunk_size))
         seen = False
         for rb in batches:
+            if deadline is not None and _time.time() > deadline:
+                raise TimeoutError(
+                    f"search deadline exceeded mid-partition (deadline={deadline})"
+                )
             n = rb.num_rows
             if n == 0:
                 continue
@@ -210,6 +227,7 @@ def flat_knn(
     round_to: int | None = 4,
     query_chunk_size: int = 8192,
     max_query_block: int | None = None,
+    deadline: float | None = None,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -225,7 +243,12 @@ def flat_knn(
     base scan per block, materializing each block's Q_b×k top-k before
     freeing its broadcast (driver memory bounded by one block; total
     cost n_blocks base scans instead of one). Default None = single
-    batch, one scan total — the right plan whenever the batch fits."""
+    batch, one scan total — the right plan whenever the batch fits.
+
+    ``deadline``: absolute epoch-seconds budget checked inside the scan
+    kernel per Arrow batch (flat.h:344-346 cancel parity) — combine
+    with operators.cancel.run_with_timeout for mid-stage interruption
+    of long single-stage scans."""
     qvec_col = qvec_col or vec_col
     if where is not None:
         base = base.filter(where)
@@ -251,7 +274,7 @@ def flat_knn(
         qids = qp["qid"].to_numpy(dtype=np.int64)
         Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
         bc = sc.broadcast((qids, Q))
-        fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to)
+        fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to, deadline)
         cand = scan.mapInArrow(fn, RESULT_SCHEMA)
         part = topk_per_group(
             cand,

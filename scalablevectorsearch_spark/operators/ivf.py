@@ -148,7 +148,9 @@ def probe_clusters(
     return order.astype(np.int32)
 
 
-def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
+def _ivf_kernel(
+    bc, distance: str, k: int, round_to: int | None, deadline: float | None = None
+):
     from scalablevectorsearch_spark.functions.distances import resolve_kernel
 
     scale = None if round_to is None else float(10**round_to)
@@ -156,6 +158,8 @@ def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
     kernel = resolve_kernel(distance)  # bound driver-side
 
     def fn(batches):
+        import time as _time
+
         import pyarrow as pa
 
         qids, Q, probe_of = bc.value  # probe_of: dict cluster_id -> query positions
@@ -167,6 +171,11 @@ def _ivf_kernel(bc, distance: str, k: int, round_to: int | None):
         best_id = np.full((nqt, k), _ID_SENTINEL, dtype=np.int64)
         seen = False
         for rb in batches:
+            if deadline is not None and _time.time() > deadline:
+                # per-batch cancel predicate (flat.h:344-346 parity)
+                raise TimeoutError(
+                    f"search deadline exceeded mid-partition (deadline={deadline})"
+                )
             n = rb.num_rows
             if n == 0:
                 continue
@@ -231,6 +240,7 @@ def ivf_search(
     where=None,
     router=None,
     max_query_block: int | None = None,
+    deadline: float | None = None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -281,7 +291,7 @@ def ivf_search(
             continue
         part, bc = _ivf_search_block(
             index, qp, k, n_probes, distance, round_to, epsilon_bp,
-            max_probes, k_reorder, where, router,
+            max_probes, k_reorder, where, router, deadline,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -326,6 +336,7 @@ def _ivf_search_block(
     k_reorder: int | None,
     where,
     router,
+    deadline: float | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's probe + member scan + merge; returns the
     ranked candidates (inner_k deep when re-ranking) and the block's
@@ -379,7 +390,9 @@ def _ivf_search_block(
 
     sc = index.clustered.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q, probe_of))
-    cand = scan.mapInArrow(_ivf_kernel(bc, distance, inner_k, round_to), RESULT_SCHEMA)
+    cand = scan.mapInArrow(
+        _ivf_kernel(bc, distance, inner_k, round_to, deadline), RESULT_SCHEMA
+    )
     out = topk_per_group(
         cand,
         group_col="qid",

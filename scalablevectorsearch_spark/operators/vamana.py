@@ -239,6 +239,7 @@ def vamana_search(
     n_probes: int | None = None,
     router=None,
     max_query_block: int | None = None,
+    deadline: float | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -292,7 +293,7 @@ def vamana_search(
             continue
         part, bc = _vamana_search_block(
             index, qp, k, sws, excl, exclude_df, buffer_capacity,
-            n_probes, router, maximize, scale, sc,
+            n_probes, router, maximize, scale, sc, deadline,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -320,6 +321,7 @@ def _vamana_search_block(
     maximize: bool,
     scale: float | None,
     sc,
+    deadline: float | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's shard-cogroup search + merge; returns the
     ranked result and the block's broadcast (caller frees it when
@@ -373,7 +375,8 @@ def _vamana_search_block(
         elif del_flag is not None and del_flag.any():
             valid = ~del_flag
         ids, ds = search_graph(
-            X, graph, entry, mQ, k, sws, distance, valid=valid, capacity=buffer_capacity
+            X, graph, entry, mQ, k, sws, distance, valid=valid,
+            capacity=buffer_capacity, deadline=deadline,
         )
         nq, kk = ids.shape
         mask = ids.reshape(-1) >= 0

@@ -219,6 +219,7 @@ def batch_greedy_search(
     lazy: bool = False,
     x_sq: np.ndarray | None = None,
     track: bool = False,
+    deadline: float | None = None,
 ):
     """Frontier-synchronous batch traversal: every query expands its
     best unexpanded in-window node each round, vectorized across the
@@ -308,6 +309,14 @@ def batch_greedy_search(
     # — dropping finished rows keeps late straggler rounds cheap
     alive = np.arange(nq)
     while len(alive):
+        if deadline is not None:
+            import time as _time
+
+            if _time.time() > deadline:
+                # per-round cancel predicate (greedy_search.h:154-157)
+                raise TimeoutError(
+                    f"search deadline exceeded mid-traversal (deadline={deadline})"
+                )
         # next(): nearest unexpanded inside each query's window
         win_ids = buf_ids[alive, :w]
         flags = expanded[alive[:, None], np.maximum(win_ids, 0)] | (win_ids < 0)
@@ -679,6 +688,7 @@ def search_graph(
     distance: str = "l2",
     valid: np.ndarray | None = None,
     capacity: int | None = None,
+    deadline: float | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Batch search (index.h:557-600): per query greedy_search; the
     buffer CAPACITY is raised to >= k while the exploration window stays
@@ -722,6 +732,7 @@ def search_graph(
             bids, bds = batch_greedy_search(
                 X, graph, [entry], Q[idx], w, distance,
                 capacity=cap, D=D, NB=NB, lazy=lazy, x_sq=x_sq,
+                deadline=deadline,
             )
             keep = bids >= 0
             if valid is not None:

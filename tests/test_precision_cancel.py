@@ -116,3 +116,42 @@ def test_timeout_cancels_long_job(spark, base):
 
 def test_timeout_returns_fast_result(spark, base):
     assert run_with_timeout(spark, lambda: base.count(), timeout_s=60) == base.count()
+
+
+def test_deadline_interrupts_flat_scan_mid_partition(embeddings):
+    """Inner-loop cancellation (flat.h:344-346): an expired deadline
+    fails the scan kernel at the next Arrow batch, not after the
+    partition completes — the error surfaces through collect()."""
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter("id < 5").selectExpr("id as qid", "vector")
+    df = flat_knn(base, queries, k=3, deadline=time.time() - 1.0)
+    with pytest.raises(Exception, match="deadline exceeded"):
+        df.collect()
+
+
+def test_deadline_interrupts_vamana_traversal(embeddings):
+    """greedy_search.h:154-157 parity: the per-round deadline check
+    aborts the batch traversal inside the shard kernel."""
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter("id < 5").selectExpr("id as qid", "vector")
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    df = vamana_search(
+        idx, queries, k=3, search_window_size=10, deadline=time.time() - 1.0
+    )
+    with pytest.raises(Exception, match="deadline exceeded"):
+        df.collect()
+
+
+def test_live_deadline_allows_completion(embeddings):
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter("id < 5").selectExpr("id as qid", "vector")
+    res = flat_knn(base, queries, k=3, deadline=time.time() + 300.0)
+    assert res.count() == 15
