@@ -60,6 +60,38 @@ def multivector_knn(
         ki *= 2
 
 
+def multivector_batch_iterator(
+    base: DataFrame,
+    queries: DataFrame,
+    schedule,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    label_col: str = "label",
+    qid_col: str = "qid",
+    round_to: int | None = 4,
+):
+    """MultiBatchIterator (multi.h:22-47): paged retrieval of DISTINCT
+    labels, nearest-first — the composition of the multi-vector dedup
+    with the batch iterator. Each page's search re-runs the
+    label-deduped ranking with the cumulative label count (the inner
+    candidate k self-inflates inside :func:`multivector_knn` until
+    every query holds enough distinct labels), and the page slices the
+    deterministic label-rank range — so pages are label-disjoint per
+    query and their concatenation equals the one-shot top-k ranking.
+    ``update()`` restarts paging (iterator.h:174-178)."""
+    from scalablevectorsearch_spark.operators.iterator import BatchIterator
+
+    def search_fn(k: int, window: int) -> DataFrame:
+        return multivector_knn(
+            base, queries, k=k, distance=distance, id_col=id_col,
+            vec_col=vec_col, label_col=label_col, qid_col=qid_col,
+            k_inner=max(window, 4 * k), round_to=round_to,
+        )
+
+    return BatchIterator(search_fn=search_fn, schedule=schedule)
+
+
 def dedupe_by_label(
     results: DataFrame,
     labels: DataFrame,

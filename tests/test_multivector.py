@@ -51,3 +51,38 @@ def test_nearest_representative_per_label(skewed, queries):
     ranks = {r["qid"]: sorted([]) for r in out.collect()}
     for r in out.collect():
         ranks.setdefault(r["qid"], []).append(r["rank"])
+
+
+def test_multivector_batch_iterator_pages(skewed, queries):
+    """MultiBatchIterator composition (multi.h:22-47): pages are
+    label-disjoint per query, nearest-first, and their concatenation
+    equals the one-shot top-k label ranking; update() restarts."""
+    from scalablevectorsearch_spark.operators.iterator import DefaultSchedule
+    from scalablevectorsearch_spark.operators.multivector import (
+        multivector_batch_iterator,
+    )
+
+    it = multivector_batch_iterator(
+        skewed, queries, DefaultSchedule(batch_size=3)
+    )
+    p1 = it.next_batch().collect()
+    p2 = it.next_batch().collect()
+    seen1 = {(r["qid"], r["label"]) for r in p1}
+    seen2 = {(r["qid"], r["label"]) for r in p2}
+    assert seen1.isdisjoint(seen2), "pages must be label-disjoint"
+    assert {r["rank"] for r in p1} == {1, 2, 3}
+    assert {r["rank"] for r in p2} == {4, 5, 6}
+    # concatenated pages == one-shot top-6 labels
+    direct = multivector_knn(skewed, queries, k=6)
+    got = sorted((r["qid"], r["rank"], r["label"]) for r in p1 + p2)
+    want = sorted(
+        (r["qid"], r["rank"], r["label"])
+        for r in direct.select("qid", "rank", "label").collect()
+    )
+    assert got == want
+    # restart yields page 1 again
+    it.update()
+    p1b = it.next_batch().collect()
+    assert sorted((r["qid"], r["rank"], r["label"]) for r in p1b) == sorted(
+        (r["qid"], r["rank"], r["label"]) for r in p1
+    )
