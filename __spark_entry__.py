@@ -477,6 +477,39 @@ def _dynamic_flat_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _dynamic_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic IVF cycle gate (dynamic_ivf.h parity): append rows
+    (nearest-existing-cluster stamp) -> tombstone a range -> RECLUSTER
+    (full deterministic retrain over the live rows) -> search. Post
+    recluster the index equals a fresh build over the mutated base, so
+    the DuckDB oracle is the unrolled-Lloyd IVF search with the base
+    CTE swapped for (base - deletes + shifted adds)."""
+    from scalablevectorsearch_spark.operators.dynamic import (
+        dynamic_ivf,
+        ivf_add_points,
+        ivf_delete_entries,
+        ivf_dynamic_search,
+        ivf_recluster,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    d = dynamic_ivf(ivf_build(base, N_CLUSTERS, KM_ITERS))
+    added = base.filter(F.col("id") < DYN_ADDED).select(
+        (F.col("id") + DYN_OFFSET).alias("id"), "vector"
+    )
+    d = ivf_add_points(d, added)
+    deleted = base.filter(
+        (F.col("id") >= DYN_DEL_LO) & (F.col("id") < DYN_DEL_HI)
+    ).select("id")
+    d = ivf_delete_entries(d, deleted)
+    d = ivf_recluster(d, n_iters=KM_ITERS)
+    res = ivf_dynamic_search(
+        d, _queries_df(spark, sf_dir), k=K, n_probes=N_PROBES,
+        distance="l2", round_to=4,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _dynamic_vamana_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metamorphic hash gate for the DYNAMIC Vamana path: after a full
     add -> delete -> consolidate cycle, an exhaustive-window search must
@@ -673,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "calibrate_window": _calibrate_query,
         "graph_degree_stats": _graph_degree_stats_query,
         "dynamic_flat_knn": _dynamic_flat_query,
+        "dynamic_ivf_knn": _dynamic_ivf_query,
         "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
         "text_stats": _text_stats_query,
@@ -735,6 +769,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_degree_stats": oracles.degree_stats_verdict_sql(),
         "dynamic_vamana_recall": oracles.recall_verdict_sql(
             DYNAMIC_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "dynamic_ivf_knn": oracles.dynamic_ivf_knn_sql(
+            K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES,
+            DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI,
         ),
         "dynamic_flat_knn": oracles.dynamic_flat_knn_sql(
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI

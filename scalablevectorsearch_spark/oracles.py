@@ -255,6 +255,7 @@ def ivf_knn_sql(
     n_queries: int,
     epsilon_bp: int | None = None,
     member_where: str | None = None,
+    e_cte: str = "SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings",
 ) -> str:
     """Full IVF search (L2): probe the n_probes nearest final centroids
     per query (e4-key ranked, cid tie-break), scan members of probed
@@ -263,8 +264,12 @@ def ivf_knn_sql(
     cluster with key*10000 <= best_key*(10000+epsilon_bp).
     ``member_where``: hybrid-search predicate over the member scan,
     written against the alias ``emf`` (the embeddings row of the
-    candidate member), e.g. ``emf.label = 3``."""
-    ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters)
+    candidate member), e.g. ``emf.label = 3``.
+    ``e_cte``: the (id, v) base-table SQL — override with a mutated
+    base (union of adds, anti-join of deletes) for the dynamic-IVF
+    gate, where post-recluster search must equal a fresh build over
+    the mutated rows."""
+    ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters, e_cte=e_cte)
     e4p = E4.format(expr="dist")
     if epsilon_bp is None:
         probe_cte = f"""probe AS (SELECT qid, cid FROM (
@@ -396,6 +401,33 @@ SELECT qid, rnk AS rank, id AS neighbor_id,
 FROM r CROSS JOIN pp WHERE rnk <= {k}
 """.strip()
     raise ValueError(f"unsupported sq oracle distance {distance!r}")
+
+
+def dynamic_ivf_knn_sql(
+    k: int,
+    n_clusters: int,
+    kmeans_iters: int,
+    n_probes: int,
+    n_queries: int,
+    n_added: int,
+    add_offset: int,
+    del_lo: int,
+    del_hi: int,
+) -> str:
+    """Dynamic IVF cycle: after append + tombstone + RECLUSTER the index
+    is definitionally a fresh deterministic build over the mutated base,
+    so the oracle is the full unrolled-Lloyd IVF search with the base
+    CTE swapped for (base - deletes + shifted adds)."""
+    e_cte = (
+        f"SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings "
+        f"WHERE vec_id NOT BETWEEN {del_lo} AND {del_hi - 1} "
+        f"UNION ALL "
+        f"SELECT vec_id + {add_offset} AS id, embedding::DOUBLE[] AS v "
+        f"FROM embeddings WHERE vec_id < {n_added}"
+    )
+    return ivf_knn_sql(
+        k, n_clusters, kmeans_iters, n_probes, n_queries, e_cte=e_cte
+    )
 
 
 def dynamic_flat_knn_sql(
