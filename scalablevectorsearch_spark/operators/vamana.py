@@ -122,6 +122,10 @@ class VamanaIndex:
     #: set for cluster-sharded (SPANN-style) indexes: shards are k-means
     #: cells, searches can route to the n_probes nearest shards
     shard_model: object | None = None
+    #: SPANN closure assignment (basis points): rows replicate into
+    #: every cell within (1 + closure_bp/1e4) of their nearest centroid;
+    #: searches dedup by (qid, neighbor_id) before the merge
+    closure_bp: int | None = None
     #: the index's OWN data layout: (shard_id, __id, __vec), persisted
     #: hash-partitioned on shard_id. The reference's index materializes
     #: a reordered copy of the data (vamana/index.h data_ member); the
@@ -132,13 +136,24 @@ class VamanaIndex:
 
 
 def _sharded(
-    base: DataFrame, n_shards: int, id_col: str, shard_model=None, vec_col: str = "vector"
+    base: DataFrame,
+    n_shards: int,
+    id_col: str,
+    shard_model=None,
+    vec_col: str = "vector",
+    closure_bp: int | None = None,
 ) -> DataFrame:
     if shard_model is None:
         return base.withColumn(
             "shard_id", F.pmod(F.col(id_col).cast("long"), F.lit(n_shards)).cast("int")
         )
-    # cluster sharding: shard = nearest k-means centroid, stamped map-side
+    # cluster sharding: shard = nearest k-means centroid, stamped
+    # map-side. With ``closure_bp`` (SPANN closure assignment), a row is
+    # ADDITIONALLY replicated into every cell whose e4 centroid key is
+    # within (1 + closure_bp/1e4) of its nearest — boundary vectors
+    # become reachable from each nearby cell's graph, trading bounded
+    # storage amplification for routed recall at a fixed probe count
+    # (the same sign-aware additive cutoff as probe_clusters_epsilon).
     from collections.abc import Iterator
 
     from pyspark.sql.types import IntegerType, StructField, StructType
@@ -158,8 +173,28 @@ def _sharded(
             pdf["shard_id"] = _nearest_centroid(V, C)
             yield pdf
 
+    def stamp_closure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from scalablevectorsearch_spark.functions.distances import (
+            pairwise_distances,
+        )
+
+        C = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            key = np.floor(pairwise_distances(V, C, "l2") * 1e4 + 0.5).astype(
+                np.int64
+            )
+            best = key.min(axis=1)
+            cut = best * 10000 + np.abs(best) * closure_bp
+            rows, cells = np.nonzero(key * 10000 <= cut[:, None])
+            out = pdf.iloc[rows].copy()
+            out["shard_id"] = cells.astype(np.int32)
+            yield out
+
     schema = StructType(list(base.schema.fields) + [StructField("shard_id", IntegerType())])
-    return base.mapInPandas(stamp, schema)
+    return base.mapInPandas(stamp_closure if closure_bp else stamp, schema)
 
 
 def vamana_build(
@@ -171,6 +206,7 @@ def vamana_build(
     vec_col: str = "vector",
     shard_by: str = "hash",
     kmeans_iters: int = 2,
+    closure_bp: int | None = None,
 ) -> VamanaIndex:
     """Build one Vamana graph per shard (deterministic: per-shard rows
     processed in ascending id order).
@@ -180,7 +216,12 @@ def vamana_build(
     ``shard_by="kmeans"``: SPANN-style cluster shards — a k-means model
     partitions the space, one graph per cell, and ``vamana_search`` can
     route each query to its ``n_probes`` nearest cells (compute scales
-    with probed fraction, not shard count — the 100 TB search path)."""
+    with probed fraction, not shard count — the 100 TB search path).
+    ``closure_bp`` (kmeans sharding only): SPANN closure assignment —
+    replicate each row into every cell whose centroid is within
+    (1 + closure_bp/1e4) of its nearest, so boundary vectors are
+    findable from neighboring cells' graphs; raises routed recall at a
+    fixed probe count for bounded storage amplification."""
     params = params or VamanaParams()
     shard_model = None
     if shard_by == "kmeans":
@@ -189,6 +230,8 @@ def vamana_build(
         shard_model = train_kmeans(base, n_shards, kmeans_iters, id_col, vec_col)
     elif shard_by != "hash":
         raise ValueError(f"shard_by must be 'hash' or 'kmeans', got {shard_by!r}")
+    if closure_bp is not None and shard_model is None:
+        raise ValueError("closure_bp requires shard_by='kmeans'")
 
     def build_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)
@@ -211,7 +254,7 @@ def vamana_build(
     # so build AND every later search read the shard-partitioned copy
     # instead of re-shuffling the base (index.h's materialized data_)
     layout = _by_shard(
-        _sharded(base, n_shards, id_col, shard_model, vec_col).select(
+        _sharded(base, n_shards, id_col, shard_model, vec_col, closure_bp).select(
             "shard_id",
             F.col(id_col).cast("long").alias("__id"),
             F.col(vec_col).alias("__vec"),
@@ -221,7 +264,7 @@ def vamana_build(
     return VamanaIndex(
         graph=graph, base=base, params=params, distance=distance,
         n_shards=n_shards, id_col=id_col, vec_col=vec_col, shard_model=shard_model,
-        layout=layout,
+        closure_bp=closure_bp, layout=layout,
     )
 
 
@@ -400,7 +443,7 @@ def _vamana_search_block(
         scan = _by_shard(
             _sharded(
                 index.base, index.n_shards, index.id_col, index.shard_model,
-                index.vec_col,
+                index.vec_col, index.closure_bp,
             ).select(
                 "shard_id",
                 F.col(index.id_col).cast("long").alias("__id"),
@@ -431,6 +474,11 @@ def _vamana_search_block(
         .cogroup(_by_shard(graph).groupBy("shard_id"))
         .applyInPandas(search_fn, RESULT_SCHEMA)
     )
+    if index.closure_bp is not None:
+        # closure replicas: the same neighbor can surface from several
+        # cells with an identical e4 distance — collapse before ranking
+        # (deterministic: duplicate rows are value-identical)
+        cand = cand.dropDuplicates(["qid", "neighbor_id"])
     out = topk_per_group(
         cand,
         group_col="qid",

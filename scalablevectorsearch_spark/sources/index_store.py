@@ -214,6 +214,7 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         tables["shard_centroids"] = index.shard_model.centroids_df(spark)
         params["shard_n_iters"] = index.shard_model.n_iters
         params["shard_round_decimals"] = index.shard_model.round_decimals
+        params["closure_bp"] = index.closure_bp
     return save_index(path, tables, "vamana_index", params=params)
 
 
@@ -265,6 +266,7 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         id_col="id",
         vec_col="vector",
         shard_model=shard_model,
+        closure_bp=p.get("closure_bp"),
     )
     # rebuild the persisted layout with the SAME sharding the graphs
     # were built under (hash: id mod n_shards; kmeans: nearest saved
@@ -273,7 +275,9 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
     from pyspark.storagelevel import StorageLevel
 
     idx.layout = _by_shard(
-        _sharded(data, p["n_shards"], "id", shard_model, "vector").select(
+        _sharded(
+            data, p["n_shards"], "id", shard_model, "vector", p.get("closure_bp")
+        ).select(
             "shard_id",
             F.col("id").cast("long").alias("__id"),
             F.col("vector").alias("__vec"),

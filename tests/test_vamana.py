@@ -219,3 +219,73 @@ def test_vamana_chunked_query_blocks_match(embeddings):
         idx, queries, k=5, search_window_size=30, max_query_block=13
     ).collect()
     assert sorted(map(tuple, c)) == sorted(map(tuple, s))
+
+
+def test_closure_assignment_lifts_routed_recall(embeddings):
+    """SPANN closure assignment: replicating boundary vectors into every
+    cell within (1+eps) of their nearest centroid must (a) never emit
+    duplicate neighbors after the merge dedup, (b) at a fixed probe
+    count reach at least the recall of the non-closure index, and (c)
+    strictly enlarge the layout (replicas exist)."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter("id < 20").selectExpr("id as qid", "vector")
+    p = VamanaParams(graph_max_degree=8, window_size=20)
+    gt = flat_knn(base, queries, k=5).select("qid", "neighbor_id")
+    gt.cache()
+    n_gt = gt.count()
+
+    plain = vamana_build(base, p, n_shards=8, shard_by="kmeans")
+    closure = vamana_build(base, p, n_shards=8, shard_by="kmeans", closure_bp=3000)
+    assert closure.layout.count() > plain.layout.count(), "no replicas created"
+
+    def rec(idx):
+        r = vamana_search(idx, queries, k=5, search_window_size=20, n_probes=2)
+        dup = r.groupBy("qid", "neighbor_id").count().filter("count > 1").count()
+        assert dup == 0, "duplicate neighbors leaked through the merge"
+        return (
+            r.select("qid", "neighbor_id").join(gt, ["qid", "neighbor_id"], "left_semi").count()
+            / n_gt
+        )
+
+    r_plain, r_closure = rec(plain), rec(closure)
+    assert r_closure >= r_plain, (r_plain, r_closure)
+
+
+def test_closure_survives_save_load(embeddings, tmp_path):
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+    from scalablevectorsearch_spark.sources.index_store import (
+        load_vamana,
+        save_vamana,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector").filter(
+        "id < 300"
+    )
+    queries = base.filter("id < 10").selectExpr("id as qid", "vector")
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=4,
+        shard_by="kmeans", closure_bp=3000,
+    )
+    want = sorted(
+        map(tuple, vamana_search(idx, queries, k=5, search_window_size=20).collect())
+    )
+    path = str(tmp_path / "closure_idx")
+    save_vamana(idx, path)
+    spark = base.sparkSession
+    loaded = load_vamana(spark, path)
+    assert loaded.closure_bp == 3000
+    got = sorted(
+        map(tuple, vamana_search(loaded, queries, k=5, search_window_size=20).collect())
+    )
+    assert got == want
