@@ -194,7 +194,10 @@ def _sharded(
             yield out
 
     schema = StructType(list(base.schema.fields) + [StructField("shard_id", IntegerType())])
-    return base.mapInPandas(stamp_closure if closure_bp else stamp, schema)
+    # dispatch on 'is not None' (the same test the search path uses) so a
+    # zero/None mix can never pick different code paths; vamana_build
+    # validates closure_bp > 0 before it gets here
+    return base.mapInPandas(stamp_closure if closure_bp is not None else stamp, schema)
 
 
 def vamana_build(
@@ -230,8 +233,14 @@ def vamana_build(
         shard_model = train_kmeans(base, n_shards, kmeans_iters, id_col, vec_col)
     elif shard_by != "hash":
         raise ValueError(f"shard_by must be 'hash' or 'kmeans', got {shard_by!r}")
-    if closure_bp is not None and shard_model is None:
-        raise ValueError("closure_bp requires shard_by='kmeans'")
+    if closure_bp is not None:
+        if shard_model is None:
+            raise ValueError("closure_bp requires shard_by='kmeans'")
+        if closure_bp <= 0:
+            # closure_bp <= 0 would make the stamp_closure cutoff
+            # cut < best*10000 for every row — the layout silently builds
+            # (nearly) empty. Fail loudly instead.
+            raise ValueError(f"closure_bp must be positive, got {closure_bp}")
 
     def build_fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("__id").reset_index(drop=True)
@@ -280,6 +289,8 @@ def vamana_search(
     exclude_df: DataFrame | None = None,
     buffer_capacity: int | None = None,
     n_probes: int | None = None,
+    epsilon_bp: int | None = None,
+    max_probes: int | None = None,
     router=None,
     max_query_block: int | None = None,
     deadline: float | None = None,
@@ -299,6 +310,13 @@ def vamana_search(
     n_probes nearest shard centroids only — unprobed shards are filtered
     out of the scan entirely (partition pruning on a persisted layout),
     so search compute scales with n_probes/n_shards of the base.
+    ``epsilon_bp``: ADAPTIVE shard probing (the two-level Inverted
+    index's refinement_epsilon, memory_based.h:407-460, :508): probe
+    every shard whose centroid distance is within (1 + epsilon_bp/1e4)
+    of the query's best centroid — queries near a cell center probe few
+    shards, boundary queries probe many, so recall no longer degrades
+    with shard count the way a FIXED n_probes does. Cap the fan-out with
+    ``max_probes``. Mutually exclusive with ``n_probes``/``router``.
     ``router``: optional CentroidRouter (operators.router) over this
     index's shard centroids — replaces the exact O(S·d)-per-query
     centroid argmin with a sublinear graph traversal for very large
@@ -337,6 +355,7 @@ def vamana_search(
         part, bc = _vamana_search_block(
             index, qp, k, sws, excl, exclude_df, buffer_capacity,
             n_probes, router, maximize, scale, sc, deadline,
+            epsilon_bp=epsilon_bp, max_probes=max_probes,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -365,6 +384,8 @@ def _vamana_search_block(
     scale: float | None,
     sc,
     deadline: float | None = None,
+    epsilon_bp: int | None = None,
+    max_probes: int | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's shard-cogroup search + merge; returns the
     ranked result and the block's broadcast (caller frees it when
@@ -373,7 +394,23 @@ def _vamana_search_block(
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     probe_of = None
-    if n_probes is not None:
+    if epsilon_bp is not None:
+        if index.shard_model is None:
+            raise ValueError("epsilon_bp routing requires a kmeans-sharded index")
+        if n_probes is not None or router is not None:
+            raise ValueError("epsilon_bp is mutually exclusive with n_probes/router")
+        from scalablevectorsearch_spark.operators.ivf import probe_clusters_epsilon
+
+        sel = probe_clusters_epsilon(
+            Q, index.shard_model.centroids, epsilon_bp, max_probes=max_probes,
+            distance=distance,
+        )
+        acc: dict[int, list[int]] = {}
+        for qi, cids in enumerate(sel):
+            for c in cids:
+                acc.setdefault(int(c), []).append(qi)
+        probe_of = {c: np.asarray(v, dtype=np.int64) for c, v in acc.items()}
+    elif n_probes is not None:
         if index.shard_model is None:
             raise ValueError("n_probes routing requires a kmeans-sharded index")
         if router is not None:
@@ -476,9 +513,12 @@ def _vamana_search_block(
     )
     if index.closure_bp is not None:
         # closure replicas: the same neighbor can surface from several
-        # cells with an identical e4 distance — collapse before ranking
-        # (deterministic: duplicate rows are value-identical)
-        cand = cand.dropDuplicates(["qid", "neighbor_id"])
+        # cells; distances come from BLAS over differently-shaped shard
+        # matrices, so last-ulp jitter is possible — keep the BEST
+        # distance per (qid, neighbor_id) so the survivor is
+        # deterministic regardless of float jitter
+        keep = F.max("distance") if maximize else F.min("distance")
+        cand = cand.groupBy("qid", "neighbor_id").agg(keep.alias("distance"))
     out = topk_per_group(
         cand,
         group_col="qid",

@@ -215,6 +215,18 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         params["shard_n_iters"] = index.shard_model.n_iters
         params["shard_round_decimals"] = index.shard_model.round_decimals
         params["closure_bp"] = index.closure_bp
+        if index.layout is not None:
+            # persist the EXACT (shard_id, id) assignment the graphs were
+            # built on: re-deriving it at load time repeats an exact
+            # float cutoff (nearest-centroid argmin; closure's e4
+            # comparison) that a different BLAS build could resolve
+            # differently for boundary rows — and a row assigned to a
+            # cell whose graph doesn't contain it is silently dropped by
+            # _decode_adjacency. The assignment table makes the loaded
+            # layout provably identical to the built one.
+            tables["layout_assign"] = index.layout.select(
+                "shard_id", F.col("__id").alias("id")
+            )
     return save_index(path, tables, "vamana_index", params=params)
 
 
@@ -269,20 +281,28 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         closure_bp=p.get("closure_bp"),
     )
     # rebuild the persisted layout with the SAME sharding the graphs
-    # were built under (hash: id mod n_shards; kmeans: nearest saved
-    # centroid)
+    # were built under. Kmeans-sharded saves carry the exact
+    # (shard_id, id) assignment table (see save_vamana) — join it back
+    # rather than re-deriving the float cutoffs; hash sharding
+    # (id mod n_shards) is environment-independent, so re-derive.
     from scalablevectorsearch_spark.operators.vamana import _by_shard, _sharded
     from pyspark.storagelevel import StorageLevel
 
-    idx.layout = _by_shard(
-        _sharded(
+    if "layout_assign" in tables:
+        assigned = tables["layout_assign"].join(data, "id").select(
+            "shard_id",
+            F.col("id").cast("long").alias("__id"),
+            F.col("vector").alias("__vec"),
+        )
+    else:
+        assigned = _sharded(
             data, p["n_shards"], "id", shard_model, "vector", p.get("closure_bp")
         ).select(
             "shard_id",
             F.col("id").cast("long").alias("__id"),
             F.col("vector").alias("__vec"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    idx.layout = _by_shard(assigned).persist(StorageLevel.MEMORY_AND_DISK)
     return idx
 
 
