@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scalablevectorsearch_spark.operators.flat import flat_knn
@@ -621,14 +621,58 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     )
 
 
+def _dense_ids(base: DataFrame, id_col: str) -> DataFrame:
+    """Distributed dense rank over ascending id: range-partition the id
+    column, sort within partitions, broadcast per-partition cumulative
+    offsets, and stamp ``offset + local position`` per batch — the
+    zipWithIndex shape. A global ``Window.orderBy`` would funnel the
+    ENTIRE base through one WindowExec partition (the textbook
+    single-partition sort); this plan's widest stage is the range
+    exchange, which scales with the cluster. Returns (old_id, new_id)."""
+    import numpy as np
+
+    spark = base.sparkSession
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ids = (
+        base.select(F.col(id_col).cast("long").alias("old_id"))
+        .repartitionByRange(sp, F.col("old_id").asc())
+        .sortWithinPartitions("old_id")
+        .withColumn("__pid", F.spark_partition_id())
+        # pin the (sampled) range partitioning so the count pass and the
+        # numbering pass see identical partitions
+        .persist()
+    )
+    counts = {
+        int(r["__pid"]): int(r["n"])
+        for r in ids.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):  # range partitions are ordered by id range
+        offsets[pid] = acc
+        acc += counts[pid]
+    bc = spark.sparkContext.broadcast(offsets)
+
+    def number(batches):
+        seen, off = 0, None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if off is None:
+                off = bc.value[int(pdf["__pid"].iloc[0])]
+            out = pdf[["old_id"]].copy()
+            out["new_id"] = np.arange(off + seen, off + seen + len(pdf), dtype=np.int64)
+            seen += len(pdf)
+            yield out
+
+    return ids.mapInPandas(number, "old_id long, new_id long")
+
+
 def compact(base: DataFrame, graph: DataFrame, id_col: str = "id") -> tuple[DataFrame, DataFrame, DataFrame]:
     """Dense id remap (compact.h / dynamic_index.h:791-810): new ids are
-    row_number over ascending old id. Returns (base', graph', mapping)
-    where mapping = (old_id, new_id)."""
-    w = Window.orderBy(F.col("old_id").asc())
-    mapping = base.select(F.col(id_col).cast("long").alias("old_id")).withColumn(
-        "new_id", F.row_number().over(w).cast("long") - 1
-    )
+    the rank of the old id in ascending order, computed DISTRIBUTED (see
+    _dense_ids — no single-partition window). Returns (base', graph',
+    mapping) where mapping = (old_id, new_id)."""
+    mapping = _dense_ids(base, id_col)
     new_base = (
         base.join(mapping, base[id_col] == mapping["old_id"])
         .drop(id_col, "old_id")

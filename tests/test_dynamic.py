@@ -269,3 +269,25 @@ def test_add_points_with_dataframe_tombstones(base, queries):
     )
     res = dynamic_search(d, queries, k=5, search_window_size=600)
     assert sorted(map(tuple, res.select("qid", "rank", "neighbor_id").collect())) == gt
+
+
+def test_compact_dense_ids_distributed(base):
+    """The dense remap must (a) exactly reproduce rank-by-ascending-id
+    and (b) plan with no single-partition exchange / WindowExec (the
+    100 TB constraint: tools/explain_audit.py section 6)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from scalablevectorsearch_spark.operators.dynamic import _dense_ids
+
+    sub = base.filter((F.col("id") % 7 == 0) | (F.col("id") % 11 == 0))
+    mapping = _dense_ids(sub, "id")
+    got = {r["old_id"]: r["new_id"] for r in mapping.collect()}
+    want = {oid: i for i, oid in enumerate(sorted(got))}
+    assert got == want
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        mapping.explain("formatted")
+    plan = buf.getvalue()
+    assert "SinglePartition" not in plan
+    assert "Window" not in plan.replace("WindowGroupLimit", "")

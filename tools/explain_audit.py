@@ -151,6 +151,18 @@ def main() -> int:
         bool(no_scan_exchange.search(p)),
     )
 
+    # 6. compact's dense remap must be distributed: no WindowExec, no
+    # single-partition exchange anywhere in the mapping or remap plans
+    # (the old Window.orderBy("old_id") funneled the whole base through
+    # one partition)
+    from scalablevectorsearch_spark.operators.dynamic import compact
+
+    nb, ng, mapping = compact(idx.base, idx.graph)
+    for nm, df in (("mapping", mapping), ("base", nb), ("graph", ng)):
+        p = plan_of(df)
+        check(f"compact {nm}: no single-partition exchange", "SinglePartition" not in p)
+        check(f"compact {nm}: no WindowExec", "Window" not in p.replace("WindowGroupLimit", ""))
+
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
 
