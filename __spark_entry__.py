@@ -707,6 +707,196 @@ def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "n_bytes", "pos", E4("__x").alias("feature_e4"))
 
 
+VECS_RT_IDS = 100  # vectors round-tripped through fvecs + native V1
+ITER_PAGES, ITER_PAGE_SIZE = 3, 4
+RE_K = 30  # k_reorder candidate depth
+STREAM_BATCHES = 3
+
+
+def _vecs_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 io gate: embeddings -> fvecs AND native V1 file -> read
+    back -> exploded components. Both formats store exact float32, so
+    the round-trip must hash-equal the original table (identity
+    oracle). Reference formats: vecs.h:103-137, native.h:310-344."""
+    import os
+    import shutil
+    import tempfile
+
+    import numpy as np
+
+    from scalablevectorsearch_spark.sources.vecs import (
+        read_svs,
+        read_vecs,
+        write_svs,
+        write_vecs,
+    )
+
+    src = (
+        _emb(spark, sf_dir)
+        .filter(F.col("vec_id") < VECS_RT_IDS)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    ids = np.array([r["vec_id"] for r in src], dtype=np.int64)
+    X = np.array([r["embedding"] for r in src], dtype=np.float32)
+    root = tempfile.mkdtemp(prefix="svs_vecs_rt_")
+    try:
+        fpath = os.path.join(root, "rt.fvecs")
+        write_vecs(fpath, X, "fvecs")
+        Xf = read_vecs(fpath, "fvecs")
+        spath = os.path.join(root, "rt.svs")
+        write_svs(spath, X)
+        Xs = read_svs(spath, np.float32)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    rows = []
+    for fmt, M in (("fvecs", Xf), ("svs", Xs)):
+        for i in range(len(ids)):
+            for pos in range(M.shape[1]):
+                v = float(M[i, pos])
+                import math
+
+                rows.append(
+                    (fmt, int(ids[i]), pos, int(math.floor(v * 10000 + 0.5)))
+                )
+    return spark.createDataFrame(
+        rows, "fmt string, id long, pos int, val_e4 long"
+    )
+
+
+def _batch_iterator_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.11 paging gate (iterator.h:77-134): three consecutive pages
+    of size 4 concatenated must hash-equal the one-shot top-12 — pages
+    are disjoint rank slices and their union is complete, or the hash
+    breaks."""
+    from scalablevectorsearch_spark.operators.iterator import (
+        BatchIterator,
+        DefaultSchedule,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    it = BatchIterator(
+        search_fn=lambda kk, w: flat_knn(base, q, k=kk, distance="l2", round_to=4),
+        schedule=DefaultSchedule(batch_size=ITER_PAGE_SIZE),
+    )
+    pages = [it.next_batch() for _ in range(ITER_PAGES)]
+    out = pages[0]
+    for pg in pages[1:]:
+        out = out.unionByName(pg)
+    return out.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
+def _ivf_reorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + k_reorder gate (ivf/common.h:156): index storage is the SQ
+    round-tripped (int8-domain) vectors — clustering, probing, and the
+    k_reorder candidate stage all run on quantized values — then the
+    top-30 candidates per query re-rank EXACTLY against full-precision
+    base and queries. Emitted distances are from the exact stage."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    p = sq_train(base)
+    deq = sq_decompress(sq_compress(base, p, "vector", "qv"), p, "qv", "dv").select(
+        "id", F.col("dv").alias("vector")
+    )
+    index = ivf_build(deq, N_CLUSTERS, KM_ITERS)
+    orig_q = _queries_df(spark, sf_dir)
+    deq_q = sq_decompress(
+        sq_compress(orig_q, p, "vector", "qv"), p, "qv", "dv"
+    ).select("qid", F.col("dv").alias("vector"))
+    res = ivf_search(
+        index, deq_q, k=K, n_probes=N_PROBES, distance="l2", round_to=4,
+        k_reorder=RE_K, rerank_base=base, rerank_queries=orig_q,
+    )
+    return res.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
+def _streaming_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ≡ batch equivalence gate: the query table is drained
+    through stream_knn (one flat_knn job per micro-batch, 3 file-source
+    batches) and the appended results must hash-equal the one-shot
+    batch flat k-NN — the streaming surface's correctness contract."""
+    import shutil
+    import tempfile
+
+    from scalablevectorsearch_spark.streaming.search import stream_knn
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="svs_stream_knn_")
+    src, outd, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    step = (N_QUERIES + STREAM_BATCHES - 1) // STREAM_BATCHES
+    for b in range(STREAM_BATCHES):
+        (
+            q.filter((F.col("qid") >= b * step) & (F.col("qid") < (b + 1) * step))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    stream = (
+        spark.readStream.schema("qid long, vector array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    stream_knn(base, stream, outd, ck, k=K, distance="l2", round_to=4)
+    res = spark.read.parquet(outd)
+    rows = res.collect()
+    out = spark.createDataFrame(rows, res.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
+def _streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming dedup gate (applyInPandasWithState): drain
+    documents + 10 shifted duplicates through the keyed-state dedup in
+    2 ordered micro-batches; the result must hash-equal the batch
+    answer (canonical = min doc_id per content hash)."""
+    import shutil
+    import tempfile
+
+    from scalablevectorsearch_spark.streaming.stateful import streaming_dedup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    root = tempfile.mkdtemp(prefix="svs_stream_dedup_")
+    src, outd, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    docs.coalesce(1).write.mode("append").parquet(src)
+    dups.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_stream = streaming_dedup(stream)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(outd)
+
+    (
+        out_stream.writeStream.outputMode("append")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    res = spark.read.parquet(outd)
+    rows = res.collect()
+    out = spark.createDataFrame(rows, res.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        "content_hash", "doc_id", "canonical_id", F.col("is_dup").cast("long").alias("is_dup")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -752,6 +942,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_clustered": _neardup_clustered_query,
         "media_stats": _media_stats_query,
         "media_features": _media_features_query,
+        "vecs_roundtrip": _vecs_roundtrip_query,
+        "batch_iterator_pages": _batch_iterator_query,
+        "ivf_knn_reordered": _ivf_reorder_query,
+        "streaming_knn": _streaming_knn_query,
+        "streaming_dedup": _streaming_dedup_query,
     }
 
 
@@ -832,4 +1027,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_stats": oracles.media_stats_sql(),
         "media_features": oracles.media_features_sql(),
+        "vecs_roundtrip": oracles.vecs_roundtrip_sql(VECS_RT_IDS),
+        # concatenated pages == one-shot top-(pages*size) flat k-NN
+        "batch_iterator_pages": oracles.flat_knn_sql(
+            "l2", ITER_PAGES * ITER_PAGE_SIZE, N_QUERIES
+        ),
+        "ivf_knn_reordered": oracles.ivf_reorder_sql(
+            K, RE_K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES
+        ),
+        # streaming drains to exactly the batch flat answer
+        "streaming_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
+        "streaming_dedup": oracles.streaming_dedup_sql(10, 10000),
     }

@@ -836,3 +836,105 @@ def calibrate_verdict_sql(target_e4: int, max_window: int) -> str:
         f"CAST({target_e4} AS BIGINT) AS target_e4, "
         f"CAST({max_window} AS BIGINT) AS max_window"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-4 gates: io round-trip, streaming equivalence, iterator paging,
+# IVF k_reorder.
+
+
+def vecs_roundtrip_sql(n_ids: int) -> str:
+    """Identity oracle for the *vecs / native-V1 round-trip gate
+    (vecs.h:103-137, native.h:310-344): the Spark side writes the first
+    n_ids embedding vectors to fvecs AND to a V1 native file, reads
+    both back, and explodes to (fmt, id, pos, val_e4); a lossless
+    round-trip must equal the original table verbatim (both formats
+    store exact float32)."""
+    val_e4 = E4.format(expr="x::DOUBLE")
+    return f"""
+WITH ex AS (
+  SELECT vec_id AS id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
+  FROM embeddings WHERE vec_id < {n_ids})
+SELECT f.fmt, ex.id, ex.pos - 1 AS pos, {val_e4} AS val_e4
+FROM ex CROSS JOIN (SELECT unnest(['fvecs', 'svs']) AS fmt) f
+""".strip()
+
+
+def streaming_dedup_sql(n_dups: int, dup_offset: int) -> str:
+    """Cross-batch stateful dedup equivalence: after draining the whole
+    stream, the keyed-state result must equal the batch answer —
+    canonical = smallest doc_id ever seen per content hash (the operator
+    sorts within a micro-batch and earlier batches hold smaller ids, so
+    first-seen == min). The stream is documents + shifted duplicate
+    copies of doc_id < n_dups."""
+    return f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {dup_offset} AS doc_id, text FROM documents WHERE doc_id < {n_dups}),
+h AS (SELECT md5(text) AS content_hash, doc_id FROM docs),
+c AS (SELECT content_hash, doc_id,
+             min(doc_id) OVER (PARTITION BY content_hash) AS canonical_id
+      FROM h)
+SELECT content_hash, doc_id, canonical_id,
+       CAST(doc_id <> canonical_id AS BIGINT) AS is_dup
+FROM c
+""".strip()
+
+
+def ivf_reorder_sql(
+    k: int,
+    k_reorder: int,
+    n_clusters: int,
+    kmeans_iters: int,
+    n_probes: int,
+    n_queries: int,
+) -> str:
+    """IVF + k_reorder (ivf/common.h:156): the index stores SQ
+    round-tripped (decompressed int8-domain) vectors — clusters,
+    probes, and the k_reorder candidate ranking all run in the
+    quantized domain — then the top k_reorder candidates are re-ranked
+    EXACTLY against the full-precision embeddings and full-precision
+    queries. Emitted distances come from the exact stage."""
+    dvec = (
+        "list_transform(" + _SQ_COMPRESS.format(col="embedding")
+        + ", c -> scale * c + bias)"
+    )
+    e_cte = f"SELECT vec_id AS id, {dvec} AS v FROM embeddings CROSS JOIN pp"
+    ctes, cfinal = kmeans_ctes(n_clusters, kmeans_iters, e_cte=e_cte)
+    e4p = E4.format(expr="dist")
+    l2 = _DIST_SQL["l2"]
+    return f"""
+WITH {_SQ_PROLOGUE},
+{ctes},
+af AS (
+  SELECT id, cid FROM (
+    SELECT e.id, c.cid,
+           row_number() OVER (PARTITION BY e.id ORDER BY {_dist_vc('e.v', 'c.cv')} ASC, c.cid ASC) AS rn
+    FROM e CROSS JOIN {cfinal} c
+  ) ranked WHERE rn = 1),
+qs AS (SELECT vec_id AS qid, {dvec} AS qv
+       FROM embeddings CROSS JOIN pp WHERE vec_id < {n_queries}),
+pd AS (SELECT qid, cid, {_dist_vc('qv', 'c.cv')} AS dist FROM qs CROSS JOIN {cfinal} c),
+probe AS (SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, cid ASC) AS pr
+    FROM pd) pp2 WHERE pr <= {n_probes}),
+cd AS (
+  SELECT p.qid, a.id, {l2.replace('qv[i]', 'q.qv[i]').replace('bv[i]', 'e.v[i]').replace('len(qv)', 'len(q.qv)')} AS dist
+  FROM probe p
+  JOIN af a ON p.cid = a.cid
+  JOIN e ON a.id = e.id
+  JOIN qs q ON p.qid = q.qid),
+cand AS (SELECT qid, id FROM (
+    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, id ASC) AS rnk
+    FROM cd) cc WHERE rnk <= {k_reorder}),
+fq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < {n_queries}),
+fb AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+ex AS (SELECT c.qid, c.id, {l2} AS dist
+       FROM cand c JOIN fq ON c.qid = fq.qid JOIN fb ON c.id = fb.id),
+r AS (SELECT qid, id, {e4p} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4p} ASC, id ASC) AS rnk
+      FROM ex)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
