@@ -454,7 +454,18 @@ def delete_entries(
     Waves that keep the total tombstone count <= ``max_driver_ids``
     stay driver-resident; beyond that the set becomes a DataFrame and
     every membership/validation below is a join — the ids are never
-    materialized on the driver."""
+    materialized on the driver.
+
+    CONTRACT: ``max_driver_ids`` must stay <= _TOMB_DRIVER_MAX (100k
+    ids = ~800 KB broadcast) — the driver-resident set ships inside the
+    query broadcast and its isin filters, so letting the threshold grow
+    silently would reintroduce the driver bottleneck the DataFrame path
+    exists to avoid. Enforced here, not just documented."""
+    if max_driver_ids > _TOMB_DRIVER_MAX:
+        raise ValueError(
+            f"max_driver_ids={max_driver_ids} exceeds the broadcast-safe "
+            f"contract _TOMB_DRIVER_MAX={_TOMB_DRIVER_MAX}"
+        )
     idx = dyn.index
     ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
     n_new = ids.count()

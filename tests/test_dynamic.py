@@ -291,3 +291,50 @@ def test_compact_dense_ids_distributed(base):
     plan = buf.getvalue()
     assert "SinglePartition" not in plan
     assert "Window" not in plan.replace("WindowGroupLimit", "")
+
+
+def test_delete_entries_threshold_crossover(base, queries):
+    """The exact driver->DataFrame representation crossover: wave 1
+    stays driver-resident (tomb_ids), wave 2 pushes the total past
+    max_driver_ids so the set flips to tomb_df — search exclusion and
+    consolidate must behave identically across the flip, and the
+    already-deleted validation must keep working against the OTHER
+    representation."""
+    sub = base.filter(F.col("id") < 1000)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    dyn = dynamic_vamana(idx)
+    w1 = sub.filter(F.col("id") < 6).select("id")
+    w2 = sub.filter((F.col("id") >= 6) & (F.col("id") < 14)).select("id")
+    dyn = delete_entries(dyn, w1, max_driver_ids=10)
+    assert dyn.tomb_df is None and len(dyn.tomb_ids) == 6
+    dyn = delete_entries(dyn, w2, max_driver_ids=10)  # 6+8 > 10 -> flips
+    assert dyn.tomb_df is not None and dyn.tomb_ids == ()
+    assert dyn.n_tombstones() == 14
+    # re-deleting across the flip must raise (validated via tomb_df now)
+    with pytest.raises(ValueError, match="already deleted"):
+        delete_entries(dyn, w1, max_driver_ids=10)
+    got = {r["neighbor_id"] for r in
+           dynamic_search(dyn, queries, k=5, search_window_size=4096).collect()}
+    assert got.isdisjoint(set(range(14)))
+    dyn2 = consolidate(dyn)
+    assert dyn2.n_tombstones() == 0
+    assert dyn2.index.layout.filter(F.col("__id") < 14).count() == 0
+    exact = flat_knn(
+        sub.filter(F.col("id") >= 14), queries, k=5, round_to=4
+    ).select("qid", "neighbor_id")
+    post = dynamic_search(dyn2, queries, k=5, search_window_size=4096).select(
+        "qid", "neighbor_id"
+    )
+    assert post.exceptAll(exact).count() == 0 and exact.exceptAll(post).count() == 0
+
+
+def test_delete_entries_threshold_contract(base):
+    sub = base.filter(F.col("id") < 100)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    dyn = dynamic_vamana(idx)
+    with pytest.raises(ValueError, match="broadcast-safe"):
+        delete_entries(dyn, sub.select("id"), max_driver_ids=1_000_000)
