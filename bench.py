@@ -116,6 +116,21 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
 
     timed("vamana_routed_build_search", vam_routed)
 
+    # B5c — the composed 100 TB routed path: SPANN closure replication
+    # at build + adaptive epsilon-cutoff probing at search
+    def vam_closure():
+        idx = vamana_build(
+            base.select("id", "vector"), VAMANA, n_shards=VAMANA_SHARDS,
+            shard_by="kmeans", closure_bp=2000,
+        )
+        idx.graph.cache().count()
+        state["vamana_closure"] = idx
+        vamana_search(
+            idx, queries, k=K, search_window_size=VAMANA_SWS, epsilon_bp=2000
+        ).count()
+
+    timed("vamana_closure_build_search", vam_closure)
+
     # B6 — dynamic cycle: add 1% + delete 1% + consolidate + search
     def dyn_cycle():
         from scalablevectorsearch_spark.operators.dynamic import (
@@ -174,7 +189,7 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
 
     # drop this rep's cached build artifacts so reps don't accumulate
     # executor memory (the next rep rebuilds and re-caches its own)
-    for key in ("ivf", "vamana", "vamana_routed", "dyn"):
+    for key in ("ivf", "vamana", "vamana_routed", "vamana_closure", "dyn"):
         obj = state.pop(key, None)
         if obj is None:
             continue

@@ -129,6 +129,71 @@ def probe_clusters_epsilon(
     return out
 
 
+def fit_epsilon_bp(
+    Q: np.ndarray,
+    centroids: np.ndarray,
+    target_mean_probes: float,
+    distance: str = "l2",
+) -> int:
+    """Choose ``epsilon_bp`` so that epsilon-cutoff probing
+    (:func:`probe_clusters_epsilon`) probes ~``target_mean_probes``
+    cells per query ON THIS GEOMETRY — the probe budget is the
+    invariant, the basis points are derived. On clustered data the same
+    budget yields a small epsilon (cells are well separated); on
+    uniform data (concentrated centroid distances) it yields a tiny
+    epsilon, where a hand-picked constant would silently degrade to a
+    full fan-out. This is the calibration philosophy of the reference's
+    auto-tuner (calibrate.h) applied to the Inverted index's
+    refinement_epsilon (memory_based.h:508).
+
+    Driver-side over a query SAMPLE (same contract as the reference's
+    numpy query batches). Binary-searches integer basis points so the
+    chosen value is exactly reproducible."""
+    D = pairwise_distances(Q, centroids, distance)
+    key = np.floor(D * 1e4 + 0.5).astype(np.int64)
+    if is_similarity(distance):
+        key = -key
+    best = key.min(axis=1, keepdims=True)
+    # mean probes for a given bp = mean count of key*1e4 <= best*1e4+|best|*bp
+    lo, hi = 0, 10_000_000
+    while lo < hi:
+        mid = (lo + hi) // 2
+        cnt = (key * 10000 <= best * 10000 + np.abs(best) * mid).sum(axis=1).mean()
+        if cnt < target_mean_probes:
+            lo = mid + 1
+        else:
+            hi = mid
+    return max(1, lo)
+
+
+def fit_closure_bp(
+    X_sample: np.ndarray,
+    centroids: np.ndarray,
+    target_amplification: float,
+) -> int:
+    """Choose ``closure_bp`` (SPANN closure replication) so the layout
+    grows by ~``target_amplification``x on this geometry: amplification
+    is the mean number of cells within (1 + bp/1e4) of each row's
+    nearest centroid. Storage budget is the invariant; basis points are
+    derived — a constant bp that is safe on clustered data can
+    replicate into EVERY cell on uniform data (distance concentration).
+    Driver-side over a row sample; exact integer binary search."""
+    if target_amplification < 1.0:
+        raise ValueError("target_amplification must be >= 1")
+    D = pairwise_distances(X_sample, centroids, "l2")
+    key = np.floor(D * 1e4 + 0.5).astype(np.int64)
+    best = key.min(axis=1, keepdims=True)
+    lo, hi = 1, 10_000_000
+    while lo < hi:
+        mid = (lo + hi) // 2
+        amp = (key * 10000 <= best * 10000 + np.abs(best) * mid).sum(axis=1).mean()
+        if amp <= target_amplification:
+            lo = mid + 1
+        else:
+            hi = mid
+    return max(1, lo - 1)
+
+
 def probe_clusters(
     Q: np.ndarray, centroids: np.ndarray, n_probes: int, distance: str = "l2"
 ) -> np.ndarray:

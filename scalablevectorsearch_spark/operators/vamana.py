@@ -210,6 +210,7 @@ def vamana_build(
     shard_by: str = "hash",
     kmeans_iters: int = 2,
     closure_bp: int | None = None,
+    shard_model=None,
 ) -> VamanaIndex:
     """Build one Vamana graph per shard (deterministic: per-shard rows
     processed in ascending id order).
@@ -224,15 +225,28 @@ def vamana_build(
     replicate each row into every cell whose centroid is within
     (1 + closure_bp/1e4) of its nearest, so boundary vectors are
     findable from neighboring cells' graphs; raises routed recall at a
-    fixed probe count for bounded storage amplification."""
+    fixed probe count for bounded storage amplification. Pick
+    ``closure_bp`` with :func:`~scalablevectorsearch_spark.operators.
+    ivf.fit_closure_bp` (storage budget -> basis points) rather than a
+    constant — safe constants don't transfer across geometries.
+    ``shard_model``: pass a pre-trained KMeansModel to skip the
+    (deterministic) retrain — e.g. when the centroids were already
+    trained to FIT closure/epsilon parameters against budgets."""
     params = params or VamanaParams()
-    shard_model = None
     if shard_by == "kmeans":
-        from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+        if shard_model is None:
+            from scalablevectorsearch_spark.operators.kmeans import train_kmeans
 
-        shard_model = train_kmeans(base, n_shards, kmeans_iters, id_col, vec_col)
+            shard_model = train_kmeans(base, n_shards, kmeans_iters, id_col, vec_col)
+        if shard_model.centroids.shape[0] != n_shards:
+            raise ValueError(
+                f"shard_model has {shard_model.centroids.shape[0]} centroids, "
+                f"expected n_shards={n_shards}"
+            )
     elif shard_by != "hash":
         raise ValueError(f"shard_by must be 'hash' or 'kmeans', got {shard_by!r}")
+    elif shard_model is not None:
+        raise ValueError("shard_model requires shard_by='kmeans'")
     if closure_bp is not None:
         if shard_model is None:
             raise ValueError("closure_bp requires shard_by='kmeans'")

@@ -161,3 +161,80 @@ def test_saved_layout_assignment_reused_on_load(embeddings, tmp_path):
     want = sorted(map(tuple, idx.layout.select("shard_id", "__id").collect()))
     got = sorted(map(tuple, loaded.layout.select("shard_id", "__id").collect()))
     assert got == want
+
+
+def test_fit_epsilon_bp_hits_probe_budget():
+    """fit_epsilon_bp derives basis points from a probe budget: on a
+    geometry with well-separated cells the fitted epsilon probes ~the
+    budget, and budgets of 1 and n_cells bracket the extremes."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.ivf import (
+        fit_epsilon_bp,
+        probe_clusters_epsilon,
+    )
+
+    rng = np.random.default_rng(3)
+    C = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    Q = np.concatenate([c + rng.normal(0, 1.5, (50, 2)) for c in C])
+
+    def mean_probes(bp):
+        sel = probe_clusters_epsilon(Q, C, bp)
+        return float(np.mean([len(s) for s in sel]))
+
+    bp1 = fit_epsilon_bp(Q, C, 1.0)
+    assert mean_probes(bp1) <= 1.5
+    bp2 = fit_epsilon_bp(Q, C, 2.0)
+    assert 1.5 <= mean_probes(bp2) <= 3.0
+    bp4 = fit_epsilon_bp(Q, C, 4.0)
+    assert mean_probes(bp4) >= 3.5
+    assert bp1 <= bp2 <= bp4
+
+
+def test_fit_closure_bp_hits_storage_budget():
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.ivf import fit_closure_bp
+
+    rng = np.random.default_rng(4)
+    C = np.array([[0.0, 0.0], [10.0, 0.0], [0.0, 10.0], [10.0, 10.0]])
+    X = np.concatenate([c + rng.normal(0, 2.0, (200, 2)) for c in C])
+
+    def amp(bp):
+        from scalablevectorsearch_spark.functions.distances import pairwise_distances
+
+        key = np.floor(pairwise_distances(X, C, "l2") * 1e4 + 0.5).astype(np.int64)
+        best = key.min(axis=1, keepdims=True)
+        return (key * 10000 <= best * 10000 + np.abs(best) * bp).sum(axis=1).mean()
+
+    bp_low = fit_closure_bp(X, C, 1.1)
+    assert amp(bp_low) <= 1.1 + 1e-9
+    bp_high = fit_closure_bp(X, C, 2.0)
+    assert amp(bp_high) <= 2.0 + 1e-9
+    assert amp(bp_high) >= amp(bp_low)
+    assert bp_low <= bp_high
+    with pytest.raises(ValueError):
+        fit_closure_bp(X, C, 0.5)
+
+
+def test_vamana_build_accepts_pretrained_shard_model(embeddings):
+    """Passing a pre-trained KMeansModel must produce the identical
+    index (deterministic retrain skipped, layout/graph equal)."""
+    from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector").filter(
+        "id < 400"
+    )
+    model = train_kmeans(base, 4, 2)
+    a = vamana_build(base, P8, n_shards=4, shard_by="kmeans")
+    b = vamana_build(base, P8, n_shards=4, shard_by="kmeans", shard_model=model)
+    la = sorted(map(tuple, a.layout.select("shard_id", "__id").collect()))
+    lb = sorted(map(tuple, b.layout.select("shard_id", "__id").collect()))
+    assert la == lb
+    ga = sorted(map(tuple, a.graph.select("shard_id", "src", "neighbors").collect()))
+    gb = sorted(map(tuple, b.graph.select("shard_id", "src", "neighbors").collect()))
+    assert ga == gb
+    with pytest.raises(ValueError, match="centroids"):
+        vamana_build(base, P8, n_shards=8, shard_by="kmeans", shard_model=model)
+    with pytest.raises(ValueError, match="kmeans"):
+        vamana_build(base, P8, n_shards=4, shard_model=model)
