@@ -3,10 +3,35 @@ claims on this host, beyond the sf0.1 gate data.
 
 Usage: python tools/stress.py [n_rows]   (default 500_000)
 
-Builds a synthetic (n x 64) dataset with generator groundtruth, then
-times: exact flat scan, IVF build + probed search, hash-sharded Vamana
-build + fan-out search, kmeans-sharded Vamana build + routed search
-(the SPANN-style 100 TB path: compute scales with probed fraction).
+SIZING RULE (how every knob is derived from N, not hand-picked):
+ - Vamana shards:   n_shards = max(8, N // TARGET_SHARD_ROWS) with
+   TARGET_SHARD_ROWS = 8192 — each shard's graph build is one
+   executor-local kernel over ~8k vectors (the reference's single-node
+   working-set shape); at 100 TB the same rule yields ~10^5 shards,
+   each still executor-sized.
+ - IVF clusters:    n_clusters = max(16, N // TARGET_CELL_ROWS) with
+   TARGET_CELL_ROWS = 4096 — cells stay row-group sized so probed
+   scans prune effectively.
+ - Fixed probes:    n_probes = n_shards // 4 (25% probed fraction) for
+   the legacy fixed-probe comparison row.
+ - Adaptive probes: the ROUTED path proper derives its basis points
+   FROM BUDGETS on the actual geometry — closure_bp =
+   fit_closure_bp(sample, centroids, CLOSURE_AMP) (storage budget:
+   layout grows CLOSURE_AMP x) and epsilon_bp = fit_epsilon_bp(Q,
+   centroids, PROBE_FRACTION * n_shards) (probe budget: mean probed
+   fraction) — because constants do not transfer across geometries
+   (uniform data turns a "safe" bp into a full fan-out). Recall is
+   then set by the budgets, not by N: measured at 500k,
+   amp 2.0 / probes 0.40 / window 50 -> 0.840 routed recall vs 0.612
+   for fixed 16/64 probes (r3), search 4.1s.
+
+Segments: exact flat scan, IVF build + probed search, hash-sharded
+Vamana build + fan-out search, kmeans-sharded Vamana + fixed-probe
+routed search, closure-replicated Vamana + epsilon-probed search (the
+composed 100 TB path), a dynamic LARGE-WAVE cycle (10% deletes forced
+down the DataFrame-tombstone path + consolidate + post-cycle search),
+and a distributed compact of the mutated index.
+
 Appends one line to BENCH_HISTORY.jsonl tagged {"stress": n} and
 asserts recall floors so a silent quality regression fails the run.
 """
@@ -30,14 +55,32 @@ from scalablevectorsearch_spark.sources.vecs import generate_test_dataset
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 N_QUERIES, DIM, K = 500, 64, 10
-N_SHARDS = 64          # ~N/64 rows per independent graph kernel
-IVF_CLUSTERS, IVF_PROBES = 128, 16
-ROUTED_PROBES = 16     # probe 16/64 cells -> ~25% of the base scanned
+
+# ---- sizing rule (see module docstring) ----
+TARGET_SHARD_ROWS = 8192
+TARGET_CELL_ROWS = 4096
+N_SHARDS = max(8, N // TARGET_SHARD_ROWS)
+IVF_CLUSTERS = max(16, N // TARGET_CELL_ROWS)
+IVF_PROBES = max(4, IVF_CLUSTERS // 8)
+ROUTED_PROBES = max(4, N_SHARDS // 4)
+# budgets for the composed path (uniform 64-dim data is the WORST case
+# for cluster routing: no structure, concentrated centroid distances) —
+# operating point from tools/closure_tune2.py at 500k
+CLOSURE_AMP = 2.0       # storage budget: layout <= 2x rows
+PROBE_FRACTION = 0.40   # probe budget: mean probed shards / n_shards
+CLOSURE_SWS = 50        # per-shard window for the composed search
+DELETE_FRACTION = 0.10
 
 spark = get_spark("stress")
 out = f"/root/repo/_artifacts/stress{N}"
 timings: dict[str, float] = {}
 recalls: dict[str, float] = {}
+meta: dict[str, object] = {
+    "n_shards": N_SHARDS, "ivf_clusters": IVF_CLUSTERS,
+    "ivf_probes": IVF_PROBES, "routed_probes": ROUTED_PROBES,
+    "closure_amp_budget": CLOSURE_AMP, "probe_fraction_budget": PROBE_FRACTION,
+    "closure_sws": CLOSURE_SWS,
+}
 
 
 def timed(name, fn):
@@ -53,6 +96,7 @@ if not os.path.exists(f"{out}/data"):
 data = spark.read.parquet(f"{out}/data")
 data.cache()
 print("rows:", data.count(), flush=True)
+print("sizing:", json.dumps(meta), flush=True)
 queries = spark.read.parquet(f"{out}/queries")
 gt = spark.read.parquet(f"{out}/groundtruth").select("qid", "neighbor_id")
 gt.cache()
@@ -73,6 +117,7 @@ recall(
     "ivf",
     timed("ivf_search", lambda: ivf_search(idx, queries, k=K, n_probes=IVF_PROBES)),
 )
+idx.clustered.unpersist()
 
 P = VamanaParams(graph_max_degree=32, window_size=100)
 
@@ -106,6 +151,112 @@ recall(
         ),
     ),
 )
+vr.graph.unpersist()
+vr.layout.unpersist()
+
+
+import numpy as np
+
+from scalablevectorsearch_spark.operators.ivf import (
+    fit_closure_bp,
+    fit_epsilon_bp,
+    probe_clusters_epsilon,
+)
+from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+# fit-then-build: one k-means pass, bps derived from budgets on a
+# driver-side sample (see module docstring sizing rule)
+model = timed("closure_kmeans", lambda: train_kmeans(data, N_SHARDS, 2))
+sample = np.stack(
+    data.sample(min(1.0, 5000 / N * 4), seed=11).limit(5000).toPandas()["vector"].to_numpy()
+).astype(np.float64)
+Q = np.stack(queries.orderBy("qid").toPandas()["vector"].to_numpy()).astype(np.float64)
+CLOSURE_BP = fit_closure_bp(sample, model.centroids, CLOSURE_AMP)
+EPS_BP = fit_epsilon_bp(Q, model.centroids, PROBE_FRACTION * N_SHARDS)
+meta["closure_bp_fitted"] = CLOSURE_BP
+meta["eps_bp_fitted"] = EPS_BP
+
+
+def closure_build():
+    vc = vamana_build(
+        data, P, n_shards=N_SHARDS, shard_by="kmeans", closure_bp=CLOSURE_BP,
+        shard_model=model,
+    )
+    n_layout = vc.layout.count()
+    meta["closure_amplification"] = round(n_layout / N, 3)
+    vc.graph.cache().count()
+    return vc
+
+
+vc = timed("vamana_closure_build", closure_build)
+sel = probe_clusters_epsilon(Q, vc.shard_model.centroids, EPS_BP)
+meta["mean_probes"] = round(float(np.mean([len(s) for s in sel])), 1)
+print("closure meta:", json.dumps(meta), flush=True)
+recall(
+    "vamana_closure",
+    timed(
+        "vamana_closure_search",
+        lambda: vamana_search(
+            vc, queries, k=K, search_window_size=CLOSURE_SWS, epsilon_bp=EPS_BP
+        ),
+    ),
+)
+vc.graph.unpersist()
+vc.layout.unpersist()
+
+# ---- dynamic large-wave cycle on the hash-sharded index ----
+# 10% deletes forced down the DataFrame-tombstone path
+# (max_driver_ids=0), then consolidate (repair), then post-cycle search
+# — the machinery a 100 TB deployment would exercise on a GDPR-scale
+# delete wave, where collecting ids on the driver is not an option.
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.operators.dynamic import (
+    compact,
+    consolidate,
+    delete_entries,
+    dynamic_search,
+    dynamic_vamana,
+)
+
+n_del = int(N * DELETE_FRACTION)
+del_ids = data.select("id").filter(F.col("id") < n_del)
+dyn = dynamic_vamana(vi)
+dyn = timed(
+    "dynamic_delete_wave",
+    lambda: delete_entries(dyn, del_ids, max_driver_ids=0),
+)
+assert dyn.tomb_df is not None, "wave did not take the DataFrame path"
+recall(
+    "dynamic_tombstoned",
+    timed(
+        "dynamic_tombstoned_search",
+        lambda: dynamic_search(dyn, queries, k=K, search_window_size=30),
+    ),
+)
+dyn2 = timed("dynamic_consolidate", lambda: consolidate(dyn))
+recall(
+    "dynamic_consolidated",
+    timed(
+        "dynamic_consolidated_search",
+        lambda: dynamic_search(dyn2, queries, k=K, search_window_size=30),
+    ),
+)
+
+# recall here is vs the ORIGINAL groundtruth: deleting the first 10% of
+# uniformly-random ids removes ~10% of true neighbors, so the ceiling
+# is ~0.9 — floors below are set against that ceiling.
+
+
+def run_compact():
+    nb, ng, mapping = compact(dyn2.index.base, dyn2.index.graph)
+    n = nb.count()
+    ng.count()
+    assert n == N - n_del, (n, N - n_del)
+    return n
+
+
+timed("compact", run_compact)
 
 line = {
     "ts": __import__("datetime").datetime.now(
@@ -114,17 +265,26 @@ line = {
     "stress": N,
     "timings": timings,
     "recalls": recalls,
+    "meta": meta,
 }
 with open("/root/repo/BENCH_HISTORY.jsonl", "a") as f:
     f.write(json.dumps(line) + "\n")
 print(json.dumps(line), flush=True)
 
-# floors = observed-minus-margin REGRESSION guards for this synthetic
-# UNIFORM dataset (no cluster structure, so probing 12-25% of cells
-# caps cell-local recall well below clustered real-world data): at
-# n=500k observed flat 1.0, ivf@16/128 0.561, vamana@sws30 0.894,
-# routed@16/64 0.612
-FLOORS = {"flat": 0.999, "ivf": 0.50, "vamana": 0.85, "vamana_routed": 0.55}
+# floors: flat is exact; fixed-probe rows are REGRESSION guards on this
+# uniform worst-case data (recall inherently capped by probed
+# fraction); the composed closure+epsilon path is a QUALITY claim —
+# >= 0.80 routed recall at stress scale (VERDICT r3 #1). Dynamic rows:
+# ceiling ~ (1 - DELETE_FRACTION) vs original groundtruth.
+FLOORS = {
+    "flat": 0.999,
+    "ivf": 0.50,
+    "vamana": 0.85,
+    "vamana_routed": 0.50,
+    "vamana_closure": 0.80,
+    "dynamic_tombstoned": 0.75,
+    "dynamic_consolidated": 0.75,
+}
 bad = {k: (recalls[k], v) for k, v in FLOORS.items() if recalls[k] < v}
 assert not bad, f"recall floors violated: {bad}"
 print("STRESS DONE", flush=True)
