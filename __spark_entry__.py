@@ -897,6 +897,100 @@ def _streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+UPS_IDS, UPS_UPD, UPS_DEL_LO, UPS_DEL_HI, UPS_SRC_OFF = 200, 20, 20, 30, 100
+
+
+def _streaming_window_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed streaming aggregation gate (ingest.py
+    windowed_event_counts): the events table drained through the
+    1-minute-window / 2-minute-watermark streaming aggregation must
+    equal the batch GROUP BY (a full drain emits every window)."""
+    import shutil
+    import tempfile
+
+    from scalablevectorsearch_spark.streaming.ingest import windowed_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    root = tempfile.mkdtemp(prefix="svs_stream_win_")
+    src, outd, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    events.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    ).parquet(src)
+    agg = windowed_event_counts(stream, "1 minute", "2 minutes")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(outd)
+
+    (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    res = spark.read.parquet(outd)
+    rows = res.collect()
+    out = spark.createDataFrame(rows, res.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out.select(
+        F.col("window_start").cast("long").alias("window_epoch"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        E4("sum_value").alias("sum_value_e4"),
+    )
+
+
+def _streaming_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert-log gate (ingest.py ingest_vectors + latest_view): stream
+    originals (seq 0) then a wave of updates + tombstones (seq 1) in 2
+    ordered micro-batches; the compacted newest-wins view must equal
+    the mutated table (exploded identity oracle)."""
+    import shutil
+    import tempfile
+
+    from scalablevectorsearch_spark.streaming.ingest import (
+        ingest_vectors,
+        latest_view,
+        stream_vectors,
+    )
+
+    emb = _emb(spark, sf_dir)
+    orig = emb.filter(F.col("vec_id") < UPS_IDS).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        F.lit(False).alias("is_delete"), F.lit(0).cast("long").alias("seq"),
+    )
+    upd_src = emb.filter(
+        (F.col("vec_id") >= UPS_SRC_OFF) & (F.col("vec_id") < UPS_SRC_OFF + UPS_UPD)
+    ).select(
+        (F.col("vec_id") - UPS_SRC_OFF).alias("id"),
+        F.col("embedding").alias("vector"),
+        F.lit(False).alias("is_delete"), F.lit(1).cast("long").alias("seq"),
+    )
+    dels = emb.filter(
+        (F.col("vec_id") >= UPS_DEL_LO) & (F.col("vec_id") < UPS_DEL_HI)
+    ).select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vector"),
+        F.lit(True).alias("is_delete"), F.lit(1).cast("long").alias("seq"),
+    )
+    root = tempfile.mkdtemp(prefix="svs_stream_ups_")
+    src, outd, ck = f"{root}/src", f"{root}/out", f"{root}/ck"
+    orig.coalesce(1).write.mode("append").parquet(src)
+    upd_src.unionByName(dels).coalesce(1).write.mode("append").parquet(src)
+    stream = stream_vectors(spark, src)
+    ingest_vectors(stream, outd, ck)
+    view = latest_view(spark, outd)
+    res = view.select("id", F.posexplode("vector").alias("pos", "__x")).select(
+        "id", "pos", E4("__x").alias("val_e4")
+    )
+    rows = res.collect()
+    out = spark.createDataFrame(rows, res.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -947,6 +1041,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_knn_reordered": _ivf_reorder_query,
         "streaming_knn": _streaming_knn_query,
         "streaming_dedup": _streaming_dedup_query,
+        "streaming_window_agg": _streaming_window_query,
+        "streaming_upsert_log": _streaming_upsert_query,
     }
 
 
@@ -1038,4 +1134,8 @@ def oracle_sql() -> dict[str, str]:
         # streaming drains to exactly the batch flat answer
         "streaming_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
         "streaming_dedup": oracles.streaming_dedup_sql(10, 10000),
+        "streaming_window_agg": oracles.streaming_window_sql(),
+        "streaming_upsert_log": oracles.streaming_upsert_sql(
+            UPS_IDS, UPS_UPD, UPS_DEL_LO, UPS_DEL_HI, UPS_SRC_OFF
+        ),
     }

@@ -938,3 +938,41 @@ r AS (SELECT qid, id, {e4p} AS dist_e4,
 SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r WHERE rnk <= {k}
 """.strip()
+
+
+def streaming_window_sql() -> str:
+    """Event-time tumbling-window aggregation equivalence: the drained
+    streaming aggregation (1-minute windows, 2-minute watermark,
+    availableNow) must equal the batch GROUP BY over the same events.
+    Watermarking only drops rows LATER than the watermark as of their
+    arrival; a drain of a static source emits every window, so the
+    batch answer is the exact oracle."""
+    return f"""
+SELECT CAST(epoch(date_trunc('minute', ts)) AS BIGINT) AS window_epoch,
+       event_type,
+       count(*) AS n_events,
+       {E4.format(expr='sum(value)')} AS sum_value_e4
+FROM events
+GROUP BY 1, 2
+""".strip()
+
+
+def streaming_upsert_sql(n_ids: int, n_upd: int, del_lo: int, del_hi: int, upd_src_offset: int) -> str:
+    """Upsert-log compaction equivalence (latest_view): after streaming
+    originals then a wave of updates (ids < n_upd get the vector of
+    id + upd_src_offset) and deletes ([del_lo, del_hi)), the compacted
+    view must equal the mutated table exactly."""
+    val_e4 = E4.format(expr="x::DOUBLE")
+    return f"""
+WITH fin AS (
+  SELECT e.vec_id AS id,
+         CASE WHEN e.vec_id < {n_upd}
+              THEN (SELECT e2.embedding FROM embeddings e2
+                    WHERE e2.vec_id = e.vec_id + {upd_src_offset})
+              ELSE e.embedding END AS v
+  FROM embeddings e
+  WHERE e.vec_id < {n_ids}
+    AND NOT (e.vec_id >= {del_lo} AND e.vec_id < {del_hi}))
+SELECT id, pos - 1 AS pos, {val_e4} AS val_e4
+FROM (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM fin) u
+""".strip()
