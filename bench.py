@@ -117,16 +117,34 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
     timed("vamana_routed_build_search", vam_routed)
 
     # B5c — the composed 100 TB routed path: SPANN closure replication
-    # at build + adaptive epsilon-cutoff probing at search
+    # at build + adaptive epsilon-cutoff probing at search, basis
+    # points FITTED from a 2x storage / 50% probe budget on the actual
+    # geometry (constants don't transfer across data distributions)
     def vam_closure():
+        import numpy as np
+
+        from scalablevectorsearch_spark.operators.ivf import (
+            fit_closure_bp,
+            fit_epsilon_bp,
+        )
+        from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+        bv = base.select("id", "vector")
+        model = train_kmeans(bv, VAMANA_SHARDS, 2)
+        sample = np.stack(
+            bv.limit(4000).toPandas()["vector"].to_numpy()
+        ).astype(np.float64)
+        Q = np.stack(queries.toPandas()["vector"].to_numpy()).astype(np.float64)
+        cbp = fit_closure_bp(sample, model.centroids, 2.0)
+        ebp = fit_epsilon_bp(Q, model.centroids, 0.5 * VAMANA_SHARDS)
         idx = vamana_build(
-            base.select("id", "vector"), VAMANA, n_shards=VAMANA_SHARDS,
-            shard_by="kmeans", closure_bp=2000,
+            bv, VAMANA, n_shards=VAMANA_SHARDS, shard_by="kmeans",
+            closure_bp=cbp, shard_model=model,
         )
         idx.graph.cache().count()
         state["vamana_closure"] = idx
         vamana_search(
-            idx, queries, k=K, search_window_size=VAMANA_SWS, epsilon_bp=2000
+            idx, queries, k=K, search_window_size=VAMANA_SWS, epsilon_bp=ebp
         ).count()
 
     timed("vamana_closure_build_search", vam_closure)
