@@ -725,8 +725,11 @@ def _vecs_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from scalablevectorsearch_spark.sources.vecs import (
+        read_binary_matrix,
+        read_npy,
         read_svs,
         read_vecs,
+        write_binary_matrix,
         write_svs,
         write_vecs,
     )
@@ -748,10 +751,16 @@ def _vecs_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         spath = os.path.join(root, "rt.svs")
         write_svs(spath, X)
         Xs = read_svs(spath, np.float32)
+        bpath = os.path.join(root, "rt.bin")
+        write_binary_matrix(bpath, X)
+        Xb = read_binary_matrix(bpath, np.float32)
+        npath = os.path.join(root, "rt.npy")
+        np.save(npath, X)
+        Xn = read_npy(npath)
     finally:
         shutil.rmtree(root, ignore_errors=True)
     rows = []
-    for fmt, M in (("fvecs", Xf), ("svs", Xs)):
+    for fmt, M in (("fvecs", Xf), ("svs", Xs), ("binary", Xb), ("npy", Xn)):
         for i in range(len(ids)):
             for pos in range(M.shape[1]):
                 v = float(M[i, pos])
@@ -894,6 +903,54 @@ def _streaming_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(root, ignore_errors=True)
     return out.select(
         "content_hash", "doc_id", "canonical_id", F.col("is_dup").cast("long").alias("is_dup")
+    )
+
+
+def _sq_knn_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CosineCompressed gate: k-NN over int8-quantized storage with the
+    decompress-then-cosine semantics (distance.h CosineCompressed —
+    datum decompressed, query full precision)."""
+    base = _base(spark, sf_dir)
+    p = sq_train(base)
+    res = sq_knn(base, _queries_df(spark, sf_dir), p, k=K, distance="cosine", round_to=4)
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _cancel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Search cancellation gate (§2.2, flat.h:344-346 cancel predicate):
+    three verdicts — a generous deadline completes; an already-expired
+    deadline raises TimeoutError from inside the scan kernel; the
+    job-group wrapper cancels an over-budget action with
+    SearchTimeout."""
+    import time
+
+    from scalablevectorsearch_spark.operators.cancel import (
+        SearchTimeout,
+        run_with_timeout,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir).filter(F.col("qid") < 10)
+    ok_completes = int(
+        flat_knn(base, q, k=K, deadline=time.time() + 600).count() == 10 * K
+    )
+    try:
+        flat_knn(base, q, k=K, deadline=time.time() - 1).count()
+        ok_deadline = 0
+    except Exception:  # noqa: BLE001 — TimeoutError surfaces via Py4J wrapping
+        ok_deadline = 1
+    try:
+        run_with_timeout(
+            spark,
+            lambda: flat_knn(base, q, k=K).count() and time.sleep(30),
+            timeout_s=0.05,
+        )
+        ok_group = 0
+    except SearchTimeout:
+        ok_group = 1
+    return spark.createDataFrame(
+        [(ok_completes, ok_deadline, ok_group)],
+        "ok_completes long, ok_deadline_raises long, ok_group_cancels long",
     )
 
 
@@ -1043,6 +1100,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_dedup": _streaming_dedup_query,
         "streaming_window_agg": _streaming_window_query,
         "streaming_upsert_log": _streaming_upsert_query,
+        "sq_knn_cosine": _sq_knn_cosine_query,
+        "search_cancel": _cancel_query,
     }
 
 
@@ -1138,4 +1197,6 @@ def oracle_sql() -> dict[str, str]:
         "streaming_upsert_log": oracles.streaming_upsert_sql(
             UPS_IDS, UPS_UPD, UPS_DEL_LO, UPS_DEL_HI, UPS_SRC_OFF
         ),
+        "sq_knn_cosine": oracles.sq_knn_sql("cosine", K, N_QUERIES),
+        "search_cancel": oracles.cancel_verdict_sql(),
     }

@@ -400,6 +400,25 @@ SELECT qid, rnk AS rank, id AS neighbor_id,
        {E4.format(expr='(scale * dr + bias * qsum)')} AS distance_e4
 FROM r CROSS JOIN pp WHERE rnk <= {k}
 """.strip()
+    if distance == "cosine":
+        # CosineCompressed: decompress the datum (scale*c + bias),
+        # full-precision query, plain cosine ranked DESC on the e4 key
+        dvec = (
+            "list_transform(" + _SQ_COMPRESS.format(col="embedding")
+            + ", c -> scale * c + bias)"
+        )
+        return f"""
+WITH {_SQ_PROLOGUE},
+cb AS (SELECT vec_id AS id, {dvec} AS bv FROM embeddings CROSS JOIN pp),
+cq AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < {n_queries}),
+d AS (SELECT qid, id, {_DIST_SQL["cosine"]} AS dist FROM cq CROSS JOIN cb),
+r AS (SELECT qid, id, {E4.format(expr='dist')} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {E4.format(expr='dist')} DESC, id ASC) AS rnk
+      FROM d)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
     raise ValueError(f"unsupported sq oracle distance {distance!r}")
 
 
@@ -846,17 +865,18 @@ def calibrate_verdict_sql(target_e4: int, max_window: int) -> str:
 def vecs_roundtrip_sql(n_ids: int) -> str:
     """Identity oracle for the *vecs / native-V1 round-trip gate
     (vecs.h:103-137, native.h:310-344): the Spark side writes the first
-    n_ids embedding vectors to fvecs AND to a V1 native file, reads
-    both back, and explodes to (fmt, id, pos, val_e4); a lossless
-    round-trip must equal the original table verbatim (both formats
-    store exact float32)."""
+    n_ids embedding vectors to fvecs, a V1 native file, a binary
+    matrix file (io/binary.h:84-169), and npy, reads all four back,
+    and explodes to (fmt, id, pos, val_e4); a lossless round-trip must
+    equal the original table verbatim (every format stores exact
+    float32)."""
     val_e4 = E4.format(expr="x::DOUBLE")
     return f"""
 WITH ex AS (
   SELECT vec_id AS id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS pos
   FROM embeddings WHERE vec_id < {n_ids})
 SELECT f.fmt, ex.id, ex.pos - 1 AS pos, {val_e4} AS val_e4
-FROM ex CROSS JOIN (SELECT unnest(['fvecs', 'svs']) AS fmt) f
+FROM ex CROSS JOIN (SELECT unnest(['fvecs', 'svs', 'binary', 'npy']) AS fmt) f
 """.strip()
 
 
@@ -976,3 +996,15 @@ WITH fin AS (
 SELECT id, pos - 1 AS pos, {val_e4} AS val_e4
 FROM (SELECT id, unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM fin) u
 """.strip()
+
+
+def cancel_verdict_sql() -> str:
+    """Search cancellation verdicts (flat.h:344-346 cancel predicate /
+    the job-group timeout): a generous deadline must complete, an
+    expired deadline must raise mid-scan, and the job-group timeout
+    wrapper must cancel a slow action. Constant-truth oracle."""
+    return (
+        "SELECT CAST(1 AS BIGINT) AS ok_completes, "
+        "CAST(1 AS BIGINT) AS ok_deadline_raises, "
+        "CAST(1 AS BIGINT) AS ok_group_cancels"
+    )
