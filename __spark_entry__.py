@@ -954,6 +954,37 @@ def _cancel_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _custom_distance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 extension-surface gate: a runtime-registered Manhattan (L1)
+    kernel runs through the SAME distributed flat scan as the built-ins
+    (registered driver-side, shipped in the task closure), hash-matched
+    against a plain SQL L1 oracle — proving the plug-in path is not a
+    separate code path but the engine's own kernel slot."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.functions.distances import (
+        register_distance,
+        unregister_distance,
+    )
+
+    def l1_kernel(Q, B, q_fixed=None):
+        return np.abs(Q[:, None, :] - B[None, :, :]).sum(axis=2)
+
+    register_distance("l1_gate", l1_kernel, maximize=False)
+    try:
+        res = flat_knn(
+            _base(spark, sf_dir), _queries_df(spark, sf_dir), k=K,
+            distance="l1_gate", round_to=4,
+        )
+        out = res.select(
+            "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+        )
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        unregister_distance("l1_gate")
+
+
 UPS_IDS, UPS_UPD, UPS_DEL_LO, UPS_DEL_HI, UPS_SRC_OFF = 200, 20, 20, 30, 100
 
 
@@ -1102,6 +1133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_log": _streaming_upsert_query,
         "sq_knn_cosine": _sq_knn_cosine_query,
         "search_cancel": _cancel_query,
+        "custom_distance_knn": _custom_distance_query,
     }
 
 
@@ -1199,4 +1231,5 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sq_knn_cosine": oracles.sq_knn_sql("cosine", K, N_QUERIES),
         "search_cancel": oracles.cancel_verdict_sql(),
+        "custom_distance_knn": oracles.custom_distance_sql(K, N_QUERIES),
     }

@@ -1008,3 +1008,22 @@ def cancel_verdict_sql() -> str:
         "CAST(1 AS BIGINT) AS ok_deadline_raises, "
         "CAST(1 AS BIGINT) AS ok_group_cancels"
     )
+
+
+def custom_distance_sql(k: int, n_queries: int) -> str:
+    """L1 (Manhattan) k-NN oracle for the runtime distance plug-in gate
+    (§2.12): ascending e4-key ranking with ascending-id tie-break, same
+    protocol as the built-in distances."""
+    l1 = "list_sum(list_transform(range(1, len(qv)+1), i -> abs(qv[i]-bv[i])))"
+    e4 = E4.format(expr="dist")
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings),
+d AS (SELECT qid, id, {l1} AS dist FROM q CROSS JOIN b),
+r AS (SELECT qid, id, {e4} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4} ASC, id ASC) AS rnk
+      FROM d)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
