@@ -73,3 +73,34 @@ def test_split_regex_tokenization_matches(spark):
             "SELECT len(string_split_regex(trim(?), '\\s+'))", [t]
         ).fetchone()[0]
         assert got[t] == d, f"{t!r}: spark {got[t]} vs duckdb {d}"
+
+
+def test_every_query_has_an_oracle():
+    """Driver-contract hygiene: every queries() entry ships an
+    oracle_sql() entry (zero rows-only gates left), and no oracle names
+    a query that doesn't exist."""
+    import __spark_entry__ as em
+
+    q, o = set(em.queries()), set(em.oracle_sql())
+    assert q - o == set(), f"queries without oracle: {sorted(q - o)}"
+    assert o - q == set(), f"oracles without query: {sorted(o - q)}"
+
+
+def test_oracle_sql_parses_in_duckdb():
+    """Every oracle must at least PREPARE against empty views of the
+    driver's table set — catches SQL syntax drift without running the
+    full gate."""
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
+        "event_type VARCHAR, value DOUBLE, props VARCHAR)"
+    )
+    for name, sql in em.oracle_sql().items():
+        try:
+            con.execute(sql)
+        except duckdb.Error as e:  # noqa: PERF203
+            pytest.fail(f"oracle {name} failed on empty tables: {e}")
