@@ -129,6 +129,52 @@ def probe_clusters_epsilon(
     return out
 
 
+def probe_clusters_epsilon_routed(
+    Q: np.ndarray,
+    centroids: np.ndarray,
+    router,
+    epsilon_bp: int,
+    n_candidates: int | None = None,
+    max_probes: int | None = None,
+    distance: str = "l2",
+) -> list[np.ndarray]:
+    """Two-level probe selection, composed exactly as the reference's
+    Inverted index does it (memory_based.h:577-586 route through the
+    primary index, :508 refine with epsilon): the centroid ROUTER
+    (a Vamana over the centroids, operators.router) proposes
+    ``n_candidates`` clusters per query sublinearly, then the epsilon
+    cutoff keeps every candidate within (1 + epsilon_bp/1e4) of the
+    best candidate. Exact distances are computed only for the proposed
+    candidates — O(n_candidates · d) per query instead of O(C · d) —
+    which is the path that stays cheap at C ~ 10^6 cells (100 TB).
+
+    ``n_candidates`` defaults to 4x the max_probes cap (or 32). The
+    cutoff's ``best`` is the best ROUTED candidate; like the reference,
+    recall depends on the router's own recall for the top cluster."""
+    from scalablevectorsearch_spark.operators.router import route
+
+    if n_candidates is None:
+        n_candidates = 4 * max_probes if max_probes else 32
+    n_candidates = min(n_candidates, centroids.shape[0])
+    cand = route(router, Q, n_candidates)
+    out: list[np.ndarray] = []
+    for qi in range(Q.shape[0]):
+        cids = np.asarray(sorted({int(c) for c in cand[qi] if c >= 0}), dtype=np.int64)
+        D = pairwise_distances(Q[qi : qi + 1], centroids[cids], distance)[0]
+        key = np.floor(D * 1e4 + 0.5).astype(np.int64)
+        if is_similarity(distance):
+            key = -key
+        k_best = int(key.min())
+        cut = k_best * 10000 + abs(k_best) * epsilon_bp
+        keep = key * 10000 <= cut
+        sel, skey = cids[keep], key[keep]
+        if max_probes is not None and len(sel) > max_probes:
+            order = np.lexsort((sel, skey))[:max_probes]
+            sel = sel[order]
+        out.append(sel.astype(np.int32))
+    return out
+
+
 def fit_epsilon_bp(
     Q: np.ndarray,
     centroids: np.ndarray,
@@ -414,10 +460,19 @@ def _ivf_search_block(
         # epsilon probing is uncapped by default ("every cluster within
         # (1+epsilon)", memory_based.h:508); the fixed n_probes budget
         # does NOT apply here — cap only via the explicit max_probes.
-        sel = probe_clusters_epsilon(
-            Q, index.model.centroids, epsilon_bp, max_probes=max_probes,
-            distance=distance,
-        )
+        # With a router, the primary index proposes candidates
+        # sublinearly and epsilon refines them (the full two-level
+        # composition, memory_based.h:577-586 + :508).
+        if router is not None:
+            sel = probe_clusters_epsilon_routed(
+                Q, index.model.centroids, router, epsilon_bp,
+                max_probes=max_probes, distance=distance,
+            )
+        else:
+            sel = probe_clusters_epsilon(
+                Q, index.model.centroids, epsilon_bp, max_probes=max_probes,
+                distance=distance,
+            )
         for qi, cids in enumerate(sel):
             for c in cids:
                 probe_of.setdefault(int(c), []).append(qi)

@@ -330,7 +330,10 @@ def vamana_search(
     of the query's best centroid — queries near a cell center probe few
     shards, boundary queries probe many, so recall no longer degrades
     with shard count the way a FIXED n_probes does. Cap the fan-out with
-    ``max_probes``. Mutually exclusive with ``n_probes``/``router``.
+    ``max_probes``. Mutually exclusive with ``n_probes``; COMPOSES with
+    ``router`` (the full two-level design: the centroid router proposes
+    candidate shards sublinearly, epsilon refines among them —
+    memory_based.h:577-586 + :508).
     ``router``: optional CentroidRouter (operators.router) over this
     index's shard centroids — replaces the exact O(S·d)-per-query
     centroid argmin with a sublinear graph traversal for very large
@@ -411,14 +414,27 @@ def _vamana_search_block(
     if epsilon_bp is not None:
         if index.shard_model is None:
             raise ValueError("epsilon_bp routing requires a kmeans-sharded index")
-        if n_probes is not None or router is not None:
-            raise ValueError("epsilon_bp is mutually exclusive with n_probes/router")
-        from scalablevectorsearch_spark.operators.ivf import probe_clusters_epsilon
+        if n_probes is not None:
+            raise ValueError("epsilon_bp is mutually exclusive with n_probes")
+        if router is not None:
+            # two-level composition (memory_based.h:577-586 + :508):
+            # the centroid router proposes candidates sublinearly,
+            # epsilon refines among them
+            from scalablevectorsearch_spark.operators.ivf import (
+                probe_clusters_epsilon_routed,
+            )
 
-        sel = probe_clusters_epsilon(
-            Q, index.shard_model.centroids, epsilon_bp, max_probes=max_probes,
-            distance=distance,
-        )
+            sel = probe_clusters_epsilon_routed(
+                Q, index.shard_model.centroids, router, epsilon_bp,
+                max_probes=max_probes, distance=distance,
+            )
+        else:
+            from scalablevectorsearch_spark.operators.ivf import probe_clusters_epsilon
+
+            sel = probe_clusters_epsilon(
+                Q, index.shard_model.centroids, epsilon_bp, max_probes=max_probes,
+                distance=distance,
+            )
         acc: dict[int, list[int]] = {}
         for qi, cids in enumerate(sel):
             for c in cids:

@@ -100,3 +100,68 @@ def test_vamana_search_routed_via_router(spark, embeddings):
     hits = res.merge(exact, on=["qid", "neighbor_id"]).shape[0]
     recall = hits / len(exact)
     assert recall >= 0.5, f"routed recall {recall:.2f}"
+
+
+def test_epsilon_routed_composition_subset_and_recall(embeddings):
+    """probe_clusters_epsilon_routed = router-proposed candidates +
+    epsilon refinement: every selected cluster must be a routed
+    candidate AND satisfy the cutoff among candidates; with a huge
+    candidate budget it converges to plain epsilon probing."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.ivf import (
+        probe_clusters_epsilon,
+        probe_clusters_epsilon_routed,
+    )
+    from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+    from scalablevectorsearch_spark.operators.router import build_centroid_router, route
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    model = train_kmeans(base, 16, 2)
+    router = build_centroid_router(model, distance="l2")
+    Q = np.stack(
+        base.filter("id < 20").toPandas()["vector"].to_numpy()
+    ).astype(np.float64)
+
+    sel_routed = probe_clusters_epsilon_routed(
+        Q, model.centroids, router, epsilon_bp=500, n_candidates=8
+    )
+    cand = route(router, Q, 8)
+    for qi, s in enumerate(sel_routed):
+        assert set(s.tolist()) <= {int(c) for c in cand[qi] if c >= 0}
+        assert len(s) >= 1
+    # candidate budget == C -> proposals cover everything the exact
+    # epsilon cutoff would keep (router recall at full window = 1 on
+    # this small C), so the two selections agree
+    sel_full = probe_clusters_epsilon_routed(
+        Q, model.centroids, router, epsilon_bp=500, n_candidates=16
+    )
+    sel_exact = probe_clusters_epsilon(Q, model.centroids, 500)
+    agree = sum(
+        set(a.tolist()) == set(b.tolist()) for a, b in zip(sel_full, sel_exact)
+    )
+    assert agree >= len(sel_exact) * 0.8, f"only {agree}/{len(sel_exact)} agree"
+
+
+def test_vamana_search_epsilon_composes_with_router(embeddings):
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter("id < 10").selectExpr("id as qid", "vector")
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20),
+        n_shards=8, shard_by="kmeans",
+    )
+    idx.graph.cache().count()
+    router = build_centroid_router(idx.shard_model, distance="l2")
+    res = vamana_search(
+        idx, queries, k=5, search_window_size=20, epsilon_bp=2000, router=router
+    )
+    assert res.count() == 50
+    dup = res.groupBy("qid", "neighbor_id").count().filter("count > 1").count()
+    assert dup == 0
