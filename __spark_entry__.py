@@ -266,6 +266,51 @@ def _sq_knn_query(distance: str):
     return run
 
 
+def _sq_vamana_knn_query(distance: str):
+    """Metamorphic hash gate for the SQ-compressed Vamana index
+    (extensions/vamana/scalar.h): graph build + greedy search over
+    int8-domain storage with an exhaustive window must reproduce the
+    flat SQ scan exactly — whose corrected-distance DuckDB oracle
+    (sq_knn_sql) is already exact."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from scalablevectorsearch_spark.operators.sq import (
+            sq_vamana_build,
+            sq_vamana_search,
+        )
+
+        base = _base(spark, sf_dir).select("id", "vector")
+        p = sq_train(base)
+        idx = sq_vamana_build(base, p, VAMANA_PARAMS, n_shards=VAMANA_SHARDS, distance=distance)
+        res = sq_vamana_search(idx, _queries_df(spark, sf_dir), k=K, search_window_size=4096)
+        return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+    return run
+
+
+def _vamana_saveload_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash gate for index save/load/assemble (§2.1): build -> persist
+    via the manifest store -> load -> exhaustive-window search must
+    still equal exact flat k-NN (the vamana_exhaustive_knn oracle). Any
+    drift in the persisted graph/data/params surfaces as a hash break."""
+    import tempfile
+
+    from scalablevectorsearch_spark.sources.index_store import (
+        load_vamana,
+        save_vamana,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    path = tempfile.mkdtemp(prefix="svs_saveload_gate_")
+    save_vamana(index, path)
+    loaded = load_vamana(spark, path, validate=True)
+    res = vamana_search(
+        loaded, _queries_df(spark, sf_dir), k=K, search_window_size=4096
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 VAMANA_PARAMS = VamanaParams(alpha=1.2, graph_max_degree=16, window_size=50)
 VAMANA_SHARDS = 2
 VAMANA_SWS = 30
@@ -1100,6 +1145,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_roundtrip": _sq_roundtrip_query,
         "sq_knn_l2": _sq_knn_query("l2"),
         "sq_knn_ip": _sq_knn_query("ip"),
+        "sq_vamana_knn_l2": _sq_vamana_knn_query("l2"),
+        "sq_vamana_knn_ip": _sq_vamana_knn_query("ip"),
+        "vamana_saveload_knn": _vamana_saveload_knn_query,
         "vamana_knn": _vamana_knn_query,
         "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
         "vamana_recall": _vamana_recall_query,
@@ -1166,6 +1214,11 @@ def oracle_sql() -> dict[str, str]:
         "sq_roundtrip": oracles.sq_roundtrip_sql(50),
         "sq_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
         "sq_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
+        # exhaustive-window SQ-graph search degenerates to the flat SQ scan
+        "sq_vamana_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
+        "sq_vamana_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
+        # save -> load -> exhaustive-window search == exact flat k-NN
+        "vamana_saveload_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
         # invariant-verdict gates (oracles.py tail): constant-truth /
         # data-dependent verdict tables for the non-SQL-expressible ops
         "vamana_knn": oracles.knn_invariant_verdict_sql(K, N_QUERIES),

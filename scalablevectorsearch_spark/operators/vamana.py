@@ -133,6 +133,11 @@ class VamanaIndex:
     #: it every search batch would re-shuffle the full base to co-locate
     #: shards, a per-query-batch full-base shuffle at 100 TB.
     layout: DataFrame | None = None
+    #: set when the index stores scalar-quantized vectors (the SQDataset
+    #: plugged into Vamana, extensions/vamana/scalar.h): the SQParams
+    #: whose scale/bias correct the compressed-domain distances. Build
+    #: and search with operators.sq.sq_vamana_build / sq_vamana_search.
+    sq_params: object | None = None
 
 
 def _sharded(

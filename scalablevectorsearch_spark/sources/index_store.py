@@ -206,6 +206,12 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         "max_candidate_pool_size": p.max_candidate_pool_size,
         "prune_to": p.prune_to,
     }
+    if index.sq_params is not None:
+        # SQ-compressed index (extensions/vamana/scalar.h): the data
+        # table already holds compressed-domain vectors; the scale/bias
+        # that correct its distances are part of the index identity
+        params["sq_gmin"] = index.sq_params.gmin
+        params["sq_gmax"] = index.sq_params.gmax
     if index.shard_model is not None:
         # cluster-sharded (SPANN-style) layout: the centroids ARE part
         # of the index — without them a loaded index would re-stamp
@@ -280,6 +286,10 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         shard_model=shard_model,
         closure_bp=p.get("closure_bp"),
     )
+    if p.get("sq_gmin") is not None:
+        from scalablevectorsearch_spark.operators.sq import SQParams
+
+        idx.sq_params = SQParams(gmin=p["sq_gmin"], gmax=p["sq_gmax"])
     # rebuild the persisted layout with the SAME sharding the graphs
     # were built under. Kmeans-sharded saves carry the exact
     # (shard_id, id) assignment table (see save_vamana) — join it back
