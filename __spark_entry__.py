@@ -311,6 +311,75 @@ def _vamana_saveload_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+F16_RECALL_FLOOR_E4 = 9000
+
+
+def _mixed_precision_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict gate for 16-bit packed storage (float16.h / bfloat16.h;
+    mixed-pair distances euclidean.h:320-430). The 16-bit rounding
+    functions aren't SQL-expressible, so the gate checks the properties
+    that pin them: representable-error bounds on the round-trip,
+    pack∘unpack idempotence, and mixed-precision k-NN recall vs exact."""
+    from scalablevectorsearch_spark.functions.precision import (
+        compress_vectors,
+        decompress_vectors,
+        f16_knn,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    b = compress_vectors(base, "float16", "vector", "p16")
+    b = compress_vectors(b, "bfloat16", "vector", "pb16")
+    b = decompress_vectors(b, "float16", "p16", "d16")
+    b = decompress_vectors(b, "bfloat16", "pb16", "db16")
+    # second round-trip of the f16 path must be the identity (16-bit
+    # values are exactly representable in the widened domain)
+    b = compress_vectors(b, "float16", "d16", "p16b")
+
+    def bound_ok(orig: str, dec: str, rel: float, eps: float):
+        return F.forall(
+            F.zip_with(
+                orig, dec,
+                lambda a, d: F.abs(a.cast("double") - d)
+                <= F.greatest(F.abs(a.cast("double")) * F.lit(rel), F.lit(eps)),
+            ),
+            lambda x: x,
+        )
+
+    checks = b.agg(
+        # f16: 10 mantissa bits -> rel 2^-11 (normals), abs 2^-24 (subnormals)
+        F.min(bound_ok("vector", "d16", 2.0**-11, 2.0**-24).cast("long")).alias(
+            "ok_f16_bound"
+        ),
+        # bf16: 7 mantissa bits -> rel 2^-8
+        F.min(bound_ok("vector", "db16", 2.0**-8, 1e-30).cast("long")).alias(
+            "ok_bf16_bound"
+        ),
+        F.min((F.col("p16") == F.col("p16b")).cast("long")).alias("ok_idempotent"),
+        F.count("*").alias("n_rows"),
+    )
+    queries_df = _queries_df(spark, sf_dir)
+    res = f16_knn(
+        b.select("id", "p16"), queries_df, k=K, dtype="float16", packed_col="p16"
+    )
+    exact = flat_knn(base, queries_df, k=K, distance="l2")
+    matched = res.select("qid", "neighbor_id").join(
+        exact.select("qid", "neighbor_id"), ["qid", "neighbor_id"]
+    )
+    rec = matched.agg(F.count("*").alias("matched")).crossJoin(
+        queries_df.agg(F.count("*").alias("n_queries"))
+    )
+    rec_ok = rec.select(
+        (F.col("matched") * 10000 >= F.lit(F16_RECALL_FLOOR_E4) * K * F.col("n_queries"))
+        .cast("long")
+        .alias("ok_recall")
+    )
+    return checks.crossJoin(rec_ok).select(
+        "ok_f16_bound", "ok_bf16_bound", "ok_idempotent", "ok_recall",
+        F.lit(F16_RECALL_FLOOR_E4).cast("long").alias("floor_e4"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+    )
+
+
 VAMANA_PARAMS = VamanaParams(alpha=1.2, graph_max_degree=16, window_size=50)
 VAMANA_SHARDS = 2
 VAMANA_SWS = 30
@@ -1180,6 +1249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_window_agg": _streaming_window_query,
         "streaming_upsert_log": _streaming_upsert_query,
         "sq_knn_cosine": _sq_knn_cosine_query,
+        "mixed_precision_knn": _mixed_precision_query,
         "search_cancel": _cancel_query,
         "custom_distance_knn": _custom_distance_query,
     }
@@ -1283,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
             UPS_IDS, UPS_UPD, UPS_DEL_LO, UPS_DEL_HI, UPS_SRC_OFF
         ),
         "sq_knn_cosine": oracles.sq_knn_sql("cosine", K, N_QUERIES),
+        "mixed_precision_knn": oracles.mixed_precision_verdict_sql(F16_RECALL_FLOOR_E4),
         "search_cancel": oracles.cancel_verdict_sql(),
         "custom_distance_knn": oracles.custom_distance_sql(K, N_QUERIES),
     }

