@@ -311,6 +311,42 @@ def _vamana_saveload_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+GEN_N, GEN_NQ, GEN_D, GEN_K = 400, 20, 16, 5
+
+
+def _testdata_generator_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verdict gate for the seeded test-data generator
+    (bindings/python/src/svs/common.py:214-265 parity): the written
+    groundtruth (driver-side numpy brute force with (distance, id)
+    lexsort) must EXACTLY equal the engine's distributed flat k-NN over
+    the same written data — the generator and the gated scan agree on
+    every (qid, rank, neighbor_id) triple."""
+    import tempfile
+
+    from scalablevectorsearch_spark.sources.vecs import generate_test_dataset
+
+    out = tempfile.mkdtemp(prefix="svs_gen_gate_")
+    generate_test_dataset(spark, GEN_N, GEN_NQ, GEN_D, out, seed=3, k=GEN_K)
+    data = spark.read.parquet(f"{out}/data")
+    qdf = spark.read.parquet(f"{out}/queries")
+    gt = spark.read.parquet(f"{out}/groundtruth")
+    res = flat_knn(data, qdf, k=GEN_K, distance="l2", round_to=None).select(
+        "qid", "rank", "neighbor_id"
+    )
+    agree = gt.join(res, ["qid", "rank", "neighbor_id"]).agg(
+        F.count("*").alias("n_agree")
+    )
+    return agree.crossJoin(gt.agg(F.count("*").alias("n_gt"))).select(
+        (
+            (F.col("n_agree") == F.col("n_gt"))
+            & (F.col("n_gt") == F.lit(GEN_NQ * GEN_K))
+        )
+        .cast("long")
+        .alias("ok_groundtruth"),
+        F.lit(GEN_NQ * GEN_K).cast("long").alias("n_pairs"),
+    )
+
+
 F16_RECALL_FLOOR_E4 = 9000
 
 
@@ -1250,6 +1286,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_upsert_log": _streaming_upsert_query,
         "sq_knn_cosine": _sq_knn_cosine_query,
         "mixed_precision_knn": _mixed_precision_query,
+        "testdata_generator": _testdata_generator_query,
         "search_cancel": _cancel_query,
         "custom_distance_knn": _custom_distance_query,
     }
@@ -1354,6 +1391,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "sq_knn_cosine": oracles.sq_knn_sql("cosine", K, N_QUERIES),
         "mixed_precision_knn": oracles.mixed_precision_verdict_sql(F16_RECALL_FLOOR_E4),
+        "testdata_generator": oracles.testdata_generator_verdict_sql(GEN_NQ * GEN_K),
         "search_cancel": oracles.cancel_verdict_sql(),
         "custom_distance_knn": oracles.custom_distance_sql(K, N_QUERIES),
     }

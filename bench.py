@@ -184,6 +184,24 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
 
     timed("sq_knn_l2", sq_s)
 
+    # B7b — SQ-compressed Vamana (extensions/vamana/scalar.h): graph
+    # built AND searched in the int8 domain, corrected distances out —
+    # the 4x-bandwidth index variant a 100 TB deployment would run
+    def sq_vam():
+        from scalablevectorsearch_spark.operators.sq import (
+            sq_vamana_build,
+            sq_vamana_search,
+        )
+
+        p = sq_train(base)
+        idx = sq_vamana_build(
+            base.select("id", "vector"), p, VAMANA, n_shards=VAMANA_SHARDS
+        )
+        idx.graph.cache().count()
+        sq_vamana_search(idx, queries, k=K, search_window_size=VAMANA_SWS).count()
+
+    timed("sq_vamana_build_search", sq_vam)
+
     def _text_stats():
         from scalablevectorsearch_spark.pipeline.text import text_stats
 

@@ -1028,6 +1028,16 @@ def mixed_precision_verdict_sql(floor_e4: int) -> str:
     )
 
 
+def testdata_generator_verdict_sql(n_pairs: int) -> str:
+    """Verdict for generate_test_dataset (common.py:214-265): the
+    generator's driver-side brute-force groundtruth must exactly equal
+    the engine's distributed flat k-NN over the generated tables."""
+    return (
+        f"SELECT CAST(1 AS BIGINT) AS ok_groundtruth, "
+        f"CAST({n_pairs} AS BIGINT) AS n_pairs"
+    )
+
+
 def custom_distance_sql(k: int, n_queries: int) -> str:
     """L1 (Manhattan) k-NN oracle for the runtime distance plug-in gate
     (§2.12): ascending e4-key ranking with ascending-id tie-break, same
