@@ -71,6 +71,47 @@ def test_sq_vamana_requires_sq_index(base, queries):
         sq_vamana_search(idx, queries, k=10)
 
 
+def test_sq_vamana_kmeans_routing_composes(base, queries):
+    """SQ storage composes with cluster sharding: probing EVERY shard
+    with an exhaustive window still reproduces the flat SQ scan."""
+    p = sq_train(base)
+    idx = sq_vamana_build(
+        base, p, PARAMS, n_shards=4, distance="l2", shard_by="kmeans"
+    )
+    got = sq_vamana_search(
+        idx, queries, k=10, search_window_size=4096, n_probes=4
+    )
+    want = sq_knn(base, queries, p, k=10, distance="l2")
+    assert _rows(got) == _rows(want)
+
+
+def test_sq_vamana_reconstruct_decompresses(base, spark):
+    """reconstruct_accessor parity (extensions/vamana/scalar.h:25-31):
+    ids -> stored compressed vectors -> decompress, error <= scale/2."""
+    from scalablevectorsearch_spark.operators.reconstruct import reconstruct
+    from scalablevectorsearch_spark.operators.sq import sq_decompress
+
+    p = sq_train(base)
+    idx = sq_vamana_build(base, p, PARAMS, n_shards=2, distance="l2")
+    ids = base.select("id").filter(F.col("id") < 10)
+    rec = reconstruct(idx.base, ids)
+    dec = sq_decompress(rec, p, "vector", "dv").select("id", "dv")
+    orig = base.filter(F.col("id") < 10).select("id", "vector")
+    err = (
+        dec.join(orig, "id")
+        .select(
+            F.aggregate(
+                F.zip_with("vector", "dv", lambda a, d: F.abs(a.cast("double") - d)),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ).alias("e")
+        )
+        .agg(F.max("e"))
+        .collect()[0][0]
+    )
+    assert err <= p.scale / 2 + 1e-12
+
+
 def test_sq_vamana_save_load_roundtrip(base, queries, tmp_path, spark):
     """save -> load preserves SQ params; loaded search == direct search."""
     from scalablevectorsearch_spark.sources.index_store import (
