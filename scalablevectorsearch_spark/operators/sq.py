@@ -112,6 +112,7 @@ def sq_knn(
     qid_col: str = "qid",
     qvec_col: str | None = None,
     round_to: int | None = 4,
+    base_compressed: bool = False,
 ) -> DataFrame:
     """k-NN over scalar-quantized storage with corrected distances.
 
@@ -119,13 +120,25 @@ def sq_knn(
     CORRECTED value (scalar.h compute()): scale^2 * L2int for l2;
     scale*ip + bias*sum(q) for ip; full-precision cosine on decompressed
     data for cosine. Rankings equal the corrected-ranking in all cases.
+
+    ``base_compressed=True``: ``base[vec_col]`` already holds
+    compressed-domain values (e.g. the TINYINT table persisted by
+    ``index_store.save_sq``) — the scan reads the 4x-smaller table
+    directly instead of compressing floats in-plan, which is the point
+    of SQ storage at 100 TB (scan bandwidth, not CPU).
     """
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
     qvec_col = qvec_col or vec_col
-    cbase = sq_compress(base, params, vec_col, "__qv").select(
-        F.col(id_col).alias("id"), F.col("__qv").alias("vector")
-    )
+    if base_compressed:
+        cbase = base.select(
+            F.col(id_col).alias("id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("vector"),
+        )
+    else:
+        cbase = sq_compress(base, params, vec_col, "__qv").select(
+            F.col(id_col).alias("id"), F.col("__qv").alias("vector")
+        )
 
     if distance == "l2":
         # compress the query too (EuclideanCompressed.fix_argument)

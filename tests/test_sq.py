@@ -83,3 +83,26 @@ def test_sq_ip_and_cosine_run(base, queries):
     for dist in ("ip", "cosine"):
         rows = sq_knn(base, queries, p, k=5, distance=dist).collect()
         assert len(rows) == 20 * 5
+
+
+def test_sq_knn_from_stored_compressed(base, queries, tmp_path, spark):
+    """The persisted TINYINT table (save_sq) is directly searchable via
+    base_compressed=True and gives the SAME answer as compressing the
+    float base in-plan — the 4x-bandwidth scan path at 100 TB."""
+    from scalablevectorsearch_spark.sources.index_store import load_sq, save_sq
+
+    p = sq_train(base)
+    path = str(tmp_path / "sqstore")
+    save_sq(base, p, path)
+    packed, p2 = load_sq(spark, path)
+    assert (p2.gmin, p2.gmax) == (p.gmin, p.gmax)
+    got = sq_knn(
+        packed, queries, p2, k=10, distance="l2",
+        vec_col="qvector", qvec_col="vector", base_compressed=True,
+    )
+    want = sq_knn(base, queries, p, k=10, distance="l2")
+    key = lambda df: sorted(
+        (r["qid"], r["rank"], r["neighbor_id"], round(r["distance"], 4))
+        for r in df.collect()
+    )
+    assert key(got) == key(want)
