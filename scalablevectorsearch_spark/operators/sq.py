@@ -201,6 +201,7 @@ def sq_vamana_build(
     distance: str = "l2",
     id_col: str = "id",
     vec_col: str = "vector",
+    base_compressed: bool = False,
     **build_kw,
 ):
     """Build a Vamana graph over scalar-quantized storage.
@@ -213,10 +214,23 @@ def sq_vamana_build(
     search will see. Extra kwargs (shard_by/closure_bp/...) pass through
     to :func:`~scalablevectorsearch_spark.operators.vamana.vamana_build`
     — SQ composes with cluster sharding and closure replication.
+
+    ``base_compressed=True``: ``base[vec_col]`` already holds
+    compressed-domain values (the TINYINT table persisted by
+    ``index_store.save_sq``) — build reads the 4x-smaller table
+    directly, as :func:`sq_knn` does.
     """
     from scalablevectorsearch_spark.operators.vamana import vamana_build
 
-    if distance in ("l2", "ip"):
+    if distance not in ("l2", "ip", "cosine"):
+        raise ValueError(f"unknown distance {distance!r}")
+    if base_compressed:
+        cbase = base.withColumn(
+            "__sqv", F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        )
+        if distance == "cosine":
+            cbase = sq_decompress(cbase, params, "__sqv", "__sqv")
+    elif distance in ("l2", "ip"):
         cbase = sq_compress(base, params, vec_col, "__sqv")
     elif distance == "cosine":
         cbase = sq_decompress(

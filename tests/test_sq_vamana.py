@@ -129,3 +129,21 @@ def test_sq_vamana_save_load_roundtrip(base, queries, tmp_path, spark):
     got = sq_vamana_search(loaded, queries, k=10, search_window_size=4096)
     want = sq_vamana_search(idx, queries, k=10, search_window_size=4096)
     assert _rows(got) == _rows(want)
+
+
+def test_sq_vamana_build_from_stored_compressed(base, queries, tmp_path, spark):
+    """Building from the persisted TINYINT table (save_sq) gives the
+    same exhaustive-window answer as building from the float base."""
+    from scalablevectorsearch_spark.sources.index_store import load_sq, save_sq
+
+    p = sq_train(base)
+    path = str(tmp_path / "sqstore")
+    save_sq(base, p, path)
+    packed, p2 = load_sq(spark, path)
+    idx = sq_vamana_build(
+        packed, p2, PARAMS, n_shards=2, distance="l2",
+        vec_col="qvector", base_compressed=True,
+    )
+    got = sq_vamana_search(idx, queries, k=10, search_window_size=4096)
+    want = sq_knn(base, queries, p, k=10, distance="l2")
+    assert _rows(got) == _rows(want)
