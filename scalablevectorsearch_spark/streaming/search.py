@@ -36,11 +36,19 @@ def stream_knn(
     k: int = 10,
     distance: str = "l2",
     await_done: bool = True,
+    search_fn=None,
     **search_kwargs,
 ):
     """Answer a query stream against ``base``: every micro-batch runs
     flat_knn(base, micro_batch) and appends (qid, rank, neighbor_id,
     distance) to ``out_dir``. Returns the streaming query handle.
+
+    ``search_fn``: optional engine override — a callable
+    ``(queries_df, k) -> result DataFrame`` closing over a prebuilt
+    index (e.g. ``lambda q, k: vamana_search(idx, q, k, ...)`` or an
+    ``ivf_search`` partial), so ANY index family serves the stream
+    with the identical operator it serves batch queries; default =
+    flat scan against ``base``.
 
     ``availableNow`` semantics when ``await_done`` — drain what exists
     and stop (the testable mode); drop ``await_done`` for a continuous
@@ -50,10 +58,13 @@ def stream_knn(
     def answer(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = flat_knn(
-            base, batch_df, k=k, distance=distance, qid_col="qid",
-            qvec_col="vector", **search_kwargs,
-        )
+        if search_fn is not None:
+            res = search_fn(batch_df, k)
+        else:
+            res = flat_knn(
+                base, batch_df, k=k, distance=distance, qid_col="qid",
+                qvec_col="vector", **search_kwargs,
+            )
         res.write.mode("append").parquet(out_dir)
 
     q = (

@@ -242,3 +242,46 @@ def test_calibrate_split_buffer(base, queries):
     # the chosen config is never costlier than the uniform baseline
     assert res.cost <= 10.0 * uniform.search_window_size + uniform.search_window_size
     assert len(res.probes) >= 1
+
+
+def test_stream_knn_vamana_backend(spark, embeddings, tmp_path):
+    """stream_knn's search_fn override serves the stream from a Vamana
+    index with the same operator the batch path uses: exhaustive-window
+    streamed answers == batch flat answers."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+    from scalablevectorsearch_spark.streaming.search import (
+        stream_knn,
+        stream_queries,
+    )
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    q_batch = base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+    src = str(tmp_path / "qstream")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    q_batch.filter(F.col("qid") < 5).write.mode("append").parquet(src)
+    q_batch.filter(F.col("qid") >= 5).write.mode("append").parquet(src)
+
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=16, window_size=50), n_shards=2
+    )
+    idx.graph.persist().count()
+    stream_knn(
+        base, stream_queries(spark, src), out, ck, k=5,
+        search_fn=lambda q, k: vamana_search(idx, q, k, search_window_size=4096),
+    )
+
+    got = sorted(
+        (r["qid"], r["rank"], r["neighbor_id"])
+        for r in spark.read.parquet(out).collect()
+    )
+    exact = sorted(
+        (r["qid"], r["rank"], r["neighbor_id"])
+        for r in flat_knn(base, q_batch, k=5).collect()
+    )
+    assert got == exact
