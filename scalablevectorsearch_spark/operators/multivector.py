@@ -29,6 +29,7 @@ def multivector_knn(
     qid_col: str = "qid",
     k_inner: int | None = None,
     round_to: int | None = 4,
+    search_fn=None,
 ) -> DataFrame:
     """Top-k distinct LABELS per query, like the reference's
     MultiBatchIterator (multi.h:22-47): it keeps iterating until k
@@ -36,7 +37,13 @@ def multivector_knn(
     every query has >= k labels or the whole base has been considered.
     ``dedupe_by_label`` alone is the single-pass kernel whose
     completeness depends on the caller's k_inner bound; this wrapper
-    removes that contract from the caller."""
+    removes that contract from the caller.
+
+    ``search_fn``: optional inner-candidate engine — a callable
+    ``(queries_df, k_inner) -> (qid, rank, neighbor_id, distance)``
+    closing over a prebuilt index (the reference's multi-vector search
+    runs INSIDE the Vamana index, multi.h); default = exact flat scan
+    of ``base``."""
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
     labels = base.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
@@ -45,10 +52,13 @@ def multivector_knn(
     ki = k_inner or 4 * k
     while True:
         ki = min(ki, n_base)
-        inner = flat_knn(
-            base, queries, k=ki, distance=distance, id_col=id_col,
-            vec_col=vec_col, qid_col=qid_col, round_to=round_to,
-        )
+        if search_fn is not None:
+            inner = search_fn(queries, ki)
+        else:
+            inner = flat_knn(
+                base, queries, k=ki, distance=distance, id_col=id_col,
+                vec_col=vec_col, qid_col=qid_col, round_to=round_to,
+            )
         out = dedupe_by_label(inner, labels, k=k, distance=distance)
         if ki >= n_base:
             return out

@@ -86,3 +86,35 @@ def test_multivector_batch_iterator_pages(skewed, queries):
     assert sorted((r["qid"], r["rank"], r["label"]) for r in p1b) == sorted(
         (r["qid"], r["rank"], r["label"]) for r in p1
     )
+
+
+def test_multivector_vamana_backend(spark, embeddings):
+    """multivector_knn's search_fn override serves inner candidates from
+    a Vamana index (multi.h runs inside the graph index); with an
+    exhaustive window the label ranking equals the flat-backed answer."""
+    from scalablevectorsearch_spark.operators.multivector import multivector_knn
+    from scalablevectorsearch_spark.operators.vamana import (
+        VamanaParams,
+        vamana_build,
+        vamana_search,
+    )
+
+    base = embeddings.selectExpr(
+        "vec_id as id", "embedding as vector", "cast(vec_id % 40 as long) as label"
+    )
+    queries = base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+    idx = vamana_build(
+        base.select("id", "vector"),
+        VamanaParams(graph_max_degree=16, window_size=50),
+        n_shards=2,
+    )
+    idx.graph.persist().count()
+    got = multivector_knn(
+        base, queries, k=5,
+        search_fn=lambda q, ki: vamana_search(idx, q, ki, search_window_size=4096),
+    )
+    want = multivector_knn(base, queries, k=5)
+    key = lambda df: sorted(
+        (r["qid"], r["rank"], r["label"]) for r in df.collect()
+    )
+    assert key(got) == key(want)
