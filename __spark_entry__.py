@@ -289,21 +289,41 @@ def _sq_vamana_knn_query(distance: str):
 
 
 def _vamana_saveload_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hash gate for index save/load/assemble (§2.1): build -> persist
-    via the manifest store -> load -> exhaustive-window search must
-    still equal exact flat k-NN (the vamana_exhaustive_knn oracle). Any
-    drift in the persisted graph/data/params surfaces as a hash break."""
+    """Hash gate for index save/load/assemble + the format upgrader
+    (§2.1): build -> persist via the manifest store -> downgrade the
+    manifest to the v0.1 layout (tables as a name list) -> the version
+    gate must REFUSE it (load.h:810-825) -> upgrade_index migrates it
+    (svs.upgrader parity) -> load -> exhaustive-window search must still
+    equal exact flat k-NN. Any drift in the persisted
+    graph/data/params/migration surfaces as a hash break."""
+    import json
+    import os
     import tempfile
 
     from scalablevectorsearch_spark.sources.index_store import (
+        ManifestError,
         load_vamana,
         save_vamana,
+        upgrade_index,
     )
 
     base = _base(spark, sf_dir).select("id", "vector")
     index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
     path = tempfile.mkdtemp(prefix="svs_saveload_gate_")
     save_vamana(index, path)
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["tables"] = sorted(m["tables"])
+    m["__version__"] = [0, 1, 0]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    try:
+        load_vamana(spark, path)
+        raise AssertionError("v0.1 manifest must be refused before upgrade")
+    except ManifestError:
+        pass
+    upgrade_index(path)
     loaded = load_vamana(spark, path, validate=True)
     res = vamana_search(
         loaded, _queries_df(spark, sf_dir), k=K, search_window_size=4096
