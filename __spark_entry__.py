@@ -771,6 +771,29 @@ def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_verdict(matched.crossJoin(nq), DYNAMIC_RECALL_FLOOR_E4)
 
 
+def _compact_remap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compact gate (dynamic_index.h:791-810 + core/compact.h): delete a
+    range -> consolidate (physical removal) -> compact_index (dense id
+    remap of base + graph + persisted layout, all via the DISTRIBUTED
+    dense rank — no single-partition window) -> exhaustive-window search
+    over the COMPACTED index. Every returned neighbor id must be exactly
+    the dense rank of the surviving old id, and the search must still be
+    exact — one hash gates the remap arithmetic, the graph/layout remap
+    joins, and post-compact searchability."""
+    from scalablevectorsearch_spark.operators.dynamic import compact_index
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    deleted = base.filter(
+        (F.col("id") >= DYN_DEL_LO) & (F.col("id") < DYN_DEL_HI)
+    ).select("id")
+    dyn = dynamic_vamana(vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS))
+    dyn = delete_entries(dyn, deleted)
+    dyn = consolidate(dyn)
+    cidx, _mapping = compact_index(dyn.index)
+    res = vamana_search(cidx, _queries_df(spark, sf_dir), k=K, search_window_size=4096)
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
@@ -1285,6 +1308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_ivf_knn": _dynamic_ivf_query,
         "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
         "dynamic_vamana_recall": _dynamic_vamana_recall_query,
+        "compact_remap_knn": _compact_remap_query,
         "text_stats": _text_stats_query,
         "normalize_text": _normalize_text_query,
         "lang_id": _lang_id_query,
@@ -1377,6 +1401,11 @@ def oracle_sql() -> dict[str, str]:
         # mutated base (same mutation constants)
         "dynamic_vamana_exhaustive_knn": oracles.dynamic_flat_knn_sql(
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
+        ),
+        # post-compact exhaustive search == flat over the survivors with
+        # neighbor ids remapped to their dense rank
+        "compact_remap_knn": oracles.compact_knn_sql(
+            K, N_QUERIES, DYN_DEL_LO, DYN_DEL_HI
         ),
         "text_stats": oracles.text_stats_sql(),
         "normalize_text": oracles.normalize_text_sql(),

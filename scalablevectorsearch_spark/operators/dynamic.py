@@ -689,7 +689,9 @@ def compact(base: DataFrame, graph: DataFrame, id_col: str = "id") -> tuple[Data
         .drop(id_col, "old_id")
         .withColumnRenamed("new_id", id_col)
     )
-    m = F.broadcast(mapping)
+    # mapping is base-sized — no broadcast hint; these are plain
+    # shuffle joins on ids (AQE still picks broadcast when it fits)
+    m = mapping
     exploded = graph.select(
         "shard_id", "src", "is_entry", F.explode_outer("neighbors").alias("nbr")
     )
@@ -708,3 +710,30 @@ def compact(base: DataFrame, graph: DataFrame, id_col: str = "id") -> tuple[Data
         )
     )
     return new_base, new_graph, mapping
+
+
+def compact_index(index: VamanaIndex) -> tuple[VamanaIndex, DataFrame]:
+    """Compact a WHOLE Vamana index to a dense id space and keep it
+    searchable (dynamic_index.h:791-810 — the reference's compact leaves
+    the index servable, not just the tables): base, graph, AND the
+    persisted shard layout are remapped with the same dense mapping, so
+    the compacted index's graph shard stamps still agree with its
+    layout and a search needs no re-sharding. The dense rank itself is
+    the distributed _dense_ids plan (no single-partition window); the
+    layout remap is one shuffle join on ids. Returns
+    (compacted_index, mapping) with mapping = (old_id, new_id)."""
+    from pyspark.storagelevel import StorageLevel
+
+    from scalablevectorsearch_spark.operators.vamana import _by_shard
+
+    new_base, new_graph, mapping = compact(index.base, index.graph, index.id_col)
+    new_layout = None
+    if index.layout is not None:
+        new_layout = _by_shard(
+            index.layout.join(mapping, index.layout["__id"] == mapping["old_id"])
+            .select("shard_id", F.col("new_id").alias("__id"), "__vec")
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return (
+        replace(index, base=new_base, graph=new_graph, layout=new_layout),
+        mapping,
+    )

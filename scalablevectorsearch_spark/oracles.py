@@ -474,6 +474,29 @@ FROM r WHERE rnk <= {k}
 """.strip()
 
 
+def compact_knn_sql(k: int, n_queries: int, del_lo: int, del_hi: int) -> str:
+    """Post-compact exhaustive-window search oracle: delete a range,
+    compact to dense ids (new_id = rank of old id in ascending order,
+    dynamic_index.h:791-810), then exact flat k-NN whose neighbor ids
+    are the REMAPPED dense ids. The old->new mapping is monotonic, so
+    the ascending-id tie-break is preserved across the remap and the
+    ranking matches the engine's post-compact search exactly."""
+    e4 = E4.format(expr="dist")
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+live AS (SELECT vec_id AS id, embedding::DOUBLE[] AS bv FROM embeddings
+         WHERE vec_id NOT BETWEEN {del_lo} AND {del_hi - 1}),
+m AS (SELECT id AS old_id, row_number() OVER (ORDER BY id) - 1 AS new_id FROM live),
+d AS (SELECT qid, id, {_DIST_SQL["l2"]} AS dist FROM q CROSS JOIN live),
+r AS (SELECT qid, id, {e4} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4} ASC, id ASC) AS rnk
+      FROM d)
+SELECT r.qid, r.rnk AS rank, m.new_id AS neighbor_id, r.dist_e4 AS distance_e4
+FROM r JOIN m ON r.id = m.old_id WHERE r.rnk <= {k}
+""".strip()
+
+
 def recall_at_sql(k: int, n: int, n_queries: int) -> str:
     """k_recall_at(groundtruth=l2 top-k, results=ip top-n) as a 1-row
     (recall_e4, n_queries) — the §2.4 recall aggregate gate-visible."""

@@ -160,6 +160,40 @@ def test_compact_remaps_dense(base):
     assert max_nbr is None or max_nbr < n
 
 
+def test_compact_index_stays_searchable(base, queries):
+    """compact_index remaps base + graph + layout consistently: an
+    exhaustive-window search over the COMPACTED index equals exact flat
+    k-NN over the survivors with neighbor ids remapped to their dense
+    rank (dynamic_index.h:791-810 — compact leaves the index servable)."""
+    from scalablevectorsearch_spark.operators.dynamic import compact_index
+    from scalablevectorsearch_spark.operators.vamana import vamana_search
+
+    sub = base.filter(F.col("id") < 1000)
+    idx = vamana_build(
+        sub, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2
+    )
+    deleted = sub.filter((F.col("id") >= 5) & (F.col("id") < 15)).select("id")
+    d = consolidate(delete_entries(dynamic_vamana(idx), deleted))
+    cidx, mapping = compact_index(d.index)
+    res = vamana_search(cidx, queries, k=5, search_window_size=2000)
+    gt = flat_knn(
+        sub.join(deleted.withColumnRenamed("id", "del_id"),
+                 F.col("id") == F.col("del_id"), "left_anti"),
+        queries, k=5,
+    )
+    remap = {r["old_id"]: r["new_id"] for r in mapping.collect()}
+    want = sorted(
+        (r["qid"], r["rank"], remap[r["neighbor_id"]])
+        for r in gt.select("qid", "rank", "neighbor_id").collect()
+    )
+    got = sorted(
+        map(tuple, res.select("qid", "rank", "neighbor_id").collect())
+    )
+    assert got == want
+    # layout remap preserved the shard stamps' row counts
+    assert cidx.layout.count() == sub.count() - deleted.count()
+
+
 def test_incremental_add_degree_and_exactness(base, queries):
     """add_points links new points incrementally (dynamic_index.h:631-700):
     the degree bound survives reverse-edge insertion, and an
