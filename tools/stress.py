@@ -267,10 +267,16 @@ recall(
 
 
 def run_compact():
-    nb, ng, mapping = compact(dyn2.index.base, dyn2.index.graph)
-    n = nb.count()
-    ng.count()
+    # full-index compact: base + graph + persisted layout remapped with
+    # the same distributed dense rank (the compacted index stays
+    # servable — dynamic_index.h:791-810)
+    from scalablevectorsearch_spark.operators.dynamic import compact_index
+
+    cidx, mapping = compact_index(dyn2.index)
+    n = cidx.base.count()
+    cidx.graph.count()
     assert n == N - n_del, (n, N - n_del)
+    assert cidx.layout.count() == n
     return n
 
 
