@@ -111,6 +111,26 @@ def _multivector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _multivector_graph_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-vector search served from INSIDE the graph index (multi.h:
+    22-47 — the reference's MultiBatchIterator runs over the Vamana
+    index, not a flat scan): inner candidates come from an
+    exhaustive-window vamana_search over a prebuilt index, then the
+    label dedupe + re-rank. Exhaustive window makes the inner stage
+    exact, so the flat multivector SQL oracle applies unchanged —
+    hash-gating the index-backed composition end to end."""
+    base = _base(spark, sf_dir)
+    idx = vamana_build(base.select("id", "vector"), VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    inner = vamana_search(
+        idx, _queries_df(spark, sf_dir), k=40, search_window_size=4096
+    )
+    out = dedupe_by_label(inner, base.select("id", "label"), k=5, distance="l2")
+    return out.select(
+        "qid", "rank", F.col("label").cast("int"), "neighbor_id",
+        E4("distance").alias("distance_e4"),
+    )
+
+
 def _recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     q = _queries_df(spark, sf_dir)
@@ -1279,6 +1299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flat_knn_cosine": _knn_query("cosine"),
         "flat_knn_filtered": _knn_query("l2", where="label = 3"),
         "multivector_knn": _multivector_query,
+        "multivector_graph_knn": _multivector_graph_query,
         "knn_recall_ip_vs_l2": _recall_query,
         "recall_at_k": _recall_at_query,
         "medioid": _medioid_query,
@@ -1345,6 +1366,8 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_cosine": oracles.flat_knn_sql("cosine", K, N_QUERIES),
         "flat_knn_filtered": oracles.flat_knn_sql("l2", K, N_QUERIES, where="label = 3"),
         "multivector_knn": oracles.multivector_knn_sql("l2", 5, 40, N_QUERIES),
+        # exhaustive-window inner stage == flat scan -> same oracle
+        "multivector_graph_knn": oracles.multivector_knn_sql("l2", 5, 40, N_QUERIES),
         "knn_recall_ip_vs_l2": oracles.recall_sql(K, N_QUERIES),
         "recall_at_k": oracles.recall_at_sql(5, 10, N_QUERIES),
         "medioid": oracles.medioid_sql(),
