@@ -1012,6 +1012,31 @@ def _batch_iterator_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_iterator_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LinearSchedule paging gate (iterator_schedule.h:123): page sizes
+    grow 4, 8, 12 (slope 4); the three concatenated pages must
+    hash-equal the one-shot top-24 — growing pages stay disjoint rank
+    slices with a complete union, or the hash breaks."""
+    from scalablevectorsearch_spark.operators.iterator import (
+        BatchIterator,
+        LinearSchedule,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    it = BatchIterator(
+        search_fn=lambda kk, w: flat_knn(base, q, k=kk, distance="l2", round_to=4),
+        schedule=LinearSchedule(batch_size=ITER_PAGE_SIZE, slope=ITER_PAGE_SIZE),
+    )
+    pages = [it.next_batch() for _ in range(ITER_PAGES)]
+    out = pages[0]
+    for pg in pages[1:]:
+        out = out.unionByName(pg)
+    return out.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
 def _ivf_reorder_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF + k_reorder gate (ivf/common.h:156): index storage is the SQ
     round-tripped (int8-domain) vectors — clustering, probing, and the
@@ -1344,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
         "batch_iterator_pages": _batch_iterator_query,
+        "batch_iterator_linear": _batch_iterator_linear_query,
         "ivf_knn_reordered": _ivf_reorder_query,
         "streaming_knn": _streaming_knn_query,
         "streaming_dedup": _streaming_dedup_query,
@@ -1450,6 +1476,10 @@ def oracle_sql() -> dict[str, str]:
         # concatenated pages == one-shot top-(pages*size) flat k-NN
         "batch_iterator_pages": oracles.flat_knn_sql(
             "l2", ITER_PAGES * ITER_PAGE_SIZE, N_QUERIES
+        ),
+        # linear pages 4+8+12 == one-shot top-24
+        "batch_iterator_linear": oracles.flat_knn_sql(
+            "l2", ITER_PAGE_SIZE * (1 + 2 + 3), N_QUERIES
         ),
         "ivf_knn_reordered": oracles.ivf_reorder_sql(
             K, RE_K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES
