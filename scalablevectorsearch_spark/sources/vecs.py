@@ -22,6 +22,7 @@ import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _KINDS = {
     "fvecs": np.float32,
@@ -233,6 +234,108 @@ def generate_test_dataset(
         "seed": seed,
         "k": k,
         "distance": distance,
+    }
+    with open(f"{out_dir}/manifest.json", "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — a counter-based bit mixer (vectorized).
+    Deterministic per input, partition-layout independent."""
+    x = x.astype(np.uint64)
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(30)
+    x = (x * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(27)
+    x = (x * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _uniform_rows(ids: np.ndarray, n_dims: int, seed: int, stream: int) -> np.ndarray:
+    """float32 uniform[-1,1) matrix keyed by (seed, stream, id, dim) via
+    the counter-based mixer — every executor can generate ITS rows
+    without coordination, and the value of row i is independent of how
+    rows are partitioned."""
+    base = (
+        np.uint64(seed) * np.uint64(0x100000001B3)
+        + np.uint64(stream) * np.uint64(0x1000193)
+    )
+    ctr = (
+        ids.astype(np.uint64)[:, None] * np.uint64(n_dims)
+        + np.arange(n_dims, dtype=np.uint64)[None, :]
+    )
+    bits = _mix64(ctr + base)
+    # top 53 bits -> [0,1) double -> [-1,1) float32
+    u = (bits >> np.uint64(11)).astype(np.float64) * (2.0**-53)
+    return (u * 2.0 - 1.0).astype(np.float32)
+
+
+def generate_test_dataset_distributed(
+    spark: SparkSession,
+    n_vectors: int,
+    n_queries: int,
+    n_dims: int,
+    out_dir: str,
+    seed: int = 42,
+    k: int = 10,
+    distance: str = "l2",
+) -> dict:
+    """Cluster-scale test-data generator: the data NEVER exists on the
+    driver. Rows are generated inside ``mapInPandas`` from a
+    counter-based keyed stream (splitmix64 over (seed, id, dim) — the
+    distributed analog of common.py:214-265's seeded uniform), so a
+    1000-executor cluster writes a 100 TB dataset with zero driver
+    memory; groundtruth is the engine's exact flat k-NN (itself
+    hash-gated vs DuckDB). Complements :func:`generate_test_dataset`,
+    whose driver-side numpy stream + independent brute force is kept as
+    the reference-parity path (and the `testdata_generator` gate)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    def gen(stream: int):
+        def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                ids = pdf["id"].to_numpy(dtype=np.int64)
+                X = _uniform_rows(ids, n_dims, seed, stream)
+                yield pd.DataFrame({"id": ids, "vector": list(X)})
+
+        return fn
+
+    os.makedirs(out_dir, exist_ok=True)
+    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    data = spark.range(n_vectors, numPartitions=sp).select(
+        F.col("id").cast("long").alias("id")
+    ).mapInPandas(gen(0), "id long, vector array<float>")
+    data.write.mode("overwrite").parquet(f"{out_dir}/data")
+    queries = spark.range(n_queries).select(
+        F.col("id").cast("long").alias("id")
+    ).mapInPandas(gen(1), "id long, vector array<float>")
+    queries.selectExpr("id as qid", "vector").write.mode("overwrite").parquet(
+        f"{out_dir}/queries"
+    )
+    dataq = spark.read.parquet(f"{out_dir}/data")
+    qdf = spark.read.parquet(f"{out_dir}/queries")
+    gt = flat_knn(dataq, qdf, k=k, distance=distance, round_to=None)
+    gt.select("qid", "rank", "neighbor_id").write.mode("overwrite").parquet(
+        f"{out_dir}/groundtruth"
+    )
+    manifest = {
+        "__schema__": "test_dataset",
+        "__version__": [0, 1, 0],
+        "n_vectors": n_vectors,
+        "n_queries": n_queries,
+        "n_dims": n_dims,
+        "seed": seed,
+        "k": k,
+        "distance": distance,
+        "generator": "distributed-counter",
     }
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

@@ -90,6 +90,50 @@ def test_generator_deterministic_and_consistent(spark):
     assert ours.exceptAll(gt).count() == 0 and gt.exceptAll(ours).count() == 0
 
 
+def test_distributed_generator(spark):
+    """Counter-based distributed generator: values are keyed by
+    (seed, id, dim) so they are identical across partition layouts;
+    groundtruth (engine flat k-NN) equals an independent numpy brute
+    force; distribution is uniform [-1, 1)."""
+    from scalablevectorsearch_spark.sources.vecs import (
+        _uniform_rows,
+        generate_test_dataset_distributed,
+    )
+
+    m = generate_test_dataset_distributed(
+        spark, 300, 15, 8, f"{ART}/gend", seed=13, k=5
+    )
+    assert m["generator"] == "distributed-counter"
+    data = spark.read.parquet(f"{ART}/gend/data")
+    assert data.count() == 300
+    # partition-layout independence: kernel rows for an arbitrary id
+    # subset equal the written rows
+    got = {r["id"]: np.array(r["vector"]) for r in data.filter("id in (0, 7, 299)").collect()}
+    want = _uniform_rows(np.array([0, 7, 299]), 8, 13, 0)
+    for i, vid in enumerate((0, 7, 299)):
+        np.testing.assert_array_equal(got[vid], want[i])
+    # groundtruth == independent numpy brute force
+    X = np.stack(
+        [r["vector"] for r in data.orderBy("id").collect()]
+    ).astype(np.float64)
+    Q = np.stack(
+        [r["vector"] for r in spark.read.parquet(f"{ART}/gend/queries").orderBy("qid").collect()]
+    ).astype(np.float64)
+    D = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(axis=2)
+    ids = np.broadcast_to(np.arange(300), D.shape)
+    order = np.lexsort((ids, D), axis=1)[:, :5]
+    gt = spark.read.parquet(f"{ART}/gend/groundtruth")
+    got_gt = {
+        (r["qid"], r["rank"]): r["neighbor_id"] for r in gt.collect()
+    }
+    for qi in range(15):
+        for rk in range(5):
+            assert got_gt[(qi, rk + 1)] == order[qi, rk]
+    # crude uniformity: mean ~0, |values| <= 1
+    V = np.stack(list(got.values()))
+    assert np.all(np.abs(V) < 1.0) and abs(X.mean()) < 0.05
+
+
 def test_svs_native_roundtrip(tmp_path):
     """V1 native file (native.h:310-344): header magic/counts honored,
     row-major payload intact, wrong magic rejected."""

@@ -53,7 +53,7 @@ from scalablevectorsearch_spark.operators.vamana import (
     vamana_build,
     vamana_search,
 )
-from scalablevectorsearch_spark.sources.vecs import generate_test_dataset
+from scalablevectorsearch_spark.sources.vecs import generate_test_dataset_distributed
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
 N_QUERIES, DIM, K = 500, 64, 10
@@ -94,7 +94,15 @@ def timed(name, fn):
 
 
 if not os.path.exists(f"{out}/data"):
-    timed("generate", lambda: generate_test_dataset(spark, N, N_QUERIES, DIM, out, seed=7, k=K))
+    # distributed counter-based generator: data never touches the
+    # driver (the driver-parity generator serializes a Python list of N
+    # rows — 27 min for 5M; this path is one mapInPandas write, ~1 min)
+    timed(
+        "generate",
+        lambda: generate_test_dataset_distributed(
+            spark, N, N_QUERIES, DIM, out, seed=7, k=K
+        ),
+    )
 data = spark.read.parquet(f"{out}/data")
 data.cache()
 print("rows:", data.count(), flush=True)
