@@ -1341,6 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq_knn_ip": _sq_knn_query("ip"),
         "sq_vamana_knn_l2": _sq_vamana_knn_query("l2"),
         "sq_vamana_knn_ip": _sq_vamana_knn_query("ip"),
+        "sq_vamana_knn_cosine": _sq_vamana_knn_query("cosine"),
         "vamana_saveload_knn": _vamana_saveload_knn_query,
         "vamana_knn": _vamana_knn_query,
         "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
@@ -1417,6 +1418,7 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive-window SQ-graph search degenerates to the flat SQ scan
         "sq_vamana_knn_l2": oracles.sq_knn_sql("l2", K, N_QUERIES),
         "sq_vamana_knn_ip": oracles.sq_knn_sql("ip", K, N_QUERIES),
+        "sq_vamana_knn_cosine": oracles.sq_knn_sql("cosine", K, N_QUERIES),
         # save -> load -> exhaustive-window search == exact flat k-NN
         "vamana_saveload_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
         # invariant-verdict gates (oracles.py tail): constant-truth /
