@@ -117,15 +117,35 @@ def recall(name, res):
     m = res.select("qid", "neighbor_id").join(gt, ["qid", "neighbor_id"], "left_semi").count()
     recalls[name] = round(m / n_gt, 4)
     print(f"{name} recall: {recalls[name]}", flush=True)
+    try:
+        res.unpersist()
+    except Exception:
+        pass
 
 
-recall("flat", timed("flat_knn", lambda: flat_knn(data, queries, k=K)))
+def timed_df(name, fn):
+    """Time ``fn`` THROUGH materialization (persist + count): search
+    operators return lazy plans, so timing the call alone would record
+    plan construction + the driver-side query collect and leave the
+    distributed execution inside the recall join, untimed. The persisted
+    result is handed to recall(), which unpersists it."""
+    from pyspark.storagelevel import StorageLevel
+
+    def run():
+        df = fn().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+
+    return timed(name, run)
+
+
+recall("flat", timed_df("flat_knn", lambda: flat_knn(data, queries, k=K)))
 
 idx = timed("ivf_build", lambda: ivf_build(data, IVF_CLUSTERS, 2))
 idx.clustered.cache().count()
 recall(
     "ivf",
-    timed("ivf_search", lambda: ivf_search(idx, queries, k=K, n_probes=IVF_PROBES)),
+    timed_df("ivf_search", lambda: ivf_search(idx, queries, k=K, n_probes=IVF_PROBES)),
 )
 
 # epsilon-probed IVF — the two-level Inverted index's adaptive cutoff
@@ -142,7 +162,7 @@ IVF_EPS_BP = fit_epsilon_bp(Q, idx.model.centroids, PROBE_FRACTION * IVF_CLUSTER
 meta["ivf_eps_bp_fitted"] = IVF_EPS_BP
 recall(
     "ivf_epsilon",
-    timed(
+    timed_df(
         "ivf_epsilon_search",
         lambda: ivf_search(idx, queries, k=K, epsilon_bp=IVF_EPS_BP),
     ),
@@ -161,7 +181,7 @@ def vam_build():
 vi = timed("vamana_build", vam_build)
 recall(
     "vamana",
-    timed("vamana_search", lambda: vamana_search(vi, queries, k=K, search_window_size=30)),
+    timed_df("vamana_search", lambda: vamana_search(vi, queries, k=K, search_window_size=30)),
 )
 
 
@@ -174,7 +194,7 @@ def routed_build():
 vr = timed("vamana_routed_build", routed_build)
 recall(
     "vamana_routed",
-    timed(
+    timed_df(
         "vamana_routed_search",
         lambda: vamana_search(
             vr, queries, k=K, search_window_size=30, n_probes=ROUTED_PROBES
@@ -220,7 +240,7 @@ meta["mean_probes"] = round(float(np.mean([len(s) for s in sel])), 1)
 print("closure meta:", json.dumps(meta), flush=True)
 recall(
     "vamana_closure",
-    timed(
+    timed_df(
         "vamana_closure_search",
         lambda: vamana_search(
             vc, queries, k=K, search_window_size=CLOSURE_SWS, epsilon_bp=EPS_BP
