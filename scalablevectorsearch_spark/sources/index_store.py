@@ -221,18 +221,22 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         params["shard_n_iters"] = index.shard_model.n_iters
         params["shard_round_decimals"] = index.shard_model.round_decimals
         params["closure_bp"] = index.closure_bp
-        if index.layout is not None:
-            # persist the EXACT (shard_id, id) assignment the graphs were
-            # built on: re-deriving it at load time repeats an exact
-            # float cutoff (nearest-centroid argmin; closure's e4
-            # comparison) that a different BLAS build could resolve
-            # differently for boundary rows — and a row assigned to a
-            # cell whose graph doesn't contain it is silently dropped by
-            # _decode_adjacency. The assignment table makes the loaded
-            # layout provably identical to the built one.
-            tables["layout_assign"] = index.layout.select(
-                "shard_id", F.col("__id").alias("id")
-            )
+    if index.layout is not None:
+        # persist the EXACT (shard_id, id) assignment the graphs were
+        # built on — for EVERY shard mode, not just kmeans. Kmeans:
+        # re-deriving repeats an exact float cutoff (nearest-centroid
+        # argmin; closure's e4 comparison) that a different BLAS build
+        # could resolve differently for boundary rows. Hash: id mod
+        # n_shards is only correct for the ORIGINAL ids — a compacted
+        # index's dense ids no longer satisfy it, so a re-derived layout
+        # would disagree with the saved graphs' shard stamps. Either
+        # way, a row assigned to a cell whose graph doesn't contain it
+        # is silently dropped by _decode_adjacency; the assignment
+        # table makes the loaded layout provably identical to the built
+        # one.
+        tables["layout_assign"] = index.layout.select(
+            "shard_id", F.col("__id").alias("id")
+        )
     return save_index(path, tables, "vamana_index", params=params)
 
 

@@ -60,6 +60,30 @@ def test_vamana_save_load_search_roundtrip(spark, base, queries):
     assert direct == reloaded
 
 
+def test_compacted_vamana_save_load_roundtrip(spark, base, queries):
+    """A COMPACTED hash-sharded index must survive save/load: dense ids
+    no longer satisfy id mod n_shards, so the loaded layout must come
+    from the persisted (shard_id, id) assignment, not a hash re-derive
+    (which would disagree with the graphs' shard stamps and silently
+    drop edges in _decode_adjacency)."""
+    from scalablevectorsearch_spark.operators.dynamic import (
+        compact_index,
+        consolidate,
+        delete_entries,
+        dynamic_vamana,
+    )
+
+    idx = vamana_build(base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=2)
+    deleted = base.filter((F.col("id") >= 5) & (F.col("id") < 15)).select("id")
+    d = consolidate(delete_entries(dynamic_vamana(idx), deleted))
+    cidx, _ = compact_index(d.index)
+    direct = _rows(vamana_search(cidx, queries, k=5, search_window_size=2000))
+    save_vamana(cidx, f"{ART}/vamana_compacted")
+    loaded = load_vamana(spark, f"{ART}/vamana_compacted")
+    reloaded = _rows(vamana_search(loaded, queries, k=5, search_window_size=2000))
+    assert direct == reloaded
+
+
 def test_ivf_save_load_search_roundtrip(spark, base, queries):
     idx = ivf_build(base, 8, 2)
     direct = _rows(ivf_search(idx, queries, k=5, n_probes=4))
