@@ -309,7 +309,13 @@ def generate_test_dataset_distributed(
         return fn
 
     os.makedirs(out_dir, exist_ok=True)
-    sp = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # partitions scale with N (~250k rows -> ~60 MB of f32 per task at
+    # 64d), floored at the cluster's parallelism knob — a fixed count
+    # would make per-task row blocks grow unboundedly with N
+    sp = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+        n_vectors // 250_000,
+    )
     data = spark.range(n_vectors, numPartitions=sp).select(
         F.col("id").cast("long").alias("id")
     ).mapInPandas(gen(0), "id long, vector array<float>")
