@@ -1317,6 +1317,245 @@ def _streaming_upsert_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _schema_validation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VectorDataLoader / check_dims gate (simple.h:44-51 — datasets
+    carry a fixed dimensionality enforced at construction; core.cpp:
+    48-88 — the loader validates dtype + dims at assemble time). The
+    accepted table's dims and row count are data-derived values the
+    oracle recomputes; each malformed variant (ragged, null vector,
+    duplicate id, missing column, non-numeric elements) must raise
+    SchemaError for its verdict to emit 1."""
+    from scalablevectorsearch_spark.functions.schema import (
+        SchemaError,
+        validate_vector_table,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    dims = validate_vector_table(base, check_ids_unique=True)
+    n_rows = base.count()
+
+    def rejects(df, **kw) -> int:
+        try:
+            validate_vector_table(df, **kw)
+            return 0
+        except SchemaError:
+            return 1
+
+    ragged = base.withColumn(
+        "vector",
+        F.when(F.col("id") == 3, F.slice("vector", 1, dims - 1)).otherwise(
+            F.col("vector")
+        ),
+    )
+    nulled = base.withColumn(
+        "vector", F.when(F.col("id") == 3, F.lit(None)).otherwise(F.col("vector"))
+    )
+    dup = base.unionAll(base.filter(F.col("id") == 3))
+    missing = base.select("id")
+    bad_dtype = base.withColumn("vector", F.col("vector").cast("array<string>"))
+    row = [
+        (
+            dims,
+            n_rows,
+            rejects(ragged),
+            rejects(nulled),
+            rejects(dup, check_ids_unique=True),
+            rejects(missing),
+            rejects(bad_dtype),
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "dims long, n_rows long, ok_rejects_ragged long, ok_rejects_null long, "
+        "ok_rejects_dup long, ok_rejects_missing long, ok_rejects_dtype long",
+    )
+
+
+GL_PARAMS = VamanaParams(alpha=1.2, graph_max_degree=12, window_size=40)
+GL_SHARDS = 4
+
+
+def _graph_loader_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphLoader gate (graph/simple.h save/load; vamana/index.h
+    persists VamanaBuildParameters alongside the adjacency): build →
+    save → load, then verify the loaded graph table structurally —
+    node coverage (n_nodes ≡ count(*), data-derived), every adjacency
+    edge inside the node set, max degree ≤ graph_max_degree, ≥1 entry
+    point per shard, and the manifest round-trips params + distance +
+    shard count unchanged."""
+    import shutil
+    import tempfile
+
+    from scalablevectorsearch_spark.sources.index_store import (
+        load_vamana,
+        save_vamana,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    idx = vamana_build(base, GL_PARAMS, n_shards=GL_SHARDS)
+    path = tempfile.mkdtemp(prefix="svs_graph_loader_")
+    try:
+        save_vamana(idx, path)
+        loaded = load_vamana(spark, path, validate=True)
+        g = loaded.graph
+        stats = (
+            g.select(
+                "shard_id",
+                "src",
+                F.size("neighbors").alias("deg"),
+                F.col("is_entry").cast("int").alias("ent"),
+                F.explode_outer("neighbors").alias("nbr"),
+            )
+            .join(
+                base.select(F.col("id").alias("nbr")).withColumn(
+                    "in_base", F.lit(1)
+                ),
+                "nbr",
+                "left",
+            )
+            .agg(
+                F.countDistinct("src").alias("n_nodes"),
+                F.min(F.coalesce("in_base", F.lit(0))).alias("edges_ok"),
+                F.max("deg").alias("max_deg"),
+                F.countDistinct(
+                    F.when(F.col("ent") == 1, F.col("shard_id"))
+                ).alias("entry_shards"),
+            )
+            .collect()[0]
+        )
+        params_ok = int(
+            loaded.params == idx.params
+            and loaded.distance == idx.distance
+            and loaded.n_shards == idx.n_shards
+        )
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+    row = [
+        (
+            stats["n_nodes"],
+            int(stats["edges_ok"] == 1),
+            int(stats["max_deg"] <= GL_PARAMS.graph_max_degree),
+            int(stats["entry_shards"] == GL_SHARDS),
+            params_ok,
+        )
+    ]
+    return spark.createDataFrame(
+        row,
+        "n_nodes long, ok_edges_in_base long, ok_degree_bound long, "
+        "ok_entry_per_shard long, ok_params_roundtrip long",
+    )
+
+
+def _query_norm_fix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maybe_fix_argument gate (concepts/distance.h fix_argument;
+    cosine.h:102 caches the query norm so the kernel never recomputes
+    it per data tile). The precomputed invariants themselves are the
+    oracle-checked values — per-query squared norm (l2 fix) and norm
+    (cosine fix), e4-scaled — and ok_fix_identical asserts the fixed
+    and unfixed kernels return bit-identical distance matrices on a
+    real data block."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.functions.distances import (
+        fix_queries,
+        pairwise_distances,
+    )
+
+    qpd = (
+        _queries_df(spark, sf_dir)
+        .orderBy("qid")
+        .toPandas()
+    )
+    Q = np.stack(qpd["vector"].to_numpy()).astype(np.float64)
+    normsq = fix_queries(Q, "l2")
+    norm = fix_queries(Q, "cosine")
+    assert fix_queries(Q, "ip") is None  # ip needs no fix (distance.h)
+    B = Q  # any block works; queries double as data
+    identical = all(
+        np.array_equal(
+            pairwise_distances(Q, B, d, q_fixed=fix_queries(Q, d)),
+            pairwise_distances(Q, B, d),
+        )
+        for d in ("l2", "cosine", "ip")
+    )
+    e4 = lambda x: int(np.floor(x * 10000 + 0.5))
+    rows = [
+        (int(q), e4(s), e4(n), int(identical))
+        for q, s, n in zip(qpd["qid"], normsq, norm)
+    ]
+    return spark.createDataFrame(
+        rows, "qid long, normsq_e4 long, norm_e4 long, ok_fix_identical long"
+    )
+
+
+AP_NODES, AP_POOL, AP_ALPHA, AP_DEG = 4, 120, 1.2, 16
+
+
+def _alpha_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """heuristic_prune_neighbors gate (prune.h:92-172). Runs the MRNG
+    α-prune kernel on real candidate pools (the AP_POOL nearest rows to
+    each of AP_NODES probe nodes) and verifies its defining invariants:
+    result ⊆ pool, no self-edge, no duplicates, ≤ max_degree kept, the
+    nearest candidate is always kept, every discarded candidate has a
+    kept neighbor strictly closer to it than the probe node is (the
+    relaxed-α state machine only prunes c when current_α·d(r,c) <
+    d(node,c) with current_α ≥ 1) unless the result hit capacity, and
+    two runs are identical."""
+    import numpy as np
+
+    from scalablevectorsearch_spark.operators.vamana_local import alpha_prune
+
+    pdf = _base(spark, sf_dir).select("id", "vector").orderBy("id").toPandas()
+    X = np.stack(pdf["vector"].to_numpy()).astype(np.float64)
+    rows = []
+    for node in range(AP_NODES):
+        d = np.einsum("ij,ij->i", X - X[node], X - X[node])
+        order = np.lexsort((np.arange(len(X)), d))
+        pool = order[order != node][:AP_POOL].astype(np.int64)
+        pool_d = d[pool]
+        kept = alpha_prune(X, node, pool, pool_d, AP_ALPHA, AP_DEG)
+        kept2 = alpha_prune(X, node, pool, pool_d, AP_ALPHA, AP_DEG)
+        kept_set = set(kept.tolist())
+        ok_subset = int(
+            kept_set <= set(pool.tolist())
+            and node not in kept_set
+            and len(kept_set) == len(kept)
+        )
+        ok_degree = int(0 < len(kept) <= AP_DEG)
+        ok_nearest = int(len(kept) > 0 and int(pool[0]) in kept_set)
+        at_capacity = len(kept) == AP_DEG
+        dominated = True
+        if not at_capacity:
+            for c in pool:
+                if int(c) in kept_set:
+                    continue
+                d_node_c = d[c]
+                if not any(
+                    np.einsum("i,i->", X[r] - X[c], X[r] - X[c]) < d_node_c
+                    for r in kept
+                ):
+                    dominated = False
+                    break
+        rows.append(
+            (
+                node,
+                ok_subset,
+                ok_degree,
+                ok_nearest,
+                int(dominated),
+                int(np.array_equal(kept, kept2)),
+                int(AP_ALPHA * 10000),
+                AP_DEG,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "node long, ok_subset long, ok_degree long, ok_keeps_nearest long, "
+        "ok_dominated long, ok_deterministic long, alpha_e4 long, "
+        "max_degree long",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -1381,6 +1620,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "testdata_generator": _testdata_generator_query,
         "search_cancel": _cancel_query,
         "custom_distance_knn": _custom_distance_query,
+        "schema_validation": _schema_validation_query,
+        "graph_loader": _graph_loader_query,
+        "query_norm_fix": _query_norm_fix_query,
+        "alpha_prune_invariants": _alpha_prune_query,
     }
 
 
@@ -1498,4 +1741,10 @@ def oracle_sql() -> dict[str, str]:
         "testdata_generator": oracles.testdata_generator_verdict_sql(GEN_NQ * GEN_K),
         "search_cancel": oracles.cancel_verdict_sql(),
         "custom_distance_knn": oracles.custom_distance_sql(K, N_QUERIES),
+        "schema_validation": oracles.schema_validation_sql(),
+        "graph_loader": oracles.graph_loader_verdict_sql(),
+        "query_norm_fix": oracles.query_norm_fix_sql(N_QUERIES),
+        "alpha_prune_invariants": oracles.alpha_prune_verdict_sql(
+            AP_NODES, int(AP_ALPHA * 10000), AP_DEG
+        ),
     }

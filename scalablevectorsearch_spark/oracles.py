@@ -1078,3 +1078,78 @@ r AS (SELECT qid, id, {e4} AS dist_e4,
 SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r WHERE rnk <= {k}
 """.strip()
+
+
+def schema_validation_sql() -> str:
+    """Oracle for the VectorDataLoader / check_dims gate (simple.h:44-51,
+    core.cpp:48-88): the accepted table's dimensionality and row count
+    are data-derived (so the hash bites on real values), the rejection
+    verdicts are constant-truth — the Spark side must have raised
+    SchemaError for each malformed variant to emit 1."""
+    return (
+        "SELECT CAST(min(len(embedding)) AS BIGINT) AS dims, "
+        "CAST(count(*) AS BIGINT) AS n_rows, "
+        "CAST(1 AS BIGINT) AS ok_rejects_ragged, "
+        "CAST(1 AS BIGINT) AS ok_rejects_null, "
+        "CAST(1 AS BIGINT) AS ok_rejects_dup, "
+        "CAST(1 AS BIGINT) AS ok_rejects_missing, "
+        "CAST(1 AS BIGINT) AS ok_rejects_dtype "
+        "FROM embeddings"
+    )
+
+
+def graph_loader_verdict_sql() -> str:
+    """Oracle for the GraphLoader gate (graph/simple.h save/load +
+    VamanaBuildParameters persistence, vamana/index.h save): a built,
+    saved, reloaded graph must cover every base row (n_nodes ≡
+    count(*) — data-derived), keep every adjacency edge inside the node
+    set, respect the degree bound, carry at least one entry point per
+    shard, and round-trip the build parameters + distance through the
+    manifest unchanged."""
+    return (
+        "SELECT CAST(count(*) AS BIGINT) AS n_nodes, "
+        "CAST(1 AS BIGINT) AS ok_edges_in_base, "
+        "CAST(1 AS BIGINT) AS ok_degree_bound, "
+        "CAST(1 AS BIGINT) AS ok_entry_per_shard, "
+        "CAST(1 AS BIGINT) AS ok_params_roundtrip "
+        "FROM embeddings"
+    )
+
+
+def query_norm_fix_sql(n_queries: int) -> str:
+    """Oracle for maybe_fix_argument / fix_queries (concepts/distance.h;
+    cosine.h:102 caches the query norm): the precomputed per-query
+    invariants are plain data values — squared norm (l2 fix) and norm
+    (cosine fix) per query, e4-scaled; ok_fix_identical asserts the
+    fixed and unfixed kernels produce bit-identical distance matrices."""
+    e4n = E4.format(expr="sqrt(list_sum(list_transform(qv, x -> x*x)))")
+    e4s = E4.format(expr="list_sum(list_transform(qv, x -> x*x))")
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries})
+SELECT qid, {e4s} AS normsq_e4, {e4n} AS norm_e4,
+       CAST(1 AS BIGINT) AS ok_fix_identical
+FROM q
+""".strip()
+
+
+def alpha_prune_verdict_sql(n_nodes: int, alpha_e4: int, max_degree: int) -> str:
+    """Oracle for heuristic_prune_neighbors (prune.h:92-172). The
+    MRNG-style state machine is not SQL-expressible, so the gate
+    verifies its defining invariants per pruned node: the result is a
+    subset of the pool with no self-edge and no duplicates, respects
+    max_degree, always keeps the nearest candidate, every discarded
+    candidate is dominated by a kept neighbor strictly closer to it
+    than the node is (current_alpha >= 1 makes domination imply plain
+    d(r,c) < d(node,c)) unless the result hit capacity, and two runs
+    are identical. alpha/max_degree are pinned as values."""
+    return f"""
+SELECT n.node, CAST(1 AS BIGINT) AS ok_subset,
+       CAST(1 AS BIGINT) AS ok_degree,
+       CAST(1 AS BIGINT) AS ok_keeps_nearest,
+       CAST(1 AS BIGINT) AS ok_dominated,
+       CAST(1 AS BIGINT) AS ok_deterministic,
+       CAST({alpha_e4} AS BIGINT) AS alpha_e4,
+       CAST({max_degree} AS BIGINT) AS max_degree
+FROM range(0, {n_nodes}) n(node)
+""".strip()
