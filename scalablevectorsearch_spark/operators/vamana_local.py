@@ -191,10 +191,13 @@ def _pad_graph(graph: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
     lens = np.fromiter((len(a) for a in graph), dtype=np.int64, count=n)
     md = int(lens.max()) if n else 0
     NB = np.full((n, max(md, 1)), -1, dtype=np.int64)
-    if lens.sum():
+    total = int(lens.sum())
+    if total:
         rows = np.repeat(np.arange(n), lens)
-        cols = np.concatenate([np.arange(l) for l in lens]) if n else np.empty(0, int)
-        NB[rows, cols] = np.concatenate([a for a in graph if len(a)])
+        # per-row 0..len-1 ramps without n tiny aranges
+        starts = np.cumsum(lens) - lens
+        cols = np.arange(total) - np.repeat(starts, lens)
+        NB[rows, cols] = np.concatenate(graph)
     return NB, lens
 
 
@@ -332,30 +335,51 @@ def batch_greedy_search(
         ok = (nbrs >= 0) & ~seen[act[:, None], np.maximum(nbrs, 0)]
         if not ok.any():
             continue
+        # a row with no unseen neighbors leaves its buffer untouched —
+        # restricting the (expensive) merge sort to rows that actually
+        # gained candidates is exact and skips most late-round work
+        rowm = ok.any(axis=1)
+        sub = act[rowm]
+        ok = ok[rowm]
+        nbrs = nbrs[rowm]
         safe = np.where(ok, nbrs, 0)
         # scatter only the True positions: a buffered |= through `safe`
         # would write pad slots (mapped to column 0) LAST, clobbering a
         # real neighbor-0 update in the same row
         ai, aj = np.nonzero(ok)
-        seen[act[ai], nbrs[ai, aj]] = True
+        seen[sub[ai], nbrs[ai, aj]] = True
         if D is not None:
-            nd = np.where(ok, D[act[:, None], safe], np.inf)
+            nd = np.where(ok, D[sub[:, None], safe], np.inf)
         else:
-            nd = np.where(ok, _pair_d(act, safe), np.inf)
+            nd = np.where(ok, _pair_d(sub, safe), np.inf)
         nid = np.where(ok, nbrs, -1)
         if track:
             ti, tj = np.nonzero(ok)
-            log.append((act[ti], nbrs[ti, tj], nd[ti, tj]))
+            log.append((sub[ti], nbrs[ti, tj], nd[ti, tj]))
         # merge: buffer keeps (cap) best by (dist, id); padded slots
         # (inf, -1) sort last and are never expanded
         md = NB.shape[1]
-        buf_ids[act, cap:cap + md] = nid
-        buf_d[act, cap:cap + md] = nd
-        order = np.lexsort((buf_ids[act], buf_d[act]), axis=-1)
-        buf_ids[act] = np.take_along_axis(buf_ids[act], order, axis=-1)
-        buf_d[act] = np.take_along_axis(buf_d[act], order, axis=-1)
-        buf_ids[act, cap:] = -1
-        buf_d[act, cap:] = np.inf
+        buf_ids[sub, cap:cap + md] = nid
+        buf_d[sub, cap:cap + md] = nd
+        bi, bd = buf_ids[sub], buf_d[sub]
+        # single-key stable sort (≈2x a 2-key lexsort), exact-(d, id)
+        # repaired per row: equal-d runs are contiguous after a stable
+        # d-sort, so any id misorder shows as an adjacent inversion —
+        # those (rare: duplicate points) rows re-sort with the full
+        # lexsort. Pad slots are (inf, -1) everywhere, tying cleanly.
+        order = np.argsort(bd, axis=-1, kind="stable")
+        sd = np.take_along_axis(bd, order, axis=-1)
+        si = np.take_along_axis(bi, order, axis=-1)
+        bad = ((sd[:, 1:] == sd[:, :-1]) & (si[:, 1:] < si[:, :-1])).any(axis=1)
+        if bad.any():
+            rows = np.nonzero(bad)[0]
+            o2 = np.lexsort((bi[rows], bd[rows]), axis=-1)
+            si[rows] = np.take_along_axis(bi[rows], o2, axis=-1)
+            sd[rows] = np.take_along_axis(bd[rows], o2, axis=-1)
+        si[:, cap:] = -1
+        sd[:, cap:] = np.inf
+        buf_ids[sub] = si
+        buf_d[sub] = sd
     if not track:
         return buf_ids[:, :cap], buf_d[:, :cap]
     rows = np.concatenate([r for r, _, _ in log])
@@ -454,7 +478,124 @@ def alpha_prune(
     return np.asarray(result, dtype=np.int64)
 
 
-def _generate_one(
+#: cap on m*P*P for one alpha_prune_batch chunk — bounds the (m, P, P)
+#: pairwise-distance tensor to ~80 MB of f64
+_PRUNE_BATCH_CELLS = 10_000_000
+
+
+def alpha_prune_batch(
+    X: np.ndarray,
+    nodes: np.ndarray,
+    pools: np.ndarray,
+    pool_d: np.ndarray,
+    alpha: float,
+    max_result: int,
+    distance: str = "l2",
+) -> list[np.ndarray]:
+    """Lockstep-batched :func:`alpha_prune`: one MRNG state machine per
+    node, advanced position-by-position across all ``m`` nodes at once
+    (prunes of different nodes are independent, so the sequential
+    per-candidate dependency is within a row only). Node-for-node the
+    same state machine as :func:`alpha_prune` — candidates visited in
+    pool order, strict `` current_alpha * d(r, c) < d(node, c)`` kill,
+    Added persists across alpha rounds, Pruned resets — batched so a
+    build's ~5 prunes/node cost ~P vectorized steps per chunk instead
+    of ~m Python state machines (the build-profile hot spot).
+
+    ``pools``: (m, P) int64 padded with -1; ``pool_d``: (m, P) float64
+    padded with +inf; both sorted by (distance, id) per row like every
+    alpha_prune caller already sorts. Returns one add-ordered int64
+    adjacency per node."""
+    m, P = pools.shape
+    if m == 0 or P == 0 or not (1.0 <= alpha + 1e-12):
+        return [np.empty(0, dtype=np.int64) for _ in range(m)]
+    chunk = max(1, _PRUNE_BATCH_CELLS // max(P * P, 1))
+    if m > chunk:
+        out: list[np.ndarray] = []
+        for c0 in range(0, m, chunk):
+            out.extend(
+                alpha_prune_batch(
+                    X, nodes[c0 : c0 + chunk], pools[c0 : c0 + chunk],
+                    pool_d[c0 : c0 + chunk], alpha, max_result, distance,
+                )
+            )
+        return out
+    valid = pools >= 0
+    # pad slots (-1) wrap to the last row — garbage distances, but pads
+    # are never addable and only ever appear as (harmless) kill victims
+    V = X[pools]  # (m, P, d)
+    # batched BLAS (matmul handles the transposed view natively — ~10x
+    # over c_einsum for this contraction); the pairwise formulas match
+    # alpha_prune's per-node block
+    IP = np.matmul(V, V.transpose(0, 2, 1))
+    if distance == "l2":
+        sq = IP.diagonal(axis1=1, axis2=2).copy()  # <v,v> for free
+        IP *= -2.0  # in place: IP becomes D, no second (m, P, P) alloc
+        D = IP
+        D += sq[:, :, None]
+        D += sq[:, None, :]
+        np.maximum(D, 0.0, out=D)
+    elif distance == "ip":
+        D = -IP
+    else:  # cosine
+        nrm = np.sqrt(IP.diagonal(axis1=1, axis2=2))
+        denom = nrm[:, :, None] * nrm[:, None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            D = -np.where(denom > 0, IP / denom, 0.0)
+    AVAILABLE, ADDED, PRUNED = 0, 1, 2
+    state = np.zeros((m, P), dtype=np.int8)
+    addable = valid & (pools != nodes[:, None])
+    counts = np.zeros(m, dtype=np.int64)
+    res = np.full((m, max_result), -1, dtype=np.int64)
+    current_alpha = 1.0
+    while True:
+        for p in range(P):
+            sel = (state[:, p] == AVAILABLE) & addable[:, p] & (counts < max_result)
+            if not sel.any():
+                continue
+            idx = np.nonzero(sel)[0]
+            res[idx, counts[idx]] = pools[idx, p]
+            counts[idx] += 1
+            state[idx, p] = ADDED
+            st = state[idx]
+            kill = (current_alpha * D[idx, p] < pool_d[idx]) & (st == AVAILABLE)
+            kill[:, : p + 1] = False
+            st[kill] = PRUNED
+            state[idx] = st
+        if alpha == 1.0:
+            break
+        current_alpha *= alpha
+        if not ((counts < max_result).any() and current_alpha <= alpha + 1e-12):
+            break
+        state[state == PRUNED] = AVAILABLE
+    return [res[i, : counts[i]] for i in range(m)]
+
+
+def _pool_dists(
+    X: np.ndarray, nodes: np.ndarray, pools: np.ndarray, distance: str
+) -> np.ndarray:
+    """(m, P) distances of X[nodes[i]] to X[pools[i, j]] in one batched
+    einsum — the multi-node analog of :func:`_dists`; pad slots
+    (pools < 0) come back +inf so they sort last."""
+    V = X[np.maximum(pools, 0)]  # (m, P, d)
+    Qn = X[nodes]  # (m, d)
+    QD = np.einsum("mpd,md->mp", V, Qn)
+    if distance == "l2":
+        v_sq = np.einsum("mpd,mpd->mp", V, V)
+        q_sq = np.einsum("md,md->m", Qn, Qn)
+        out = np.maximum(v_sq + q_sq[:, None] - 2.0 * QD, 0.0)
+    elif distance == "ip":
+        out = -QD
+    else:  # cosine
+        qn = np.sqrt(np.einsum("md,md->m", Qn, Qn))
+        vn = np.sqrt(np.einsum("mpd,mpd->mp", V, V))
+        denom = qn[:, None] * vn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = -np.where(denom > 0, QD / denom, 0.0)
+    return np.where(pools >= 0, out, np.inf)
+
+
+def _node_pool(
     X: np.ndarray,
     graph: list[np.ndarray],
     node: int,
@@ -462,11 +603,12 @@ def _generate_one(
     ds: np.ndarray,
     params: VamanaParams,
     distance: str,
-) -> tuple[int, np.ndarray]:
-    """Per-node tail of generate_neighbors (vamana_build.h:424-441):
-    merge the search pool with the node's current neighbors, then
-    alpha-prune. ``ids``/``ds`` are one (possibly padded) row of the
-    batch search buffer."""
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-node pool assembly of generate_neighbors (vamana_build.h:
+    424-441): merge the search pool with the node's current neighbors,
+    sort by (distance, id), cap at max_candidate_pool_size. ``ids``/
+    ``ds`` are one (possibly padded) row of the batch search buffer;
+    the prune itself runs batched (:func:`alpha_prune_batch`)."""
     m = ids >= 0
     pool_ids, pool_d = ids[m], ds[m]
     extra = [int(v) for v in graph[node] if int(v) not in set(int(i) for i in pool_ids)]
@@ -476,11 +618,7 @@ def _generate_one(
         pool_ids = np.concatenate([pool_ids, ea])
         pool_d = np.concatenate([pool_d, ed])
     order = np.lexsort((pool_ids, pool_d))[: params.max_candidate_pool_size]
-    pool_ids, pool_d = pool_ids[order], pool_d[order]
-    new_adj = alpha_prune(
-        X, node, pool_ids, pool_d, params.alpha, params.graph_max_degree, distance
-    )
-    return node, new_adj
+    return pool_ids[order], pool_d[order]
 
 
 def _link_nodes(
@@ -525,49 +663,89 @@ def _link_nodes(
             # final buffer (vamana_build.h:353 OptionalTracker,
             # reference default use_full_search_history=true)
             bids, bds, (offs, vids, vds) = out
-            updates.extend(
-                _generate_one(
+            pools = [
+                _node_pool(
                     X, graph, int(node),
-                    vids[offs[j]:offs[j + 1]],
-                    vds[offs[j]:offs[j + 1]],
+                    vids[offs[j]:offs[j + 1]], vds[offs[j]:offs[j + 1]],
                     params, distance,
                 )
                 for j, node in enumerate(chunk)
-            )
+            ]
         else:
             bids, bds = out
-            updates.extend(
-                _generate_one(X, graph, int(node), bids[j], bds[j], params, distance)
+            pools = [
+                _node_pool(X, graph, int(node), bids[j], bds[j], params, distance)
                 for j, node in enumerate(chunk)
-            )
+            ]
+        # one lockstep prune for the whole chunk instead of one Python
+        # state machine per node (the profiled build hot spot)
+        pw = max(len(p) for p, _ in pools)
+        pids = np.full((len(pools), pw), -1, dtype=np.int64)
+        pds = np.full((len(pools), pw), np.inf, dtype=np.float64)
+        for j, (pi, pd) in enumerate(pools):
+            pids[j, : len(pi)] = pi
+            pds[j, : len(pi)] = pd
+        adjs = alpha_prune_batch(
+            X, chunk.astype(np.int64), pids, pds,
+            params.alpha, params.graph_max_degree, distance,
+        )
+        updates.extend(zip((int(v) for v in chunk), adjs))
     for node, adj in updates:
         graph[node] = adj
 
     # add_reverse_edges (vamana_build.h:483-560). The adjacency is a
     # SET: a backedge that already exists is a no-op (graph_.add_edge
     # set semantics) — short-circuiting it avoids a pointless
-    # re-prune of a full node that gained nothing
-    overfull: dict[int, list[int]] = {}
-    for node in nodes:
-        node = int(node)
-        for other in graph[node]:
-            other = int(other)
-            adj = graph[other]
-            if node in adj:
-                continue
-            if len(adj) < deg:
-                graph[other] = np.append(adj, np.int64(node))
-            else:
-                overfull.setdefault(other, []).append(node)
-    for other, extras in overfull.items():
-        cand = np.unique(np.concatenate([graph[other], np.asarray(extras, dtype=np.int64)]))
-        cand = cand[cand != other]
-        cd = _dists(X, X[other], cand, distance)
-        order = np.lexsort((cand, cd))
-        pruned = alpha_prune(
-            X, other, cand[order], cd[order], params.alpha, params.prune_target, distance
-        )
-        graph[other] = pruned
+    # re-prune of a full node that gained nothing. Vectorized: since
+    # every backedge added this phase points at a DIFFERENT batch node
+    # and (dst, src) pairs are unique, membership tests depend only on
+    # the pre-phase adjacency, and an overfull node's candidate set
+    # (its adjacency at re-prune time ∪ its overflow backedges) equals
+    # pre-phase adjacency ∪ ALL its new backedges regardless of how
+    # many were appended before it overflowed.
+    srcs = np.fromiter((int(v) for v in nodes), dtype=np.int64, count=len(nodes))
+    out_lens = np.fromiter((len(graph[s]) for s in srcs), dtype=np.int64, count=len(srcs))
+    if out_lens.sum():
+        pair_src = np.repeat(srcs, out_lens)
+        pair_dst = np.concatenate([graph[s] for s in srcs if len(graph[s])])
+        NB2, _ = _pad_graph(graph)
+        present = (NB2[pair_dst] == pair_src[:, None]).any(axis=1)
+        pair_src, pair_dst = pair_src[~present], pair_dst[~present]
+        if len(pair_dst):
+            # stable sort groups pairs by dst, preserving batch order
+            # of sources within each dst (the sequential append order)
+            order = np.argsort(pair_dst, kind="stable")
+            pair_src, pair_dst = pair_src[order], pair_dst[order]
+            dsts, starts = np.unique(pair_dst, return_index=True)
+            bounds = np.append(starts, len(pair_dst))
+            over_nodes: list[int] = []
+            over_cands: list[np.ndarray] = []
+            for i, dst in enumerate(dsts):
+                dst = int(dst)
+                news = pair_src[bounds[i] : bounds[i + 1]]
+                adj = graph[dst]
+                if len(adj) + len(news) <= deg:
+                    graph[dst] = np.concatenate([adj, news])
+                else:
+                    cand = np.unique(np.concatenate([adj, news]))
+                    over_nodes.append(dst)
+                    over_cands.append(cand[cand != dst])
+            if over_nodes:
+                ow = max(len(c) for c in over_cands)
+                onodes = np.asarray(over_nodes, dtype=np.int64)
+                ocand = np.full((len(over_nodes), ow), -1, dtype=np.int64)
+                for i, c in enumerate(over_cands):
+                    ocand[i, : len(c)] = c
+                # distances dst -> candidates, one batched einsum
+                od = _pool_dists(X, onodes, ocand, distance)
+                oorder = np.lexsort((ocand, od), axis=-1)
+                ocand = np.take_along_axis(ocand, oorder, axis=-1)
+                od = np.take_along_axis(od, oorder, axis=-1)
+                pruned = alpha_prune_batch(
+                    X, onodes, ocand, od, params.alpha, params.prune_target, distance
+                )
+                for dst, adj in zip(over_nodes, pruned):
+                    graph[dst] = adj
 
 
 def build_graph(

@@ -110,3 +110,62 @@ def test_sq_compress_bound_property(seed):
     q = np.clip(np.floor((xs - p.bias) / p.scale + 0.5), -128, 127)
     back = p.scale * q + p.bias
     assert np.max(np.abs(back - xs)) <= p.scale / 2 + 1e-9
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 2**32),
+    st.floats(1.0, 1.5),
+    st.integers(1, 16),
+    st.integers(2, 30),
+    st.integers(1, 12),
+)
+def test_alpha_prune_batch_equals_sequential(seed, alpha, max_result, pool_sz, m):
+    """The lockstep-batched prune is node-for-node the sequential state
+    machine: same adds in the same order, for every node in the batch
+    (prune.h:92-172 semantics; the batch form is the build hot path)."""
+    from scalablevectorsearch_spark.operators.vamana_local import alpha_prune_batch
+
+    rng = np.random.default_rng(seed)
+    n = 60
+    X = rng.normal(size=(n, 6))
+    nodes = rng.choice(n, size=m, replace=False).astype(np.int64)
+    pools = np.full((m, pool_sz), -1, dtype=np.int64)
+    pool_d = np.full((m, pool_sz), np.inf, dtype=np.float64)
+    lens = rng.integers(1, pool_sz + 1, size=m)
+    for i in range(m):
+        cand = rng.choice(n, size=lens[i], replace=False).astype(np.int64)
+        d = ((X[cand] - X[nodes[i]]) ** 2).sum(axis=1)
+        o = np.lexsort((cand, d))
+        pools[i, : lens[i]] = cand[o]
+        pool_d[i, : lens[i]] = d[o]
+    got = alpha_prune_batch(X, nodes, pools, pool_d, alpha, max_result)
+    for i in range(m):
+        exp = alpha_prune(
+            X, int(nodes[i]), pools[i, : lens[i]], pool_d[i, : lens[i]],
+            alpha, max_result,
+        )
+        assert np.array_equal(got[i], exp), f"node row {i}"
+
+
+def test_alpha_prune_batch_duplicate_points():
+    """Exact duplicates (distance-0 ties) take the tie paths in both
+    implementations; results must still agree node-for-node."""
+    from scalablevectorsearch_spark.operators.vamana_local import alpha_prune_batch
+
+    rng = np.random.default_rng(7)
+    X = np.repeat(rng.normal(size=(10, 4)), 3, axis=0)  # 30 rows, triplets
+    nodes = np.arange(6, dtype=np.int64)
+    P = 20
+    pools = np.full((6, P), -1, dtype=np.int64)
+    pool_d = np.full((6, P), np.inf, dtype=np.float64)
+    for i, node in enumerate(nodes):
+        cand = np.array([c for c in range(30) if c != node], dtype=np.int64)[:P]
+        d = ((X[cand] - X[node]) ** 2).sum(axis=1)
+        o = np.lexsort((cand, d))
+        pools[i] = cand[o]
+        pool_d[i] = d[o]
+    got = alpha_prune_batch(X, nodes, pools, pool_d, 1.2, 8)
+    for i, node in enumerate(nodes):
+        exp = alpha_prune(X, int(node), pools[i], pool_d[i], 1.2, 8)
+        assert np.array_equal(got[i], exp)
