@@ -1,0 +1,111 @@
+"""Reference-API façade (scalablevectorsearch_spark/api.py): the
+``svs.*`` orchestrator surface a reference user ports to — numpy in,
+(I, D) numpy out, name-for-name classes. Parity:
+bindings/python/src/svs/__init__.py, orchestrators/{vamana,
+dynamic_vamana,flat,ivf}.h, examples/python/example_vamana*.py."""
+
+import numpy as np
+import pytest
+
+from scalablevectorsearch_spark import api as svs
+
+
+@pytest.fixture(scope="module")
+def dataset(spark):
+    rng = np.random.default_rng(11)
+    X = rng.standard_normal((600, 16)).astype(np.float32)
+    Q = X[:20]
+    # brute-force l2 groundtruth
+    D = ((Q[:, None, :].astype(np.float64) - X[None].astype(np.float64)) ** 2).sum(-1)
+    order = np.lexsort((np.broadcast_to(np.arange(600), D.shape), D), axis=1)
+    return X, Q, order[:, :10]
+
+
+def test_flat_search_numpy_shape(spark, dataset):
+    X, Q, gt = dataset
+    index = svs.Flat(X, distance=svs.DistanceType.L2)
+    assert index.size == 600 and index.dimensions == 16
+    I, D = index.search(Q, 10)
+    assert I.shape == (20, 10) and D.shape == (20, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) == 1.0  # exact scan
+    assert (np.diff(D, axis=1) >= 0).all()  # sorted per query
+
+
+def test_vamana_build_search_save_load(spark, dataset, tmp_path):
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    index = svs.Vamana.build(params, X, svs.DistanceType.L2, num_threads=4,
+                             n_shards=4)
+    index.search_window_size = 40
+    I, D = index.search(Q, 10)
+    rec = svs.k_recall_at(gt, I, 10, 10)
+    assert rec >= 0.9
+    # reference 3-dir save signature; standalone copies must be loadable
+    cfg, g, d = str(tmp_path / "cfg"), str(tmp_path / "graph"), str(tmp_path / "data")
+    index.save(cfg, g, d)
+    loaded = svs.Vamana(
+        cfg, svs.GraphLoader(g),
+        svs.VectorDataLoader(d, svs.DataType.float32, dims=16),
+        svs.DistanceType.L2,
+    )
+    loaded.search_window_size = 40
+    I2, _ = loaded.search(Q, 10)
+    assert np.array_equal(I, I2)
+
+
+def test_vamana_batch_iterator_and_calibrate(spark, dataset):
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    index = svs.Vamana.build(params, X, svs.DistanceType.L2, n_shards=4)
+    index.search_window_size = 64
+    it = index.batch_iterator(Q, batch_size=5)
+    p1 = it.next_batch().toPandas()
+    p2 = it.next_batch().toPandas()
+    assert set(p1["rank"]) == set(range(1, 6))
+    assert set(p2["rank"]) == set(range(6, 11))
+    w = index.experimental_calibrate(Q, gt, k=10, target_recall=0.9)
+    assert w == index.search_window_size
+    I, _ = index.search(Q, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.9
+
+
+def test_dynamic_vamana_chain(spark, dataset):
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    n = 500
+    dyn = svs.DynamicVamana.build(params, X[:n], np.arange(n), svs.DistanceType.L2,
+                                  n_shards=4)
+    dyn.add(X[n:], np.arange(n, 600))
+    dyn.delete(np.arange(50))
+    dyn.search_window_size = 64
+    I, _ = dyn.search(Q, 10)
+    assert not (I < 50).any()  # tombstoned ids never returned
+    dyn.consolidate().compact(1000)
+    live = dyn.all_ids()
+    assert len(live) == 550
+    assert np.array_equal(live, np.arange(550))  # compact = dense remap
+    I2, _ = dyn.search(Q, 10)
+    assert I2.shape == (20, 10)
+
+
+def test_ivf_clustering_assemble(spark, dataset):
+    X, Q, gt = dataset
+    bp = svs.IVFBuildParameters(num_centroids=8, max_iterations=2)
+    clustering = svs.Clustering.build(bp, X, svs.DistanceType.L2)
+    index = svs.IVF.assemble_from_clustering(clustering, X, svs.DistanceType.L2)
+    assert index.size == 600
+    index.search_parameters = svs.IVFSearchParameters(n_probes=8)  # all cells
+    I, D = index.search(Q, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) == 1.0  # full probe = exact
+    index.search_parameters = svs.IVFSearchParameters(n_probes=2)
+    I3, _ = index.search(Q, 10)
+    assert svs.k_recall_at(gt, I3, 10, 10) >= 0.5
+
+
+def test_vector_data_loader_rejects_bad_dims(spark, dataset, tmp_path):
+    X, _, _ = dataset
+    path = str(tmp_path / "data.fvecs")
+    svs.write_vecs(path, X)
+    assert np.allclose(svs.read_vecs(path), X)
+    with pytest.raises(Exception):
+        svs.VectorDataLoader(path, svs.DataType.float32, dims=99).load(spark)
