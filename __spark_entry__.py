@@ -1556,6 +1556,22 @@ def _alpha_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _api_facade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orchestrator-façade gate (api.py — the reference's svs.* user
+    surface, orchestrators/exhaustive.h + manager.h py_search): a
+    search routed through svs.Flat must hash-match the plain flat SQL
+    oracle — proving the façade is a naming shim over the gated engine,
+    not a second code path."""
+    from scalablevectorsearch_spark import api as svs
+
+    index = svs.Flat(_base(spark, sf_dir).select("id", "vector"),
+                     distance=svs.DistanceType.L2)
+    res = index.search(_queries_df(spark, sf_dir), k=K, round_to=4)
+    return res.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "flat_knn_l2": _knn_query("l2"),
@@ -1624,6 +1640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_loader": _graph_loader_query,
         "query_norm_fix": _query_norm_fix_query,
         "alpha_prune_invariants": _alpha_prune_query,
+        "api_facade_knn": _api_facade_query,
     }
 
 
@@ -1747,4 +1764,5 @@ def oracle_sql() -> dict[str, str]:
         "alpha_prune_invariants": oracles.alpha_prune_verdict_sql(
             AP_NODES, int(AP_ALPHA * 10000), AP_DEG
         ),
+        "api_facade_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
     }

@@ -198,11 +198,11 @@ class Flat:
     def dimensions(self) -> int:
         return len(self.data.select("vector").first()["vector"])
 
-    def search(self, queries, k: int):
+    def search(self, queries, k: int, **kw):
         from scalablevectorsearch_spark.operators.flat import flat_knn
 
         qdf, nq = _queries_df(queries, self.spark)
-        res = flat_knn(self.data, qdf, k=k, distance=self.distance)
+        res = flat_knn(self.data, qdf, k=k, distance=self.distance, **kw)
         return _to_numpy(res, nq, k) if nq is not None else res
 
 
