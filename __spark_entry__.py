@@ -1556,6 +1556,93 @@ def _alpha_prune_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+LVQ_RT_IDS = 50
+LVQ_RE_K = 30
+
+
+def _lvq_params(spark: SparkSession, sf_dir: str, pb: int, rb: int):
+    from scalablevectorsearch_spark.operators.lvq import lvq_train
+
+    return lvq_train(
+        _base(spark, sf_dir).select("id", "vector"),
+        primary_bits=pb, residual_bits=rb,
+    )
+
+
+def _lvq_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LVQ compress -> decompress gate (LVQ4x8: nibble-packed primary
+    + byte residual, api_defs.h:98-109 storage kinds): both
+    reconstruction levels exploded per component, hash-matched against
+    the DuckDB replica of the published per-vector scheme
+    (operators/lvq.py module docstring)."""
+    from scalablevectorsearch_spark.operators.lvq import lvq_compress, lvq_decompress
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    p = _lvq_params(spark, sf_dir, 4, 8)
+    comp = lvq_compress(base.filter(F.col("id") < LVQ_RT_IDS), p)
+    dec = lvq_decompress(comp, p, out_col="__r1", level=1)
+    dec = lvq_decompress(dec, p, out_col="__r2", level=2)
+    return dec.select(
+        "id",
+        F.posexplode(F.arrays_zip("__r1", "__r2")).alias("pos", "__z"),
+    ).select(
+        "id", "pos",
+        E4("__z.__r1").alias("r1_e4"),
+        E4("__z.__r2").alias("r2_e4"),
+    )
+
+
+def _lvq_knn_query(distance: str):
+    """One-level LVQ8 flat k-NN (asymmetric: fp query vs primary
+    reconstruction), full SQL oracle."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from scalablevectorsearch_spark.operators.lvq import lvq_knn
+
+        base = _base(spark, sf_dir).select("id", "vector")
+        p = _lvq_params(spark, sf_dir, 8, 0)
+        res = lvq_knn(base, _queries_df(spark, sf_dir), p, k=K, distance=distance, round_to=4)
+        return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+    return run
+
+
+def _lvq4x8_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level LVQ4x8 k-NN with re-rank: candidates from the packed
+    4-bit primary, refined on the +8-bit-residual reconstruction
+    (the reference's LVQ rerank stage); the persisted storage table
+    (ARRAY<TINYINT> nibble codes) feeds the scan directly."""
+    from scalablevectorsearch_spark.operators.lvq import lvq_compress, lvq_knn
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    p = _lvq_params(spark, sf_dir, 4, 8)
+    storage = lvq_compress(base, p).select(
+        "id", "lvq_codes", "lvq_lo", "lvq_step", "lvq_rcodes"
+    )
+    res = lvq_knn(
+        storage, _queries_df(spark, sf_dir), p, k=K, distance="l2",
+        round_to=4, k_reorder=LVQ_RE_K, base_compressed=True,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _lvq_vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metamorphic gate for LVQ inside Vamana (svs.Vamana.build over
+    an LVQLoader, vamana_with_compression_lvq.py:80-87): graph build +
+    exhaustive-window greedy search over the LVQ8 reconstruction must
+    reproduce the flat LVQ scan — whose DuckDB oracle is exact."""
+    from scalablevectorsearch_spark.operators.lvq import (
+        lvq_vamana_build,
+        lvq_vamana_search,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    p = _lvq_params(spark, sf_dir, 8, 0)
+    idx = lvq_vamana_build(base, p, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = lvq_vamana_search(idx, _queries_df(spark, sf_dir), k=K, search_window_size=4096)
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _api_facade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orchestrator-façade gate (api.py — the reference's svs.* user
     surface, orchestrators/exhaustive.h + manager.h py_search): a
@@ -1641,6 +1728,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "query_norm_fix": _query_norm_fix_query,
         "alpha_prune_invariants": _alpha_prune_query,
         "api_facade_knn": _api_facade_query,
+        "lvq_roundtrip": _lvq_roundtrip_query,
+        "lvq_knn_l2": _lvq_knn_query("l2"),
+        "lvq_knn_cosine": _lvq_knn_query("cosine"),
+        "lvq4x8_knn": _lvq4x8_knn_query,
+        "lvq_vamana_knn": _lvq_vamana_knn_query,
     }
 
 
@@ -1765,4 +1857,10 @@ def oracle_sql() -> dict[str, str]:
             AP_NODES, int(AP_ALPHA * 10000), AP_DEG
         ),
         "api_facade_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
+        "lvq_roundtrip": oracles.lvq_roundtrip_sql(LVQ_RT_IDS, 4, 8),
+        "lvq_knn_l2": oracles.lvq_knn_sql("l2", K, N_QUERIES, 8),
+        "lvq_knn_cosine": oracles.lvq_knn_sql("cosine", K, N_QUERIES, 8),
+        "lvq4x8_knn": oracles.lvq_knn_sql("l2", K, N_QUERIES, 4, 8, LVQ_RE_K),
+        # exhaustive-window LVQ-graph search degenerates to the flat LVQ scan
+        "lvq_vamana_knn": oracles.lvq_knn_sql("l2", K, N_QUERIES, 8),
     }

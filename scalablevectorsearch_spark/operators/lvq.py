@@ -1,0 +1,409 @@
+"""LVQ — Locally-adaptive Vector Quantization (per-vector scalar
+quantization with an optional residual level).
+
+Parity: the reference's LVQ dataset family — storage kinds LVQ4x0 /
+LVQ8x0 / LVQ4x4 / LVQ4x8 (/root/reference/bindings/cpp/include/svs/
+runtime/api_defs.h:98-109), the `svs.LVQLoader(primary=, residual=)`
+user surface (/root/reference/examples/python/
+vamana_with_compression_lvq.py:63-71), and the persisted
+primary_bits/residual_bits/strategy config (/root/reference/include/
+svs/index/ivf/data_traits.h:36-56). The compression scheme itself is
+published (Aguerrebere et al., "Similarity search in the blink of an
+eye with compressed indices", VLDB 2023): remove the dataset mean,
+then quantize each vector with its OWN min/max range —
+per-vector adaptivity is what lets 4-8 bits/component work where a
+global scalar quantizer (operators/sq.py) needs the full dataset
+range. The reference's "sequential"/"turbo" strategies are SIMD
+register layouts with no DataFrame analog — dropped, as documented
+in COVERAGE.md.
+
+Scheme (all arithmetic float64, round-half-up, identical in Spark and
+the DuckDB oracles):
+
+  mu        = dataset mean (canonical: rounded 1e-6, the kmeans
+              determinism protocol)
+  x'        = x - mu                        (centered)
+  lo, hi    = min(x'), max(x')              (PER VECTOR)
+  step      = (hi - lo) / (2^B1 - 1)
+  code c    = clamp(floor((x' - lo)/step + 0.5), 0, 2^B1 - 1)
+  recon1    = (mu + lo) + step * c          (primary reconstruction)
+
+  residual level (LVQ B1 x B2): the primary rounding error lies in
+  [-step/2, step/2]; quantize it uniformly with B2 bits:
+  r         = x' - (lo + step * c)
+  step2     = step / (2^B2 - 1)
+  rcode c2  = clamp(floor((r + step/2)/step2 + 0.5), 0, 2^B2 - 1)
+  recon2    = recon1 + (step2 * c2 - step/2)
+
+Spark shape (scale-first):
+ - TRAIN is one scan (posexplode + avg) for the mean.
+ - COMPRESS is pure Catalyst: zip_with/transform expressions, JVM
+   codegen, no Python. Storage is ARRAY<TINYINT> codes — 1 byte per
+   component at B=8, HALF a byte at B=4 (two codes nibble-packed per
+   byte) — plus two per-row doubles (lo, step). That is the 4-8x scan
+   bandwidth reduction that motivates LVQ at 100 TB.
+ - SEARCH decompresses IN-PLAN (Catalyst transform over the code
+   arrays — whole-stage codegen) and reuses the gated flat/Vamana
+   engines; the query stays full precision (the reference's
+   asymmetric LVQ distances). Two-level search is
+   candidate-generation on the primary + exact re-rank on the
+   two-level reconstruction (the k_reorder pattern of
+   operators/ivf.py; the reference reranks LVQ results the same way —
+   vamana/extensions.h:456-457 notes cancel "skips reranking" for
+   lvq).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.functions.distances import is_similarity
+
+
+@dataclass(frozen=True)
+class LVQParams:
+    """Persisted LVQ configuration (data_traits.h DataTypeConfig:
+    primary_bits / residual_bits + the centering vector)."""
+
+    mean: tuple  # canonical (1e-6-rounded) dataset mean, length dims
+    dims: int
+    primary_bits: int
+    residual_bits: int = 0
+
+    def __post_init__(self):
+        if self.primary_bits not in (4, 8):
+            raise ValueError(f"primary_bits must be 4 or 8, got {self.primary_bits}")
+        if self.residual_bits not in (0, 4, 8):
+            raise ValueError(f"residual_bits must be 0, 4 or 8, got {self.residual_bits}")
+        if len(self.mean) != self.dims:
+            raise ValueError(f"mean has {len(self.mean)} dims, expected {self.dims}")
+
+    @property
+    def levels1(self) -> int:
+        return (1 << self.primary_bits) - 1
+
+    @property
+    def levels2(self) -> int:
+        return (1 << self.residual_bits) - 1
+
+
+def lvq_train(
+    df: DataFrame,
+    vec_col: str = "vector",
+    primary_bits: int = 8,
+    residual_bits: int = 0,
+    round_decimals: int = 6,
+) -> LVQParams:
+    """Dataset mean -> LVQParams. One scan, built-in aggregates; the
+    mean is rounded half-up at 1e-6 so Spark and the DuckDB oracle
+    share one canonical value (the kmeans.py determinism protocol —
+    per-vector lo/step/codes then derive exactly on both engines)."""
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty dataset")
+    s = float(10**round_decimals)
+    import math
+
+    mean = [0.0] * len(rows)
+    for r in rows:
+        mean[r["pos"]] = math.floor(r["m"] * s + 0.5) / s
+    return LVQParams(
+        mean=tuple(mean), dims=len(mean),
+        primary_bits=primary_bits, residual_bits=residual_bits,
+    )
+
+
+def _mu_col(params: LVQParams) -> Column:
+    return F.array(*[F.lit(float(m)) for m in params.mean])
+
+
+def _clamp_code(x: Column, levels: int) -> Column:
+    return F.greatest(F.lit(0.0), F.least(F.lit(float(levels)), x))
+
+
+def _pack(codes: Column, bits: int) -> Column:
+    """Integral double codes -> ARRAY<TINYINT> storage. B=8: one code
+    per byte, centered (c - 128). B=4: two codes per byte
+    (hi nibble = even index, lo nibble = odd; odd dims zero-pad),
+    centered. Centering keeps the full 0..255 byte range inside the
+    signed TINYINT domain."""
+    if bits == 8:
+        return F.transform(codes, lambda c: (c - F.lit(128.0)).cast("tinyint"))
+    n_pairs = F.ceil(F.size(codes) / F.lit(2)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_pairs - F.lit(1)),
+        lambda i: (
+            F.element_at(codes, i * 2 + 1) * F.lit(16.0)
+            + F.coalesce(F.try_element_at(codes, i * 2 + 2), F.lit(0.0))
+            - F.lit(128.0)
+        ).cast("tinyint"),
+    )
+
+
+def _unpack(stored: Column, bits: int, dims: int) -> Column:
+    """ARRAY<TINYINT> storage -> integral double codes (0..2^B-1)."""
+    if bits == 8:
+        return F.transform(stored, lambda b: b.cast("double") + F.lit(128.0))
+    nibbles = F.flatten(
+        F.transform(
+            stored,
+            lambda b: F.array(
+                F.floor((b.cast("double") + F.lit(128.0)) / F.lit(16.0)).cast("double"),
+                F.pmod(b.cast("double") + F.lit(128.0), F.lit(16.0)),
+            ),
+        )
+    )
+    return F.slice(nibbles, 1, dims)
+
+
+def lvq_compress(
+    df: DataFrame,
+    params: LVQParams,
+    vec_col: str = "vector",
+    prefix: str = "lvq_",
+) -> DataFrame:
+    """Add LVQ storage columns: ``{prefix}codes`` ARRAY<TINYINT>
+    (nibble-packed at B1=4), ``{prefix}lo`` / ``{prefix}step`` DOUBLE,
+    and ``{prefix}rcodes`` when the params carry a residual level.
+    Pure Catalyst — no Python row path."""
+    mu = _mu_col(params)
+    xp = F.zip_with(F.col(vec_col), mu, lambda x, m: x.cast("double") - m)
+    df = df.withColumn("__xp", xp)
+    lo = F.array_min("__xp")
+    hi = F.array_max("__xp")
+    step = (hi - lo) / F.lit(float(params.levels1))
+    df = df.withColumn(f"{prefix}lo", lo).withColumn(f"{prefix}step", step)
+    stepc = F.col(f"{prefix}step")
+    codes = F.transform(
+        F.col("__xp"),
+        lambda x: F.when(stepc == 0.0, F.lit(0.0)).otherwise(
+            _clamp_code(
+                F.floor((x - F.col(f"{prefix}lo")) / stepc + F.lit(0.5)).cast("double"),
+                params.levels1,
+            )
+        ),
+    )
+    df = df.withColumn("__c1", codes)
+    if params.residual_bits:
+        step2 = stepc / F.lit(float(params.levels2))
+        r = F.zip_with(
+            F.col("__xp"),
+            F.col("__c1"),
+            lambda x, c: x - (F.col(f"{prefix}lo") + stepc * c),
+        )
+        rcodes = F.transform(
+            r,
+            lambda ri: F.when(stepc == 0.0, F.lit(0.0)).otherwise(
+                _clamp_code(
+                    F.floor((ri + stepc / F.lit(2.0)) / step2 + F.lit(0.5)).cast(
+                        "double"
+                    ),
+                    params.levels2,
+                )
+            ),
+        )
+        df = df.withColumn(f"{prefix}rcodes", _pack(rcodes, params.residual_bits))
+    df = df.withColumn(f"{prefix}codes", _pack(F.col("__c1"), params.primary_bits))
+    return df.drop("__xp", "__c1")
+
+
+def lvq_decompress(
+    df: DataFrame,
+    params: LVQParams,
+    prefix: str = "lvq_",
+    out_col: str = "vector",
+    level: int = 1,
+) -> DataFrame:
+    """Reconstruct from LVQ storage. ``level=1``: primary only
+    (recon1 = (mu + lo) + step*c). ``level=2``: adds the residual
+    correction (recon2 = recon1 + (step2*c2 - step/2)). Catalyst
+    expressions; identical formulas in the DuckDB oracles."""
+    if level not in (1, 2):
+        raise ValueError(f"level must be 1 or 2, got {level}")
+    if level == 2 and not params.residual_bits:
+        raise ValueError("level=2 requires residual_bits > 0")
+    mu = _mu_col(params)
+    lo = F.col(f"{prefix}lo")
+    step = F.col(f"{prefix}step")
+    c1 = _unpack(F.col(f"{prefix}codes"), params.primary_bits, params.dims)
+    recon = F.zip_with(c1, mu, lambda c, m: (m + lo) + step * c)
+    if level == 2:
+        step2 = step / F.lit(float(params.levels2))
+        c2 = _unpack(F.col(f"{prefix}rcodes"), params.residual_bits, params.dims)
+        recon = F.zip_with(recon, c2, lambda v, c: v + (step2 * c - step / F.lit(2.0)))
+    return df.withColumn(out_col, recon)
+
+
+def lvq_knn(
+    base: DataFrame,
+    queries: DataFrame,
+    params: LVQParams,
+    k: int,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    qid_col: str = "qid",
+    qvec_col: str | None = None,
+    round_to: int | None = 4,
+    k_reorder: int | None = None,
+    base_compressed: bool = False,
+) -> DataFrame:
+    """k-NN over LVQ storage (asymmetric: full-precision query vs the
+    reconstruction — the reference's LVQ distance semantics).
+
+    One-level (residual_bits=0 or k_reorder=None): rank on primary
+    reconstruction distances. Two-level with ``k_reorder``: the top
+    k_reorder primary candidates re-rank on the two-level
+    reconstruction (data_traits.h primary/residual; the k_reorder
+    pattern of common.h:156) and the emitted distance is the refined
+    value.
+
+    ``base_compressed=True``: ``base`` already carries the
+    ``lvq_*`` storage columns (the persisted compressed table — the
+    scan reads codes at 1 or 0.5 bytes/component instead of float32,
+    which is the point at 100 TB).
+    """
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    qvec_col = qvec_col or vec_col
+    comp = base if base_compressed else lvq_compress(base, params, vec_col)
+    recon1 = lvq_decompress(comp, params, out_col="__rv", level=1).select(
+        F.col(id_col).cast("long").alias("id"), F.col("__rv").alias("vector")
+    )
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("vector"))
+    if k_reorder is None or not params.residual_bits:
+        return flat_knn(recon1, q, k=k, distance=distance, round_to=round_to)
+    if k_reorder < k:
+        raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
+    cands = flat_knn(recon1, q, k=k_reorder, distance=distance, round_to=round_to)
+    recon2 = lvq_decompress(comp, params, out_col="__rv", level=2).select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col("__rv").alias("__bv")
+    )
+    return _rerank_reconstruction(cands, recon2, q, k, distance, round_to)
+
+
+def _rerank_reconstruction(
+    cands: DataFrame,
+    recon: DataFrame,
+    q: DataFrame,
+    k: int,
+    distance: str,
+    round_to: int | None,
+) -> DataFrame:
+    """Re-rank a (qid, neighbor_id) candidate set against a
+    reconstruction table: broadcast the Q x k_reorder pair set against
+    the reconstruction scan, recompute the distance as a Catalyst
+    fold, final per-query top-k. No Python row path; the base is
+    scanned once, filtered by the broadcast side."""
+    from scalablevectorsearch_spark.functions.distances import distance_expr
+    from scalablevectorsearch_spark.operators.topk import topk_per_group
+
+    pairs = cands.select("qid", "neighbor_id")
+    joined = recon.join(F.broadcast(pairs), "neighbor_id").join(
+        F.broadcast(q.select("qid", F.col("vector").alias("__qv"))), "qid"
+    )
+    d = distance_expr(F.col("__qv"), F.col("__bv"), distance)
+    if round_to is not None:
+        s = float(10**round_to)
+        d = F.floor(d * F.lit(s) + F.lit(0.5)) / F.lit(s)
+    exact = joined.select("qid", "neighbor_id", d.alias("distance"))
+    return topk_per_group(
+        exact,
+        group_col="qid",
+        order_col="distance",
+        k=k,
+        ascending=not is_similarity(distance),
+        tie_col="neighbor_id",
+    )
+
+
+# ----------------------------------------------- LVQ inside Vamana
+# The reference builds Vamana directly over an LVQ dataset
+# (svs.Vamana.build(parameters, LVQLoader(...), ...) in
+# vamana_with_compression_lvq.py:80-87). Spark shape: compress once,
+# build the SAME sharded Vamana operator over the primary
+# reconstruction (per-vector scales make code-domain ranking differ
+# from corrected ranking, so — like the SQ cosine path — the graph
+# sees exactly the lossy values the search will see). The durable
+# compressed table (ARRAY<TINYINT> codes) is the storage artifact;
+# the index layout caches the reconstruction like index.h's
+# materialized data_ copy.
+
+
+def lvq_vamana_build(
+    base: DataFrame,
+    params: LVQParams,
+    vamana_params=None,
+    n_shards: int = 8,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    base_compressed: bool = False,
+    **build_kw,
+):
+    """Build a Vamana graph over the LVQ primary reconstruction.
+    Extra kwargs (shard_by/closure_bp/...) pass through to
+    ``vamana_build`` — LVQ composes with cluster sharding, closure
+    replication, and epsilon probing like every other storage kind."""
+    from scalablevectorsearch_spark.operators.vamana import vamana_build
+
+    comp = base if base_compressed else lvq_compress(base, params, vec_col)
+    recon1 = lvq_decompress(comp, params, out_col="__rv", level=1).select(
+        F.col(id_col).alias(id_col), F.col("__rv").alias(vec_col)
+    )
+    idx = vamana_build(
+        recon1, vamana_params, n_shards=n_shards, distance=distance,
+        id_col=id_col, vec_col=vec_col, **build_kw,
+    )
+    idx.lvq_params = params
+    return idx
+
+
+def lvq_vamana_search(
+    index,
+    queries: DataFrame,
+    k: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vector",
+    round_to: int | None = 4,
+    k_reorder: int | None = None,
+    compressed: DataFrame | None = None,
+    **search_kw,
+) -> DataFrame:
+    """Graph search over an LVQ Vamana index (query full precision —
+    the layout already holds the primary reconstruction). With
+    ``k_reorder`` + ``compressed`` (the lvq_* storage table), the top
+    k_reorder graph candidates re-rank on the two-level
+    reconstruction. With an exhaustive window the one-level result
+    EQUALS lvq_knn's, which is the metamorphic gate."""
+    from scalablevectorsearch_spark.operators.vamana import vamana_search
+
+    params = getattr(index, "lvq_params", None)
+    if params is None:
+        raise ValueError("index was not built with lvq_vamana_build")
+    q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias(index.vec_col))
+    k_cand = k if k_reorder is None else max(k, k_reorder)
+    res = vamana_search(
+        index, q, k_cand, qid_col="qid", qvec_col=index.vec_col,
+        round_to=round_to, **search_kw,
+    )
+    if k_reorder is None:
+        return res
+    if not params.residual_bits:
+        raise ValueError("k_reorder requires residual_bits > 0")
+    if compressed is None:
+        raise ValueError("k_reorder requires the compressed storage table")
+    recon2 = lvq_decompress(compressed, params, out_col="__rv", level=2).select(
+        F.col(index.id_col).cast("long").alias("neighbor_id"),
+        F.col("__rv").alias("__bv"),
+    )
+    qv = q.select("qid", F.col(index.vec_col).alias("vector"))
+    return _rerank_reconstruction(res, recon2, qv, k, index.distance, round_to)

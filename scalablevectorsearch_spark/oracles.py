@@ -1153,3 +1153,102 @@ SELECT n.node, CAST(1 AS BIGINT) AS ok_subset,
        CAST({max_degree} AS BIGINT) AS max_degree
 FROM range(0, {n_nodes}) n(node)
 """.strip()
+
+
+def _lvq_prologue(primary_bits: int, residual_bits: int = 0) -> str:
+    """Shared LVQ CTE chain (see operators/lvq.py for the scheme and
+    determinism protocol): canonical 1e-6-rounded mean, per-vector
+    lo/step, clamped round-half-up codes, primary reconstruction r1;
+    with residual_bits, the residual codes and reconstruction r2."""
+    l1 = float((1 << primary_bits) - 1)
+    body = f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mu0 AS (SELECT pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u
+        GROUP BY pos),
+mu AS (SELECT list(m ORDER BY pos) AS mv FROM mu0),
+cx AS (SELECT vec_id, v,
+              list_transform(range(1, len(v)+1), i -> v[i] - mv[i]) AS xp, mv
+       FROM e CROSS JOIN mu),
+pr AS (SELECT vec_id, v, xp, mv, list_min(xp) AS lo,
+              (list_max(xp) - list_min(xp)) / {l1} AS step
+       FROM cx),
+l1c AS (SELECT vec_id, v, xp, mv, lo, step,
+               list_transform(xp, x -> CASE WHEN step = 0 THEN 0.0
+                 ELSE greatest(0.0, least({l1}, floor((x - lo) / step + 0.5))) END) AS c1
+        FROM pr),
+rec1 AS (SELECT vec_id, v, xp, mv, lo, step, c1,
+                list_transform(range(1, len(c1)+1),
+                               i -> (mv[i] + lo) + step * c1[i]) AS r1
+         FROM l1c)"""
+    if residual_bits:
+        l2 = float((1 << residual_bits) - 1)
+        body += f""",
+resid AS (SELECT vec_id, v, mv, lo, step, c1, r1, step / {l2} AS step2,
+                 list_transform(range(1, len(c1)+1),
+                                i -> xp[i] - (lo + step * c1[i])) AS rr
+          FROM rec1),
+l2c AS (SELECT vec_id, v, r1, step, step2,
+               list_transform(rr, ri -> CASE WHEN step = 0 THEN 0.0
+                 ELSE greatest(0.0, least({l2}, floor((ri + step / 2.0) / step2 + 0.5))) END) AS c2
+        FROM resid),
+rec2 AS (SELECT vec_id, v, r1, step, step2, c2,
+                list_transform(range(1, len(c2)+1),
+                               i -> r1[i] + (step2 * c2[i] - step / 2.0)) AS r2
+         FROM l2c)"""
+    return body.strip()
+
+
+def lvq_roundtrip_sql(n_ids: int, primary_bits: int, residual_bits: int) -> str:
+    """compress -> decompress at both levels -> exploded
+    (id, pos, r1_e4, r2_e4)."""
+    return f"""
+WITH {_lvq_prologue(primary_bits, residual_bits)},
+sel AS (SELECT vec_id, r1, r2 FROM rec2 WHERE vec_id < {n_ids})
+SELECT vec_id AS id, pos - 1 AS pos,
+       {E4.format(expr='x1')} AS r1_e4, {E4.format(expr='x2')} AS r2_e4
+FROM (SELECT vec_id, unnest(r1) AS x1, unnest(r2) AS x2,
+             generate_subscripts(r1, 1) AS pos
+      FROM sel) u
+""".strip()
+
+
+def lvq_knn_sql(
+    distance: str,
+    k: int,
+    n_queries: int,
+    primary_bits: int,
+    residual_bits: int = 0,
+    k_reorder: int | None = None,
+) -> str:
+    """k-NN over LVQ storage: asymmetric (full-precision query vs the
+    primary reconstruction); with k_reorder + residual_bits, the top
+    k_reorder primary candidates re-rank on the two-level
+    reconstruction and the refined e4 distance is emitted."""
+    rec = "rec2" if residual_bits else "rec1"
+    e4 = E4.format(expr="dist")
+    primary = f"""
+WITH {_lvq_prologue(primary_bits, residual_bits)},
+q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < {n_queries}),
+b AS (SELECT vec_id AS id, r1 AS bv FROM {rec}),
+d AS (SELECT qid, id, {_DIST_SQL[distance]} AS dist FROM q CROSS JOIN b),
+r AS (SELECT qid, id, {e4} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4} {_ORDER[distance]}, id ASC) AS rnk
+      FROM d)"""
+    if k_reorder is None or not residual_bits:
+        return f"""{primary}
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r WHERE rnk <= {k}
+""".strip()
+    return f"""{primary},
+cand AS (SELECT qid, id FROM r WHERE rnk <= {k_reorder}),
+b2 AS (SELECT vec_id AS id, r2 AS bv FROM rec2),
+d2 AS (SELECT q.qid, b2.id, {_DIST_SQL[distance]} AS dist
+       FROM cand JOIN b2 ON cand.id = b2.id JOIN q ON q.qid = cand.qid),
+r2r AS (SELECT qid, id, {e4} AS dist_e4,
+              row_number() OVER (PARTITION BY qid ORDER BY {e4} {_ORDER[distance]}, id ASC) AS rnk
+       FROM d2)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r2r WHERE rnk <= {k}
+""".strip()
