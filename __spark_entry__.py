@@ -1643,6 +1643,79 @@ def _lvq_vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+LV_TRUNC_M = 16
+LV_TRUNC_RE_K = 30
+LV_PCA_M = 32
+LV_PCA_RE_K = 50
+LEANVEC_RECALL_FLOOR_E4 = 8000
+
+
+def _leanvec_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeanVec two-stage gate with the DETERMINISTIC truncation
+    projection (the external-matrices path, training.h:28-71): primary
+    candidates on the first m centered coordinates (exact under
+    P = I[:, :m] — zero-product terms are float-exact), top k_reorder
+    re-ranked full-dimension. Hash-gates projection apply, reduced-dim
+    primary search, and the exact re-rank end to end."""
+    from scalablevectorsearch_spark.operators.leanvec import (
+        LeanVecModel,
+        dataset_mean,
+        leanvec_knn,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    model = LeanVecModel.truncation(64, LV_TRUNC_M, mean=dataset_mean(base, "vector"))
+    res = leanvec_knn(
+        base, _queries_df(spark, sf_dir), model, k=K, k_reorder=LV_TRUNC_RE_K,
+        distance="l2", round_to=4,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _leanvec_vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metamorphic gate for LeanVec inside Vamana: graph built in the
+    projected space, exhaustive-window search + full-dim re-rank must
+    equal the flat LeanVec pipeline — same SQL oracle."""
+    from scalablevectorsearch_spark.operators.leanvec import (
+        LeanVecModel,
+        dataset_mean,
+        leanvec_vamana_build,
+        leanvec_vamana_search,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    model = LeanVecModel.truncation(64, LV_TRUNC_M, mean=dataset_mean(base, "vector"))
+    idx = leanvec_vamana_build(base, model, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = leanvec_vamana_search(
+        idx, _queries_df(spark, sf_dir), base, k=K, k_reorder=LV_TRUNC_RE_K,
+        search_window_size=4096,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _leanvec_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-trained LeanVec recall-floor verdict (the learned-matrices
+    path). The synthetic embeddings are near-uniform — PCA's WORST
+    case (isotropic spectrum, no low-dim structure to keep) — so the
+    floor is 0.80 at m=32/k_reorder=50 where the observed recall is
+    0.89; real embedding corpora with decaying spectra sit far
+    higher."""
+    from scalablevectorsearch_spark.operators.leanvec import leanvec_knn, leanvec_train
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    model = leanvec_train(base, LV_PCA_M)
+    res = leanvec_knn(base, q, model, k=K, k_reorder=LV_PCA_RE_K).select(
+        "qid", "neighbor_id"
+    )
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), LEANVEC_RECALL_FLOOR_E4)
+
+
 def _api_facade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Orchestrator-façade gate (api.py — the reference's svs.* user
     surface, orchestrators/exhaustive.h + manager.h py_search): a
@@ -1733,6 +1806,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lvq_knn_cosine": _lvq_knn_query("cosine"),
         "lvq4x8_knn": _lvq4x8_knn_query,
         "lvq_vamana_knn": _lvq_vamana_knn_query,
+        "leanvec_knn": _leanvec_knn_query,
+        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
+        "leanvec_recall": _leanvec_recall_query,
     }
 
 
@@ -1863,4 +1939,12 @@ def oracle_sql() -> dict[str, str]:
         "lvq4x8_knn": oracles.lvq_knn_sql("l2", K, N_QUERIES, 4, 8, LVQ_RE_K),
         # exhaustive-window LVQ-graph search degenerates to the flat LVQ scan
         "lvq_vamana_knn": oracles.lvq_knn_sql("l2", K, N_QUERIES, 8),
+        "leanvec_knn": oracles.leanvec_knn_sql(K, LV_TRUNC_RE_K, LV_TRUNC_M, N_QUERIES),
+        # exhaustive-window projected graph == flat projected scan
+        "leanvec_vamana_knn": oracles.leanvec_knn_sql(
+            K, LV_TRUNC_RE_K, LV_TRUNC_M, N_QUERIES
+        ),
+        "leanvec_recall": oracles.recall_verdict_sql(
+            LEANVEC_RECALL_FLOOR_E4, N_QUERIES
+        ),
     }

@@ -1,0 +1,345 @@
+"""LeanVec — linear dimensionality reduction for vector search:
+search in a projected low-dimensional space, re-rank the survivors at
+full precision.
+
+Parity: the reference's LeanVec dataset family — storage kinds
+LeanVec4x4 / LeanVec4x8 / LeanVec8x8 (/root/reference/bindings/cpp/
+include/svs/runtime/api_defs.h:98-109), the persisted
+leanvec_dims / primary_kind / secondary_kind config
+(/root/reference/include/svs/index/ivf/data_traits.h:49-54), and the
+training surface that either LEARNS the projection matrices from data
+or accepts EXTERNAL ones (/root/reference/bindings/cpp/include/svs/
+runtime/training.h:28-71 — ``LeanVecTrainingData::build`` from data,
+``leanvec_matrices_`` external pair in
+dynamic_vamana_index_leanvec_impl.h:60-76). The method itself is
+published (Tepper et al., "LeanVec: Searching vectors faster by
+making them fit", 2023): project data with A and queries with a
+possibly different matrix B (OOD variant), run the index in the
+reduced space, then re-rank candidate ids against the full-dimension
+(secondary) representation.
+
+Spark shape (scale-first):
+ - TRAIN: PCA via the distributed second-moment matrix — one
+   ``mapInArrow`` pass emits per-batch partial sums of the d x d
+   centered outer product (d^2 doubles per batch, trivially small),
+   the driver sums, rounds canonically (1e-9 half-up), and runs a
+   dense symmetric eigendecomposition (d x d — driver-sized at any
+   data scale; this is the standard distributed-PCA shape). Sign
+   convention: each eigenvector's largest-|.| component is made
+   positive, so the model is reproducible across runs.
+ - PROJECT: one Arrow-batched numpy matmul (BLAS) — (X - mu) @ P for
+   the data side; queries center for l2 but NOT for ip (q . mu is a
+   per-query constant for ip, so leaving the query uncentered
+   preserves ranking while keeping the projection a pure linear map).
+ - SEARCH: primary k-NN in the m-dim space over the gated
+   flat/Vamana engines (distances over m dims — the bandwidth and
+   compute win), then the top ``k_reorder`` candidates re-rank with
+   exact full-dimension distances (the k_reorder pattern of
+   operators/ivf.py). The primary side COMPOSES with operators/lvq
+   (LeanVec4x8 = LVQ4 primary on projected data + LVQ8 secondary).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.functions.distances import is_similarity
+
+
+@dataclass
+class LeanVecModel:
+    """Projection pair + centering vector (training.h's
+    LeanVecTrainingData / the external-matrices constructor)."""
+
+    data_matrix: np.ndarray   # (dims, leanvec_dims)
+    query_matrix: np.ndarray  # (dims, leanvec_dims)
+    mean: tuple               # canonical 1e-6-rounded dataset mean
+    dims: int = field(init=False)
+    leanvec_dims: int = field(init=False)
+
+    def __post_init__(self):
+        self.data_matrix = np.ascontiguousarray(self.data_matrix, dtype=np.float64)
+        self.query_matrix = np.ascontiguousarray(self.query_matrix, dtype=np.float64)
+        self.dims, self.leanvec_dims = self.data_matrix.shape
+        if self.query_matrix.shape != self.data_matrix.shape:
+            raise ValueError(
+                f"query_matrix shape {self.query_matrix.shape} != "
+                f"data_matrix shape {self.data_matrix.shape}"
+            )
+        if not 0 < self.leanvec_dims <= self.dims:
+            raise ValueError(
+                f"leanvec_dims must be in (0, {self.dims}], got {self.leanvec_dims}"
+            )
+        if len(self.mean) != self.dims:
+            raise ValueError(f"mean has {len(self.mean)} dims, expected {self.dims}")
+
+    @classmethod
+    def truncation(cls, dims: int, leanvec_dims: int, mean=None) -> "LeanVecModel":
+        """Deterministic coordinate-truncation projection (the
+        external-matrices path with P = I[:, :m]) — keeps the first
+        ``leanvec_dims`` centered coordinates. Exactly reproducible in
+        SQL, so the full LeanVec machinery hash-gates through it."""
+        P = np.eye(dims, dtype=np.float64)[:, :leanvec_dims]
+        mu = tuple(0.0 for _ in range(dims)) if mean is None else tuple(mean)
+        return cls(data_matrix=P, query_matrix=P, mean=mu)
+
+
+def dataset_mean(df: DataFrame, vec_col: str, round_decimals: int = 6) -> tuple:
+    import math
+
+    rows = (
+        df.select(F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("m"))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("empty dataset")
+    s = float(10**round_decimals)
+    mean = [0.0] * len(rows)
+    for r in rows:
+        mean[r["pos"]] = math.floor(r["m"] * s + 0.5) / s
+    return tuple(mean)
+
+
+def leanvec_train(
+    df: DataFrame,
+    leanvec_dims: int,
+    vec_col: str = "vector",
+) -> LeanVecModel:
+    """PCA projection: top-``leanvec_dims`` eigenvectors of the
+    centered second-moment matrix. The d x d partial sums travel as one
+    flattened array per Arrow batch; the driver-side eigh is O(d^3) on
+    a d x d matrix — independent of row count, the distributed-PCA
+    standard. Both matrices equal (the in-distribution variant;
+    pass external matrices to LeanVecModel for OOD)."""
+    mean = dataset_mean(df, vec_col)
+    mu = np.asarray(mean, dtype=np.float64)
+    d = len(mean)
+    if not 0 < leanvec_dims <= d:
+        raise ValueError(f"leanvec_dims must be in (0, {d}], got {leanvec_dims}")
+
+    def partials(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = np.zeros((d, d), dtype=np.float64)
+        n = 0
+        for b in batches:
+            col = b.column(0)
+            if len(col) == 0:
+                continue
+            X = np.stack(col.to_pylist()).astype(np.float64) - mu
+            acc += X.T @ X
+            n += len(col)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array([acc.reshape(-1).tolist()]), pa.array([n])],
+            names=["mm", "n"],
+        )
+
+    parts = (
+        df.select(F.col(vec_col).alias("v"))
+        .mapInArrow(partials, "mm array<double>, n long")
+        .collect()
+    )
+    M = np.zeros((d, d), dtype=np.float64)
+    n = 0
+    for r in parts:
+        M += np.asarray(r["mm"], dtype=np.float64).reshape(d, d)
+        n += r["n"]
+    if n == 0:
+        raise ValueError("empty dataset")
+    M /= n
+    # canonical rounding so partition-order float jitter cannot flip
+    # the eigendecomposition between runs
+    M = np.floor(M * 1e9 + 0.5) / 1e9
+    w, V = np.linalg.eigh(M)
+    P = V[:, np.argsort(w)[::-1][:leanvec_dims]]
+    # sign convention: largest-|component| positive per eigenvector
+    flip = P[np.abs(P).argmax(axis=0), np.arange(P.shape[1])] < 0
+    P[:, flip] *= -1.0
+    return LeanVecModel(data_matrix=P, query_matrix=P, mean=mean)
+
+
+def leanvec_project(
+    df: DataFrame,
+    model: LeanVecModel,
+    side: str = "data",
+    vec_col: str = "vector",
+    out_col: str = "leanvec",
+    center: bool = True,
+) -> DataFrame:
+    """Append the projected column: (x - mu) @ P (or x @ P with
+    ``center=False`` — the ip query convention). One Arrow-batched
+    BLAS matmul; all other columns pass through."""
+    if side not in ("data", "query"):
+        raise ValueError(f"side must be 'data' or 'query', got {side!r}")
+    P = model.data_matrix if side == "data" else model.query_matrix
+    mu = np.asarray(model.mean, dtype=np.float64) if center else None
+    cols = df.columns
+    if vec_col not in cols:
+        raise ValueError(f"missing column {vec_col!r}")
+    schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields]
+        + [f"`{out_col}` array<double>"]
+    )
+
+    def project(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            vi = b.schema.names.index(vec_col)
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in b.column(vi).to_pylist()]
+            )
+            if mu is not None:
+                X = X - mu
+            Y = X @ P
+            new = pa.array([row.tolist() for row in Y], type=pa.list_(pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(b.num_columns)] + [new],
+                names=list(b.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(project, schema)
+
+
+def leanvec_knn(
+    base: DataFrame,
+    queries: DataFrame,
+    model: LeanVecModel,
+    k: int,
+    k_reorder: int,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    qid_col: str = "qid",
+    qvec_col: str | None = None,
+    round_to: int | None = 4,
+    primary_lvq=None,
+) -> DataFrame:
+    """Two-stage LeanVec k-NN: primary candidate generation in the
+    projected space (top ``k_reorder``), exact full-dimension re-rank
+    (the paper's pipeline; emitted distances are the exact stage's).
+    ``primary_lvq``: optional LVQParams TRAINED ON THE PROJECTED
+    data — the primary then runs over LVQ codes (LeanVec4x* storage
+    kinds)."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+    from scalablevectorsearch_spark.operators.lvq import lvq_knn
+
+    if distance not in ("l2", "ip"):
+        raise ValueError(f"leanvec primary supports l2/ip, got {distance!r}")
+    if k_reorder < k:
+        raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
+    qvec_col = qvec_col or vec_col
+    center_q = distance == "l2"
+    pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
+        F.col(id_col).cast("long").alias("id"), F.col("__pv").alias("vector")
+    )
+    pq = leanvec_project(
+        queries, model, "query", qvec_col, "__pv", center=center_q
+    ).select(F.col(qid_col).cast("long").alias("qid"), F.col("__pv").alias("vector"))
+    if primary_lvq is not None:
+        cands = lvq_knn(
+            pb, pq, primary_lvq, k=k_reorder, distance=distance, round_to=round_to
+        )
+    else:
+        cands = flat_knn(pb, pq, k=k_reorder, distance=distance, round_to=round_to)
+    return _full_dim_rerank(
+        cands, base, queries, k, distance, round_to, id_col, vec_col, qid_col, qvec_col
+    )
+
+
+def _full_dim_rerank(
+    cands: DataFrame,
+    base: DataFrame,
+    queries: DataFrame,
+    k: int,
+    distance: str,
+    round_to: int | None,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Exact secondary stage: re-rank (qid, neighbor_id) candidates on
+    the ORIGINAL full-dimension vectors (secondary_kind=float32; swap
+    the base for an LVQ8 reconstruction for LeanVec*x8 storage)."""
+    from scalablevectorsearch_spark.operators.lvq import _rerank_reconstruction
+
+    recon = base.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), F.col(vec_col).alias("__bv")
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("vector")
+    )
+    return _rerank_reconstruction(cands, recon, q, k, distance, round_to)
+
+
+def leanvec_vamana_build(
+    base: DataFrame,
+    model: LeanVecModel,
+    vamana_params=None,
+    n_shards: int = 8,
+    distance: str = "l2",
+    id_col: str = "id",
+    vec_col: str = "vector",
+    **build_kw,
+):
+    """Build a Vamana graph IN the projected space (the reference's
+    LeanVec-Vamana: traversal distances are m-dimensional — the
+    compute win; re-rank restores full-dimension accuracy at search).
+    Composes with shard_by/closure_bp/... like every storage kind."""
+    from scalablevectorsearch_spark.operators.vamana import vamana_build
+
+    if distance not in ("l2", "ip"):
+        raise ValueError(f"leanvec primary supports l2/ip, got {distance!r}")
+    pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
+        F.col(id_col).alias(id_col), F.col("__pv").alias(vec_col)
+    )
+    idx = vamana_build(
+        pb, vamana_params, n_shards=n_shards, distance=distance,
+        id_col=id_col, vec_col=vec_col, **build_kw,
+    )
+    idx.leanvec_model = model
+    return idx
+
+
+def leanvec_vamana_search(
+    index,
+    queries: DataFrame,
+    base: DataFrame,
+    k: int,
+    k_reorder: int,
+    qid_col: str = "qid",
+    qvec_col: str = "vector",
+    vec_col: str = "vector",
+    round_to: int | None = 4,
+    **search_kw,
+) -> DataFrame:
+    """Graph search in the projected space + exact full-dimension
+    re-rank against ``base`` (the secondary representation). With an
+    exhaustive window the candidate stage equals the flat projected
+    scan, so the result EQUALS leanvec_knn's — the metamorphic gate."""
+    from scalablevectorsearch_spark.operators.vamana import vamana_search
+
+    model = getattr(index, "leanvec_model", None)
+    if model is None:
+        raise ValueError("index was not built with leanvec_vamana_build")
+    if k_reorder < k:
+        raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
+    center_q = index.distance == "l2"
+    pq = leanvec_project(
+        queries, model, "query", qvec_col, "__pv", center=center_q
+    ).select(F.col(qid_col).cast("long").alias("qid"), F.col("__pv").alias(index.vec_col))
+    cands = vamana_search(
+        index, pq, k_reorder, qid_col="qid", qvec_col=index.vec_col,
+        round_to=round_to, **search_kw,
+    )
+    return _full_dim_rerank(
+        cands, base, queries, k, index.distance, round_to,
+        index.id_col, vec_col, qid_col, qvec_col,
+    )

@@ -1252,3 +1252,41 @@ r2r AS (SELECT qid, id, {e4} AS dist_e4,
 SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r2r WHERE rnk <= {k}
 """.strip()
+
+
+def leanvec_knn_sql(k: int, k_reorder: int, leanvec_dims: int, n_queries: int) -> str:
+    """LeanVec two-stage k-NN with the deterministic truncation
+    projection (P = I[:, :m] over the centered data — the reference's
+    external-matrices path, training.h:28-71): primary candidates
+    ranked on the first m centered coordinates, top k_reorder re-ranked
+    with exact full-dimension L2. Gates projection apply, primary
+    search, and the re-rank stage end to end (see operators/leanvec.py
+    for why the numpy matmul is bit-exact under truncation)."""
+    e4 = E4.format(expr="dist")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+mu0 AS (SELECT pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM e) u
+        GROUP BY pos),
+mu AS (SELECT list(m ORDER BY pos) AS mv FROM mu0),
+pb AS (SELECT vec_id AS id,
+              list_transform(range(1, {leanvec_dims + 1}), i -> v[i] - mv[i]) AS bv
+       FROM e CROSS JOIN mu),
+pq AS (SELECT vec_id AS qid,
+              list_transform(range(1, {leanvec_dims + 1}), i -> v[i] - mv[i]) AS qv
+       FROM e CROSS JOIN mu WHERE vec_id < {n_queries}),
+d1 AS (SELECT qid, id, {_DIST_SQL["l2"]} AS dist FROM pq CROSS JOIN pb),
+r1 AS (SELECT qid, id,
+              row_number() OVER (PARTITION BY qid ORDER BY {e4} ASC, id ASC) AS rnk
+       FROM d1),
+cand AS (SELECT qid, id FROM r1 WHERE rnk <= {k_reorder}),
+fq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+fb AS (SELECT vec_id AS id, v AS bv FROM e),
+d2 AS (SELECT fq.qid, fb.id, {_DIST_SQL["l2"]} AS dist
+       FROM cand JOIN fb ON cand.id = fb.id JOIN fq ON fq.qid = cand.qid),
+r2 AS (SELECT qid, id, {e4} AS dist_e4,
+              row_number() OVER (PARTITION BY qid ORDER BY {e4} ASC, id ASC) AS rnk
+       FROM d2)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r2 WHERE rnk <= {k}
+""".strip()
