@@ -45,9 +45,10 @@ from scalablevectorsearch_spark.operators.vamana_local import VamanaParams
 __all__ = [
     "DistanceType", "DataType", "VamanaBuildParameters",
     "IVFBuildParameters", "IVFSearchParameters", "VectorDataLoader",
-    "GraphLoader", "Flat", "Vamana", "DynamicVamana", "Clustering",
-    "IVF", "k_recall_at", "generate_test_dataset", "read_vecs",
-    "write_vecs", "read_npy", "read_svs", "write_svs",
+    "GraphLoader", "LVQLoader", "LeanVecLoader", "Flat", "Vamana",
+    "DynamicVamana", "Clustering", "IVF", "k_recall_at",
+    "generate_test_dataset", "read_vecs", "write_vecs", "read_npy",
+    "read_svs", "write_svs",
 ]
 
 
@@ -147,6 +148,53 @@ class GraphLoader:
         return (spark or _spark()).read.parquet(self.path)
 
 
+class LVQLoader:
+    """svs.LVQLoader (vamana_with_compression_lvq.py:63-71) — wraps an
+    uncompressed loader with LVQ compression parameters. ``primary`` /
+    ``residual`` are the bit widths (storage kinds LVQ4x0 / LVQ8x0 /
+    LVQ4x4 / LVQ4x8, api_defs.h:98-109); ``strategy`` is accepted for
+    signature parity (the reference's sequential/turbo are SIMD
+    register layouts with no DataFrame analog)."""
+
+    def __init__(self, loader, primary: int = 8, residual: int = 0,
+                 strategy: str | None = None, padding: int | None = None):
+        if primary not in (4, 8):
+            raise ValueError(f"primary must be 4 or 8, got {primary}")
+        if residual not in (0, 4, 8):
+            raise ValueError(f"residual must be 0, 4 or 8, got {residual}")
+        self.loader = loader
+        self.primary = primary
+        self.residual = residual
+
+
+class LeanVecLoader:
+    """svs.LeanVecLoader — wraps an uncompressed loader with LeanVec
+    dimensionality reduction (data_traits.h:49-54 leanvec_dims /
+    primary_kind / secondary_kind; storage kinds LeanVec4x4 / 4x8 /
+    8x8). ``leanvec_dims`` is the projected dimensionality; kinds are
+    "float32" / "lvq4" / "lvq8" (primary compresses the PROJECTED
+    vectors; the secondary full-dimension re-rank representation is
+    float32 here — an LVQ secondary composes via operators.leanvec
+    directly). Pass ``matrices=(A, B)`` to use external projection
+    matrices (training.h:47-66) instead of training PCA."""
+
+    def __init__(self, loader, leanvec_dims: int,
+                 primary_kind: str = "float32",
+                 secondary_kind: str = "float32",
+                 matrices=None):
+        if primary_kind not in ("float32", "lvq4", "lvq8"):
+            raise ValueError(f"unknown primary_kind {primary_kind!r}")
+        if secondary_kind not in ("float32",):
+            raise ValueError(
+                "secondary_kind float32 only at the facade level; compose "
+                "an LVQ secondary via operators.leanvec directly"
+            )
+        self.loader = loader
+        self.leanvec_dims = leanvec_dims
+        self.primary_kind = primary_kind
+        self.matrices = matrices
+
+
 def _to_df(data, spark: SparkSession, id_offset: int = 0) -> DataFrame:
     """numpy (n, d) | DataFrame | VectorDataLoader -> (id, vector)."""
     if isinstance(data, VectorDataLoader):
@@ -238,15 +286,72 @@ class Vamana:
     def build(cls, parameters: VamanaBuildParameters, data,
               distance=DistanceType.L2, num_threads: int | None = None,
               n_shards: int = 8, shard_by: str = "hash", **kw) -> "Vamana":
+        """Accepts uncompressed data (numpy / DataFrame /
+        VectorDataLoader) or a compressed-loader wrapper — LVQLoader /
+        LeanVecLoader — exactly like the reference's
+        ``svs.Vamana.build(parameters, svs.LVQLoader(...), ...)``."""
         from scalablevectorsearch_spark.operators.vamana import vamana_build
 
         self = cls.__new__(cls)
         self.spark = _spark()
-        base = _to_df(data, self.spark).select("id", "vector")
-        self.index = vamana_build(
-            base, parameters, n_shards=n_shards, distance=_dist(distance),
-            shard_by=shard_by, **kw,
-        )
+        if isinstance(data, LVQLoader):
+            from scalablevectorsearch_spark.operators.lvq import (
+                lvq_compress,
+                lvq_train,
+                lvq_vamana_build,
+            )
+
+            base = _to_df(data.loader, self.spark).select("id", "vector")
+            p = lvq_train(base, primary_bits=data.primary, residual_bits=data.residual)
+            storage = lvq_compress(base, p)
+            self.index = lvq_vamana_build(
+                storage, p, parameters, n_shards=n_shards,
+                distance=_dist(distance), shard_by=shard_by,
+                base_compressed=True, **kw,
+            )
+            self._lvq_storage = storage
+        elif isinstance(data, LeanVecLoader):
+            from scalablevectorsearch_spark.operators.leanvec import (
+                LeanVecModel,
+                dataset_mean,
+                leanvec_train,
+                leanvec_vamana_build,
+            )
+
+            base = _to_df(data.loader, self.spark).select("id", "vector")
+            if data.matrices is not None:
+                A, B = data.matrices
+                model = LeanVecModel(
+                    data_matrix=np.asarray(A), query_matrix=np.asarray(B),
+                    mean=dataset_mean(base, "vector"),
+                )
+            else:
+                model = leanvec_train(base, data.leanvec_dims)
+            primary_lvq = None
+            if data.primary_kind in ("lvq4", "lvq8"):
+                from scalablevectorsearch_spark.operators.leanvec import (
+                    leanvec_project,
+                )
+                from scalablevectorsearch_spark.operators.lvq import lvq_train
+
+                pb = leanvec_project(base, model, "data", out_col="__pv").select(
+                    "id", F.col("__pv").alias("vector")
+                )
+                primary_lvq = lvq_train(
+                    pb, primary_bits=4 if data.primary_kind == "lvq4" else 8
+                )
+            self.index = leanvec_vamana_build(
+                base, model, parameters, n_shards=n_shards,
+                distance=_dist(distance), shard_by=shard_by,
+                primary_lvq=primary_lvq, **kw,
+            )
+            self._secondary = base
+        else:
+            base = _to_df(data, self.spark).select("id", "vector")
+            self.index = vamana_build(
+                base, parameters, n_shards=n_shards, distance=_dist(distance),
+                shard_by=shard_by, **kw,
+            )
         self.index.graph.cache().count()
         self.search_window_size = max(10, parameters.window_size // 2)
         return self
@@ -259,14 +364,50 @@ class Vamana:
     def dimensions(self) -> int:
         return len(self.index.base.select(self.index.vec_col).first()[0])
 
-    def search(self, queries, k: int, **kw):
+    def search(self, queries, k: int, rerank_base=None, **kw):
+        """Routes by storage kind: plain/SQ indexes search directly;
+        LVQ indexes with a residual level re-rank on the two-level
+        reconstruction; LeanVec indexes project the query and re-rank
+        at full dimension (``rerank_base`` overrides the secondary
+        table — required when the index came from ``Vamana(path)``
+        rather than ``build``, since the manifest stores matrices, not
+        the full-precision data)."""
         from scalablevectorsearch_spark.operators.vamana import vamana_search
 
         qdf, nq = _queries_df(queries, self.spark)
-        res = vamana_search(
-            self.index, qdf, k=k,
-            search_window_size=max(self.search_window_size, k), **kw,
-        )
+        window = max(self.search_window_size, k)
+        if getattr(self.index, "leanvec_model", None) is not None:
+            from scalablevectorsearch_spark.operators.leanvec import (
+                leanvec_vamana_search,
+            )
+
+            secondary = rerank_base if rerank_base is not None else getattr(
+                self, "_secondary", None
+            )
+            if secondary is not None and not isinstance(secondary, DataFrame):
+                secondary = _to_df(secondary, self.spark)
+            if secondary is None:
+                raise ValueError(
+                    "LeanVec index loaded from disk: pass rerank_base= (the "
+                    "full-dimension data) to search"
+                )
+            res = leanvec_vamana_search(
+                self.index, qdf, secondary, k=k, k_reorder=window,
+                search_window_size=window, **kw,
+            )
+        elif (
+            getattr(self.index, "lvq_params", None) is not None
+            and self.index.lvq_params.residual_bits
+            and getattr(self, "_lvq_storage", None) is not None
+        ):
+            from scalablevectorsearch_spark.operators.lvq import lvq_vamana_search
+
+            res = lvq_vamana_search(
+                self.index, qdf, k=k, k_reorder=window,
+                compressed=self._lvq_storage, search_window_size=window, **kw,
+            )
+        else:
+            res = vamana_search(self.index, qdf, k=k, search_window_size=window, **kw)
         return _to_numpy(res, nq, k) if nq is not None else res
 
     def batch_iterator(self, queries, batch_size: int = 10):

@@ -287,12 +287,16 @@ def leanvec_vamana_build(
     distance: str = "l2",
     id_col: str = "id",
     vec_col: str = "vector",
+    primary_lvq=None,
     **build_kw,
 ):
     """Build a Vamana graph IN the projected space (the reference's
     LeanVec-Vamana: traversal distances are m-dimensional — the
     compute win; re-rank restores full-dimension accuracy at search).
-    Composes with shard_by/closure_bp/... like every storage kind."""
+    ``primary_lvq``: LVQParams trained on the PROJECTED data — the
+    graph is then built over the LVQ reconstruction of the projection
+    (LeanVec4x* / LeanVec8x* primary kinds). Composes with
+    shard_by/closure_bp/... like every storage kind."""
     from scalablevectorsearch_spark.operators.vamana import vamana_build
 
     if distance not in ("l2", "ip"):
@@ -300,6 +304,16 @@ def leanvec_vamana_build(
     pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
         F.col(id_col).alias(id_col), F.col("__pv").alias(vec_col)
     )
+    if primary_lvq is not None:
+        from scalablevectorsearch_spark.operators.lvq import (
+            lvq_compress,
+            lvq_decompress,
+        )
+
+        pb = lvq_decompress(
+            lvq_compress(pb, primary_lvq, vec_col), primary_lvq,
+            out_col=vec_col, level=1,
+        ).select(id_col, vec_col)
     idx = vamana_build(
         pb, vamana_params, n_shards=n_shards, distance=distance,
         id_col=id_col, vec_col=vec_col, **build_kw,

@@ -212,6 +212,26 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         # that correct its distances are part of the index identity
         params["sq_gmin"] = index.sq_params.gmin
         params["sq_gmax"] = index.sq_params.gmax
+    lvq = getattr(index, "lvq_params", None)
+    if lvq is not None:
+        # LVQ index (data_traits.h primary_bits/residual_bits): the
+        # data table holds the primary reconstruction; the centering
+        # mean + bit widths are the index identity
+        params["lvq_primary_bits"] = lvq.primary_bits
+        params["lvq_residual_bits"] = lvq.residual_bits
+        params["lvq_mean"] = [float(x) for x in lvq.mean]
+    lv = getattr(index, "leanvec_model", None)
+    if lv is not None:
+        # LeanVec index (data_traits.h leanvec_dims + the projection
+        # pair of training.h): queries cannot be projected without the
+        # matrices, so they ARE the index
+        params["leanvec_mean"] = [float(x) for x in lv.mean]
+        params["leanvec_data_matrix"] = [
+            [float(x) for x in row] for row in lv.data_matrix
+        ]
+        params["leanvec_query_matrix"] = [
+            [float(x) for x in row] for row in lv.query_matrix
+        ]
     if index.shard_model is not None:
         # cluster-sharded (SPANN-style) layout: the centroids ARE part
         # of the index — without them a loaded index would re-stamp
@@ -294,6 +314,22 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         from scalablevectorsearch_spark.operators.sq import SQParams
 
         idx.sq_params = SQParams(gmin=p["sq_gmin"], gmax=p["sq_gmax"])
+    if p.get("lvq_primary_bits") is not None:
+        from scalablevectorsearch_spark.operators.lvq import LVQParams
+
+        idx.lvq_params = LVQParams(
+            mean=tuple(p["lvq_mean"]), dims=len(p["lvq_mean"]),
+            primary_bits=p["lvq_primary_bits"],
+            residual_bits=p.get("lvq_residual_bits", 0),
+        )
+    if p.get("leanvec_data_matrix") is not None:
+        from scalablevectorsearch_spark.operators.leanvec import LeanVecModel
+
+        idx.leanvec_model = LeanVecModel(
+            data_matrix=np.asarray(p["leanvec_data_matrix"], dtype=np.float64),
+            query_matrix=np.asarray(p["leanvec_query_matrix"], dtype=np.float64),
+            mean=tuple(p["leanvec_mean"]),
+        )
     # rebuild the persisted layout with the SAME sharding the graphs
     # were built under. Kmeans-sharded saves carry the exact
     # (shard_id, id) assignment table (see save_vamana) — join it back

@@ -109,3 +109,77 @@ def test_vector_data_loader_rejects_bad_dims(spark, dataset, tmp_path):
     assert np.allclose(svs.read_vecs(path), X)
     with pytest.raises(Exception):
         svs.VectorDataLoader(path, svs.DataType.float32, dims=99).load(spark)
+
+
+def test_lvq_loader_build_search(spark, dataset):
+    """svs.Vamana.build over an LVQLoader (the reference's
+    vamana_with_compression_lvq.py flow): 4-bit primary + 8-bit
+    residual, search re-ranks on the two-level reconstruction."""
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    flat = svs.Flat(X)  # reuse the fixture via a DataFrame
+    loader = svs.LVQLoader(flat.data, primary=4, residual=8)
+    index = svs.Vamana.build(params, loader, svs.DistanceType.L2, n_shards=2)
+    index.search_window_size = 40
+    I, D = index.search(Q, 10)
+    assert I.shape == (20, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.85
+
+
+def test_lvq_loader_validation():
+    with pytest.raises(ValueError):
+        svs.LVQLoader(None, primary=5)
+    with pytest.raises(ValueError):
+        svs.LVQLoader(None, primary=8, residual=2)
+    with pytest.raises(ValueError):
+        svs.LeanVecLoader(None, 8, primary_kind="lvq2")
+    with pytest.raises(ValueError):
+        svs.LeanVecLoader(None, 8, secondary_kind="lvq8")
+
+
+def test_leanvec_loader_build_search(spark, dataset):
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    flat = svs.Flat(X)
+    loader = svs.LeanVecLoader(flat.data, leanvec_dims=12, primary_kind="lvq8")
+    index = svs.Vamana.build(params, loader, svs.DistanceType.L2, n_shards=2)
+    index.search_window_size = 60
+    I, D = index.search(Q, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.85
+
+
+def test_lvq_index_save_load_roundtrip(spark, dataset, tmp_path):
+    """LVQ params persist in the manifest: a reloaded index carries
+    them and searches the saved reconstruction (primary distances)."""
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    flat = svs.Flat(X)
+    loader = svs.LVQLoader(flat.data, primary=8)
+    index = svs.Vamana.build(params, loader, svs.DistanceType.L2, n_shards=2)
+    path = str(tmp_path / "lvq_idx")
+    index.save(path)
+    loaded = svs.Vamana(path)
+    assert loaded.index.lvq_params.primary_bits == 8
+    assert loaded.index.lvq_params.mean == index.index.lvq_params.mean
+    loaded.search_window_size = 40
+    I, D = loaded.search(Q, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.85
+
+
+def test_leanvec_index_save_load_requires_rerank_base(spark, dataset, tmp_path):
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    flat = svs.Flat(X)
+    loader = svs.LeanVecLoader(flat.data, leanvec_dims=12)
+    index = svs.Vamana.build(params, loader, svs.DistanceType.L2, n_shards=2)
+    path = str(tmp_path / "lv_idx")
+    index.save(path)
+    loaded = svs.Vamana(path)
+    m = loaded.index.leanvec_model
+    assert m is not None and m.leanvec_dims == 12
+    assert np.array_equal(m.data_matrix, index.index.leanvec_model.data_matrix)
+    with pytest.raises(ValueError):
+        loaded.search(Q, 10)
+    loaded.search_window_size = 60
+    I, D = loaded.search(Q, 10, rerank_base=X)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.85
