@@ -202,6 +202,48 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
 
     timed("sq_vamana_build_search", sq_vam)
 
+    # B7c — LVQ4x8 flat search: packed 4-bit primary candidates +
+    # 8-bit-residual re-rank over the persisted TINYINT storage
+    def lvq_s():
+        from scalablevectorsearch_spark.operators.lvq import (
+            lvq_compress,
+            lvq_knn,
+            lvq_train,
+        )
+
+        p = lvq_train(base, primary_bits=4, residual_bits=8)
+        storage = lvq_compress(base.select("id", "vector"), p)
+        storage.cache().count()
+        lvq_knn(
+            storage, queries, p, k=K, distance="l2", k_reorder=3 * K,
+            base_compressed=True,
+        ).count()
+        storage.unpersist()
+
+    timed("lvq4x8_knn", lvq_s)
+
+    # B7d — LeanVec: PCA to half the dims, projected Vamana + exact
+    # full-dimension re-rank (the dimensionality-reduction index kind)
+    def leanvec_s():
+        from scalablevectorsearch_spark.operators.leanvec import (
+            leanvec_train,
+            leanvec_vamana_build,
+            leanvec_vamana_search,
+        )
+
+        b = base.select("id", "vector")
+        model = leanvec_train(b, 32)
+        idx = leanvec_vamana_build(b, model, VAMANA, n_shards=VAMANA_SHARDS)
+        idx.graph.cache().count()
+        leanvec_vamana_search(
+            idx, queries, b, k=K, k_reorder=5 * K, search_window_size=5 * K
+        ).count()
+        idx.graph.unpersist()
+        if idx.layout is not None:
+            idx.layout.unpersist()
+
+    timed("leanvec_build_search", leanvec_s)
+
     def _text_stats():
         from scalablevectorsearch_spark.pipeline.text import text_stats
 
