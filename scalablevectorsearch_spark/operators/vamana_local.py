@@ -272,7 +272,8 @@ def batch_greedy_search(
         """(a, m) distances of Q[qidx[i]] to X[nodes[i, j]] — the lazy
         analog of one D gather, same IEEE shape as batch_distances."""
         V = X[nodes]  # (a, m, d)
-        QD = np.einsum("amd,ad->am", V, Q[qidx])
+        # batched gemv (BLAS) — same dot as einsum, ~3x faster here
+        QD = np.matmul(V, Q[qidx][:, :, None])[:, :, 0]
         if distance == "l2":
             return np.maximum(
                 x_sq[nodes] + q_inv[qidx][:, None] - 2.0 * QD, 0.0
@@ -478,9 +479,9 @@ def alpha_prune(
     return np.asarray(result, dtype=np.int64)
 
 
-#: cap on m*P*P for one alpha_prune_batch chunk — bounds the (m, P, P)
-#: pairwise-distance tensor to ~80 MB of f64
-_PRUNE_BATCH_CELLS = 10_000_000
+#: cap on m*P*d cells for one alpha_prune_batch chunk — bounds the
+#: (m, P, d) gathered-candidate tensor to ~100 MB of f64
+_PRUNE_BATCH_CELLS = 12_000_000
 
 
 def alpha_prune_batch(
@@ -493,14 +494,21 @@ def alpha_prune_batch(
     distance: str = "l2",
 ) -> list[np.ndarray]:
     """Lockstep-batched :func:`alpha_prune`: one MRNG state machine per
-    node, advanced position-by-position across all ``m`` nodes at once
-    (prunes of different nodes are independent, so the sequential
-    per-candidate dependency is within a row only). Node-for-node the
-    same state machine as :func:`alpha_prune` — candidates visited in
-    pool order, strict `` current_alpha * d(r, c) < d(node, c)`` kill,
-    Added persists across alpha rounds, Pruned resets — batched so a
-    build's ~5 prunes/node cost ~P vectorized steps per chunk instead
-    of ~m Python state machines (the build-profile hot spot).
+    node, all ``m`` nodes advanced together (prunes of different nodes
+    are independent, so the sequential per-candidate dependency is
+    within a row only). Node-for-node the same state machine as
+    :func:`alpha_prune` — candidates visited in pool order, strict
+    ``current_alpha * d(r, c) < d(node, c)`` kill, Added persists
+    across alpha rounds, Pruned resets.
+
+    Each lockstep step jumps every row to ITS next available candidate
+    (argmax over the availability mask) instead of sweeping all P pool
+    positions, and the kill row d(added, pool) is computed lazily for
+    the stepped rows only — O(adds · P · d) work per row like the
+    reference's per-kept-neighbor scan (prune.h:128-150), not the
+    O(P² · d) of a dense pairwise matrix. Rows run their alpha rounds
+    independently (``alpha_row``), which is exactly the per-node
+    round schedule of the sequential machine.
 
     ``pools``: (m, P) int64 padded with -1; ``pool_d``: (m, P) float64
     padded with +inf; both sorted by (distance, id) per row like every
@@ -509,7 +517,8 @@ def alpha_prune_batch(
     m, P = pools.shape
     if m == 0 or P == 0 or not (1.0 <= alpha + 1e-12):
         return [np.empty(0, dtype=np.int64) for _ in range(m)]
-    chunk = max(1, _PRUNE_BATCH_CELLS // max(P * P, 1))
+    d = X.shape[1]
+    chunk = max(1, _PRUNE_BATCH_CELLS // max(P * d, 1))
     if m > chunk:
         out: list[np.ndarray] = []
         for c0 in range(0, m, chunk):
@@ -521,53 +530,76 @@ def alpha_prune_batch(
             )
         return out
     valid = pools >= 0
-    # pad slots (-1) wrap to the last row — garbage distances, but pads
-    # are never addable and only ever appear as (harmless) kill victims
-    V = X[pools]  # (m, P, d)
-    # batched BLAS (matmul handles the transposed view natively — ~10x
-    # over c_einsum for this contraction); the pairwise formulas match
-    # alpha_prune's per-node block
-    IP = np.matmul(V, V.transpose(0, 2, 1))
+    # pad slots (-1) wrap to row 0 — garbage distances, but pads are
+    # never addable and only ever appear as (harmless) kill victims
+    V = X[np.maximum(pools, 0)]  # (m, P, d)
     if distance == "l2":
-        sq = IP.diagonal(axis1=1, axis2=2).copy()  # <v,v> for free
-        IP *= -2.0  # in place: IP becomes D, no second (m, P, P) alloc
-        D = IP
-        D += sq[:, :, None]
-        D += sq[:, None, :]
-        np.maximum(D, 0.0, out=D)
-    elif distance == "ip":
-        D = -IP
-    else:  # cosine
-        nrm = np.sqrt(IP.diagonal(axis1=1, axis2=2))
-        denom = nrm[:, :, None] * nrm[:, None, :]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            D = -np.where(denom > 0, IP / denom, 0.0)
+        sqP = np.einsum("mpd,mpd->mp", V, V)
+    elif distance == "cosine":
+        nrmP = np.sqrt(np.einsum("mpd,mpd->mp", V, V))
     AVAILABLE, ADDED, PRUNED = 0, 1, 2
     state = np.zeros((m, P), dtype=np.int8)
     addable = valid & (pools != nodes[:, None])
     counts = np.zeros(m, dtype=np.int64)
     res = np.full((m, max_result), -1, dtype=np.int64)
-    current_alpha = 1.0
-    while True:
-        for p in range(P):
-            sel = (state[:, p] == AVAILABLE) & addable[:, p] & (counts < max_result)
-            if not sel.any():
-                continue
-            idx = np.nonzero(sel)[0]
-            res[idx, counts[idx]] = pools[idx, p]
-            counts[idx] += 1
-            state[idx, p] = ADDED
-            st = state[idx]
-            kill = (current_alpha * D[idx, p] < pool_d[idx]) & (st == AVAILABLE)
-            kill[:, : p + 1] = False
-            st[kill] = PRUNED
-            state[idx] = st
-        if alpha == 1.0:
-            break
-        current_alpha *= alpha
-        if not ((counts < max_result).any() and current_alpha <= alpha + 1e-12):
-            break
-        state[state == PRUNED] = AVAILABLE
+    alpha_row = np.ones(m, dtype=np.float64)
+    active = np.ones(m, dtype=bool)
+    pos_idx = np.arange(P)
+    while active.any():
+        avail = (
+            (state == AVAILABLE)
+            & addable
+            & active[:, None]
+            & (counts < max_result)[:, None]
+        )
+        has = avail.any(axis=1)
+        done_rows = np.nonzero(active & ~has)[0]
+        if len(done_rows):
+            if alpha == 1.0:
+                active[done_rows] = False
+            else:
+                na = alpha_row[done_rows] * alpha
+                cont = (counts[done_rows] < max_result) & (na <= alpha + 1e-12)
+                active[done_rows[~cont]] = False
+                go = done_rows[cont]
+                if len(go):
+                    alpha_row[go] = na[cont]
+                    st = state[go]
+                    st[st == PRUNED] = AVAILABLE
+                    state[go] = st
+        if not has.any():
+            continue
+        rows = np.nonzero(has)[0]
+        # full-width step (no per-row gather copies of V): stepped rows
+        # advance to their next candidate; non-stepped rows are masked
+        # out of the kill (p_full = P makes `pos > p` empty for them)
+        p_full = np.where(has, avail.argmax(axis=1), P)
+        p = p_full[rows]
+        cand = pools[rows, p]
+        res[rows, counts[rows]] = cand
+        counts[rows] += 1
+        state[rows, p] = ADDED
+        # lazy kill row: d(added, pool_j), computed over the full batch
+        # in one einsum (wasted flops on idle rows beat gather copies)
+        cand_full = np.zeros(m, dtype=np.int64)
+        cand_full[rows] = cand
+        Vr = X[cand_full]  # (m, d)
+        # batched gemv (BLAS) — same per-pair dot as the scalar path's
+        # dgemm row, ~3x c_einsum for this contraction
+        ip = np.matmul(V, Vr[:, :, None])[:, :, 0]
+        if distance == "l2":
+            sq_r = np.einsum("md,md->m", Vr, Vr)
+            Drow = np.maximum(sqP + sq_r[:, None] - 2.0 * ip, 0.0)
+        elif distance == "ip":
+            Drow = -ip
+        else:  # cosine
+            nr = np.sqrt(np.einsum("md,md->m", Vr, Vr))
+            denom = nr[:, None] * nrmP
+            with np.errstate(divide="ignore", invalid="ignore"):
+                Drow = -np.where(denom > 0, ip / denom, 0.0)
+        kill = (alpha_row[:, None] * Drow < pool_d) & (state == AVAILABLE)
+        kill &= pos_idx[None, :] > p_full[:, None]
+        state[kill] = PRUNED
     return [res[i, : counts[i]] for i in range(m)]
 
 
