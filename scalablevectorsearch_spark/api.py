@@ -44,12 +44,18 @@ from scalablevectorsearch_spark.operators.vamana_local import VamanaParams
 
 __all__ = [
     "DistanceType", "DataType", "VamanaBuildParameters",
-    "IVFBuildParameters", "IVFSearchParameters", "VectorDataLoader",
-    "GraphLoader", "LVQLoader", "LeanVecLoader", "Flat", "Vamana",
-    "DynamicVamana", "Clustering", "IVF", "k_recall_at",
-    "generate_test_dataset", "read_vecs", "write_vecs", "read_npy",
-    "read_svs", "write_svs",
+    "IVFBuildParameters", "IVFSearchParameters", "SearchBufferConfig",
+    "VamanaSearchParameters", "VectorDataLoader", "GraphLoader",
+    "LVQLoader", "LeanVecLoader", "Flat", "Vamana", "DynamicVamana",
+    "DynamicFlat", "DynamicIVF", "Clustering", "IVF", "ANNException",
+    "k_recall_at", "generate_test_dataset", "read_vecs", "write_vecs",
+    "read_npy", "read_svs", "write_svs", "upgrader",
 ]
+
+
+class ANNException(RuntimeError):
+    """svs.ANNException — the reference's error type for invalid
+    configurations (lib/exception.h)."""
 
 
 class DistanceType(Enum):
@@ -96,6 +102,64 @@ class IVFSearchParameters:
 
     n_probes: int = 8
     k_reorder: int | None = None
+
+
+class SearchBufferConfig:
+    """search_buffer.h:39-60 / bindings vamana_common.cpp:76 — the
+    split-buffer sizing pair. ``search_buffer_capacity`` defaults to
+    ``search_window_size``; a capacity below the window raises
+    ANNException like the reference."""
+
+    def __init__(self, search_window_size: int = 0,
+                 search_buffer_capacity: int | None = None):
+        cap = search_window_size if search_buffer_capacity is None else search_buffer_capacity
+        if cap < search_window_size:
+            raise ANNException(
+                f"search_buffer_capacity {cap} < search_window_size "
+                f"{search_window_size}"
+            )
+        self._sws = search_window_size
+        self._cap = cap
+
+    @property
+    def search_window_size(self) -> int:
+        return self._sws
+
+    @property
+    def search_buffer_capacity(self) -> int:
+        return self._cap
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, SearchBufferConfig)
+            and (self._sws, self._cap) == (other._sws, other._cap)
+        )
+
+    def __str__(self) -> str:
+        return f"SearchBufferConfig({self._sws}, {self._cap})"
+
+
+class VamanaSearchParameters:
+    """index/vamana/search_params.h via bindings vamana_common.cpp:121
+    — buffer_config + visited-set toggle. ``prefetch_lookahead`` /
+    ``prefetch_step`` are accepted for signature parity and ignored:
+    software prefetch distances are register-level tuning with no
+    DataFrame analog (documented drop, SURVEY §2.13 note)."""
+
+    def __init__(self, buffer_config: SearchBufferConfig | None = None,
+                 search_buffer_visited_set: bool = False,
+                 prefetch_lookahead: int = 4, prefetch_step: int = 1):
+        self.buffer_config = buffer_config or SearchBufferConfig()
+        self.search_buffer_visited_set = search_buffer_visited_set
+        self.prefetch_lookahead = prefetch_lookahead
+        self.prefetch_step = prefetch_step
+
+    def __eq__(self, other) -> bool:
+        return (
+            isinstance(other, VamanaSearchParameters)
+            and self.buffer_config == other.buffer_config
+            and self.search_buffer_visited_set == other.search_buffer_visited_set
+        )
 
 
 def _spark() -> SparkSession:
@@ -364,6 +428,23 @@ class Vamana:
     def dimensions(self) -> int:
         return len(self.index.base.select(self.index.vec_col).first()[0])
 
+    @property
+    def search_parameters(self) -> VamanaSearchParameters:
+        """vamana.h search_parameters property — reflects and controls
+        the mutable window/capacity pair."""
+        return VamanaSearchParameters(
+            SearchBufferConfig(
+                self.search_window_size,
+                getattr(self, "_buffer_capacity", None) or self.search_window_size,
+            )
+        )
+
+    @search_parameters.setter
+    def search_parameters(self, params: VamanaSearchParameters) -> None:
+        self.search_window_size = params.buffer_config.search_window_size
+        cap = params.buffer_config.search_buffer_capacity
+        self._buffer_capacity = cap if cap > self.search_window_size else None
+
     def search(self, queries, k: int, rerank_base=None, **kw):
         """Routes by storage kind: plain/SQ indexes search directly;
         LVQ indexes with a residual level re-rank on the two-level
@@ -376,6 +457,9 @@ class Vamana:
 
         qdf, nq = _queries_df(queries, self.spark)
         window = max(self.search_window_size, k)
+        cap = getattr(self, "_buffer_capacity", None)
+        if cap is not None:
+            kw.setdefault("buffer_capacity", max(cap, window))
         if getattr(self.index, "leanvec_model", None) is not None:
             from scalablevectorsearch_spark.operators.leanvec import (
                 leanvec_vamana_search,
@@ -560,6 +644,119 @@ class DynamicVamana(Vamana):
         return _to_numpy(res, nq, k) if nq is not None else res
 
 
+class DynamicFlat:
+    """bindings dynamic_flat.cpp:245 — the mutable exact-scan index:
+    add/delete mutate the scanned set; search is always exact over the
+    live rows (dynamic_flat_knn)."""
+
+    def __init__(self, data, distance=DistanceType.L2,
+                 num_threads: int | None = None):
+        self.spark = _spark()
+        self.data = _to_df(data, self.spark).select("id", "vector")
+        self.distance = _dist(distance)
+        self._added = None
+        self._deleted = None
+
+    @classmethod
+    def build(cls, data, ids=None, distance=DistanceType.L2,
+              num_threads: int | None = None) -> "DynamicFlat":
+        return cls(data, distance)
+
+    def _rows(self, points, ids) -> DataFrame:
+        X = np.asarray(points, dtype=np.float32)
+        ids = np.asarray(ids, dtype=np.int64)
+        rows = [(int(ids[i]), [float(v) for v in X[i]]) for i in range(len(X))]
+        return self.spark.createDataFrame(rows, "id long, vector array<float>")
+
+    def add(self, points, ids) -> "DynamicFlat":
+        rows = self._rows(points, ids)
+        self._added = rows if self._added is None else self._added.unionByName(rows)
+        return self
+
+    def delete(self, ids) -> "DynamicFlat":
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(v),) for v in np.asarray(ids).ravel()], "id long"
+            )
+        self._deleted = ids if self._deleted is None else self._deleted.unionByName(ids)
+        return self
+
+    def search(self, queries, k: int, **kw):
+        from scalablevectorsearch_spark.operators.dynamic import dynamic_flat_knn
+
+        qdf, nq = _queries_df(queries, self.spark)
+        res = dynamic_flat_knn(
+            self.data, qdf, k=k, added=self._added, deleted_ids=self._deleted,
+            distance=self.distance, **kw,
+        )
+        return _to_numpy(res, nq, k) if nq is not None else res
+
+
+class DynamicIVF:
+    """bindings dynamic_ivf.cpp:566 — the mutable cluster-probing
+    index: appended rows stamp to their nearest existing cell,
+    tombstones mask members, ``recluster`` retrains (dynamic_ivf.h)."""
+
+    def __init__(self, dyn, distance: str = "l2"):
+        self.spark = _spark()
+        self.dyn = dyn
+        self.distance = distance
+        self.search_parameters = IVFSearchParameters()
+
+    @classmethod
+    def build(cls, build_parameters: IVFBuildParameters, data, ids=None,
+              distance=DistanceType.L2, num_threads: int | None = None) -> "DynamicIVF":
+        from scalablevectorsearch_spark.operators.dynamic import dynamic_ivf
+        from scalablevectorsearch_spark.operators.ivf import ivf_build
+
+        spark = _spark()
+        base = _to_df(data, spark).select("id", "vector")
+        index = ivf_build(
+            base, build_parameters.num_centroids,
+            n_iters=build_parameters.max_iterations,
+        )
+        index.clustered.cache().count()
+        return cls(dynamic_ivf(index), _dist(distance))
+
+    def _rows(self, points, ids) -> DataFrame:
+        X = np.asarray(points, dtype=np.float32)
+        ids = np.asarray(ids, dtype=np.int64)
+        rows = [(int(ids[i]), [float(v) for v in X[i]]) for i in range(len(X))]
+        return self.spark.createDataFrame(rows, "id long, vector array<float>")
+
+    def add(self, points, ids) -> "DynamicIVF":
+        from scalablevectorsearch_spark.operators.dynamic import ivf_add_points
+
+        self.dyn = ivf_add_points(self.dyn, self._rows(points, ids))
+        return self
+
+    def delete(self, ids) -> "DynamicIVF":
+        from scalablevectorsearch_spark.operators.dynamic import ivf_delete_entries
+
+        if not isinstance(ids, DataFrame):
+            ids = self.spark.createDataFrame(
+                [(int(v),) for v in np.asarray(ids).ravel()], "id long"
+            )
+        self.dyn = ivf_delete_entries(self.dyn, ids)
+        return self
+
+    def recluster(self, n_iters: int = 2) -> "DynamicIVF":
+        from scalablevectorsearch_spark.operators.dynamic import ivf_recluster
+
+        self.dyn = ivf_recluster(self.dyn, n_iters=n_iters)
+        return self
+
+    def search(self, queries, k: int, **kw):
+        from scalablevectorsearch_spark.operators.dynamic import ivf_dynamic_search
+
+        qdf, nq = _queries_df(queries, self.spark)
+        res = ivf_dynamic_search(
+            self.dyn, qdf, k=k, n_probes=self.search_parameters.n_probes,
+            distance=self.distance, **kw,
+        )
+        return _to_numpy(res, nq, k) if nq is not None else res
+
+
 class Clustering:
     """ivf orchestrator's standalone clustering artifact
     (svs.Clustering.build in example_ivf.py)."""
@@ -703,3 +900,19 @@ def write_svs(path: str, X: np.ndarray) -> None:
     from scalablevectorsearch_spark.sources import vecs as vio
 
     vio.write_svs(path, X)
+
+
+class _Upgrader:
+    """svs.upgrader (bindings/python/src/svs/upgrader.py) — migrates a
+    saved index directory to the current serialization version; the
+    engine analog is the manifest upgrader of sources/index_store.py."""
+
+    @staticmethod
+    def upgrade(path: str) -> None:
+        from scalablevectorsearch_spark.sources.index_store import upgrade_index
+
+        upgrade_index(path)
+
+
+#: module-level singleton, used as ``svs.upgrader.upgrade(path)``
+upgrader = _Upgrader()

@@ -183,3 +183,78 @@ def test_leanvec_index_save_load_requires_rerank_base(spark, dataset, tmp_path):
     loaded.search_window_size = 60
     I, D = loaded.search(Q, 10, rerank_base=X)
     assert svs.k_recall_at(gt, I, 10, 10) >= 0.85
+
+
+def test_search_buffer_config_and_parameters(spark, dataset):
+    with pytest.raises(svs.ANNException):
+        svs.SearchBufferConfig(10, 5)
+    cfg = svs.SearchBufferConfig(20, 40)
+    assert cfg.search_window_size == 20 and cfg.search_buffer_capacity == 40
+    assert cfg == svs.SearchBufferConfig(20, 40)
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    index = svs.Vamana.build(params, X, svs.DistanceType.L2, n_shards=2)
+    index.search_parameters = svs.VamanaSearchParameters(cfg)
+    assert index.search_window_size == 20
+    got = index.search_parameters
+    assert got.buffer_config.search_buffer_capacity == 40
+    I, D = index.search(Q, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.9
+
+
+def test_dynamic_flat(spark, dataset):
+    X, Q, gt = dataset
+    index = svs.DynamicFlat.build(X)
+    n = len(X)
+    index.add(X[:5] + 10.0, np.arange(n, n + 5))
+    index.delete(np.arange(3))
+    I, D = index.search(Q, 10)
+    assert I.shape == (20, 10)
+    assert not set(I.ravel().tolist()) & {0, 1, 2}  # deleted never returned
+    exact = svs.Flat(X).search(Q, 13)[0]  # superset check on survivors
+    for q in range(20):
+        kept = [i for i in exact[q] if i not in (0, 1, 2)][:10]
+        got = [i for i in I[q] if i < n]
+        assert got == [i for i in kept if i in got]  # order preserved
+
+
+def test_dynamic_ivf(spark, dataset):
+    X, Q, gt = dataset
+    bp = svs.IVFBuildParameters(num_centroids=16, max_iterations=2)
+    index = svs.DynamicIVF.build(bp, X)
+    n = len(X)
+    index.add(X[:5], np.arange(n, n + 5)).delete(np.arange(5))
+    index = index.recluster()
+    index.search_parameters.n_probes = 12
+    I, D = index.search(Q, 10)
+    assert I.shape == (20, 10)
+    assert not set(I.ravel().tolist()) & set(range(5))
+    # recall vs exact over the mutated set
+    mut = np.vstack([X, X[:5]])
+    live = np.ones(len(mut), bool); live[:5] = False
+    D2 = ((Q[:, None, :].astype(np.float64) - mut[None].astype(np.float64)) ** 2).sum(-1)
+    D2[:, ~live] = np.inf
+    order = np.lexsort((np.broadcast_to(np.arange(len(mut)), D2.shape), D2), axis=1)
+    gt2 = order[:, :10]
+    assert svs.k_recall_at(gt2, I, 10, 10) >= 0.8
+
+
+def test_upgrader_alias(tmp_path, spark, dataset):
+    import json, os
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    index = svs.Vamana.build(params, X, svs.DistanceType.L2, n_shards=2)
+    path = str(tmp_path / "upg_idx")
+    index.save(path)
+    mpath = os.path.join(path, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["tables"] = sorted(m["tables"])
+    m["__version__"] = [0, 1, 0]
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    svs.upgrader.upgrade(path)
+    loaded = svs.Vamana(path)
+    loaded.search_window_size = 40
+    I, _ = loaded.search(Q, 10)
+    assert svs.k_recall_at(gt, I, 10, 10) >= 0.9
