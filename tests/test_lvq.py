@@ -168,3 +168,21 @@ def test_lvq_vamana_requires_lvq_index(base, queries):
     idx = vamana_build(base, n_shards=2)
     with pytest.raises(ValueError):
         lvq_vamana_search(idx, queries, k=5)
+
+
+def test_lvq_ivf_composition(base, queries, p48):
+    """extensions/ivf/lvq.h shape: IVF built over the LVQ primary
+    reconstruction, probed search + exact re-rank against the original
+    vectors (k_reorder) — recall vs exact flat >= 0.85."""
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+
+    recon = lvq_decompress(lvq_compress(base, p48), p48, out_col="rv", level=1).select(
+        "id", F.col("rv").alias("vector")
+    )
+    index = ivf_build(recon, 8, 2)
+    res = ivf_search(
+        index, queries, k=10, n_probes=6, distance="l2",
+        k_reorder=30, rerank_base=base, rerank_queries=queries,
+    ).select("qid", "neighbor_id")
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    assert res.join(gt, ["qid", "neighbor_id"]).count() / gt.count() >= 0.85
