@@ -163,6 +163,53 @@ def main() -> int:
         check(f"compact {nm}: no single-partition exchange", "SinglePartition" not in p)
         check(f"compact {nm}: no WindowExec", "Window" not in p.replace("WindowGroupLimit", ""))
 
+    # 7. LVQ: codec is pure Catalyst — compress/decompress/primary scan
+    # carry no Python UDF stage; the two-level rerank broadcasts the
+    # candidate pairs (no shuffle of the reconstruction scan)
+    from scalablevectorsearch_spark.operators.lvq import (
+        lvq_compress,
+        lvq_knn,
+        lvq_train,
+    )
+
+    pq = lvq_train(base, primary_bits=4, residual_bits=8)
+    storage = lvq_compress(base.select("id", "vector"), pq)
+    p = plan_of(storage)
+    check("lvq compress: no Python UDF (pure Catalyst codec)", "EvalPython" not in p)
+    check("lvq compress: scan-only (no shuffle)", "Exchange" not in p)
+    p = plan_of(
+        lvq_knn(
+            storage, queries, pq, k=5, k_reorder=15, base_compressed=True
+        )
+    )
+    check("lvq knn: no Python UDF end to end", "EvalPython" not in p)
+    check(
+        "lvq rerank: candidate pairs broadcast (no reconstruction shuffle)",
+        "BroadcastExchange" in p,
+    )
+
+    # 8. LeanVec: exactly one Arrow-batched projection stage per side
+    # (mapInArrow), rerank via broadcast
+    from scalablevectorsearch_spark.operators.leanvec import (
+        LeanVecModel,
+        leanvec_knn,
+    )
+
+    model = LeanVecModel.truncation(64, 16)
+    p = plan_of(leanvec_knn(base, queries, model, k=5, k_reorder=15))
+    n_arrow = len(re.findall(r"MapInArrow|PythonMapInArrow|ArrowEvalPython", p))
+    check(
+        # data + query projections, each appearing in the candidate
+        # subtree and the rerank subtree -> up to 4 bounded stages
+        "leanvec: projection is Arrow-batched (bounded Python stages)",
+        0 < n_arrow <= 4,
+        f"{n_arrow} arrow stages",
+    )
+    check(
+        "leanvec rerank: candidate pairs broadcast",
+        "BroadcastExchange" in p,
+    )
+
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
 
