@@ -110,6 +110,7 @@ def _scan_kernel(
     chunk_size: int,
     round_to: int | None,
     deadline: float | None = None,
+    decode=None,
 ):
     """Build the mapInArrow function: one pass over the partition's
     Arrow batches, updating a running top-k for every query chunk.
@@ -151,12 +152,25 @@ def _scan_kernel(
             # Arrow-native decode: the list array's flattened values
             # buffer IS the (n, d) matrix — no per-row object stacking
             flat = vec.flatten().to_numpy(zero_copy_only=False)
-            if vec.null_count or len(flat) != n * d:
-                raise ValueError(
-                    f"vector column must be non-null uniform dim {d}; "
-                    f"got {len(flat)} values for {n} rows"
-                )
-            B = flat.reshape(n, d)
+            if decode is None:
+                if vec.null_count or len(flat) != n * d:
+                    raise ValueError(
+                        f"vector column must be non-null uniform dim {d}; "
+                        f"got {len(flat)} values for {n} rows"
+                    )
+                B = flat.reshape(n, d)
+            else:
+                # compressed storage row (e.g. LVQ packed codes):
+                # reshape to the storage width, decode to (n, d) in one
+                # vectorized numpy pass — the in-register decompression
+                # of the reference's compressed scan kernels
+                if vec.null_count or len(flat) % n:
+                    raise ValueError("packed vector column must be non-null uniform")
+                B = decode(flat.reshape(n, len(flat) // n))
+                if B.shape != (n, d):
+                    raise ValueError(
+                        f"decode returned {B.shape}, expected {(n, d)}"
+                    )
             for c in range(n_chunks):
                 sl = slice(c * chunk_size, (c + 1) * chunk_size)
                 qf = None if q_fixed is None else q_fixed[sl]
@@ -228,6 +242,7 @@ def flat_knn(
     query_chunk_size: int = 8192,
     max_query_block: int | None = None,
     deadline: float | None = None,
+    decode=None,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -248,7 +263,14 @@ def flat_knn(
     ``deadline``: absolute epoch-seconds budget checked inside the scan
     kernel per Arrow batch (flat.h:344-346 cancel parity) — combine
     with operators.cancel.run_with_timeout for mid-stage interruption
-    of long single-stage scans."""
+    of long single-stage scans.
+
+    ``decode``: optional vectorized storage decoder — called on each
+    Arrow batch's (n, storage_width) float64 matrix and returning the
+    (n, d) vector matrix (the reference's compressed-scan extension
+    point, extensions/flat/*.h). Used by operators.lvq to scan packed
+    codes directly; ships in the task closure like custom distance
+    kernels."""
     qvec_col = qvec_col or vec_col
     if where is not None:
         base = base.filter(where)
@@ -274,7 +296,7 @@ def flat_knn(
         qids = qp["qid"].to_numpy(dtype=np.int64)
         Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
         bc = sc.broadcast((qids, Q))
-        fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to, deadline)
+        fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to, deadline, decode)
         cand = scan.mapInArrow(fn, RESULT_SCHEMA)
         part = topk_per_group(
             cand,

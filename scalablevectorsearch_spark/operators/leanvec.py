@@ -220,13 +220,19 @@ def leanvec_knn(
     qvec_col: str | None = None,
     round_to: int | None = 4,
     primary_lvq=None,
+    base_projected: DataFrame | None = None,
 ) -> DataFrame:
     """Two-stage LeanVec k-NN: primary candidate generation in the
     projected space (top ``k_reorder``), exact full-dimension re-rank
     (the paper's pipeline; emitted distances are the exact stage's).
     ``primary_lvq``: optional LVQParams TRAINED ON THE PROJECTED
     data — the primary then runs over LVQ codes (LeanVec4x* storage
-    kinds)."""
+    kinds).
+    ``base_projected``: the PERSISTED (id, vector[m]) projection of
+    ``base`` (from :func:`leanvec_project`) — the reference stores the
+    LeanVec dataset projected once at construction; without it every
+    search re-projects the full base (fine for one-shots, wasteful for
+    serving)."""
     from scalablevectorsearch_spark.operators.flat import flat_knn
     from scalablevectorsearch_spark.operators.lvq import lvq_knn
 
@@ -236,9 +242,14 @@ def leanvec_knn(
         raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
     qvec_col = qvec_col or vec_col
     center_q = distance == "l2"
-    pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
-        F.col(id_col).cast("long").alias("id"), F.col("__pv").alias("vector")
-    )
+    if base_projected is not None:
+        pb = base_projected.select(
+            F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
+        )
+    else:
+        pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
+            F.col(id_col).cast("long").alias("id"), F.col("__pv").alias("vector")
+        )
     pq = leanvec_project(
         queries, model, "query", qvec_col, "__pv", center=center_q
     ).select(F.col(qid_col).cast("long").alias("qid"), F.col("__pv").alias("vector"))

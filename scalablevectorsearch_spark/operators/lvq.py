@@ -57,6 +57,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -242,6 +243,45 @@ def lvq_decompress(
     return df.withColumn(out_col, recon)
 
 
+def lvq_packed_col(params: LVQParams, prefix: str = "lvq_") -> Column:
+    """One flat DOUBLE array per row — ``[lo, step, byte_0 .. byte_w]``
+    with the code bytes still packed (nibbles at B1=4). A single cheap
+    Catalyst ``transform`` (cast only); the real decompression happens
+    vectorized inside the scan kernel (:func:`lvq_decoder`), which is
+    ~10x the per-element Catalyst expression chain while remaining
+    bit-identical (same IEEE ops elementwise)."""
+    return F.concat(
+        F.array(F.col(f"{prefix}lo"), F.col(f"{prefix}step")),
+        F.transform(F.col(f"{prefix}codes"), lambda b: b.cast("double")),
+    )
+
+
+def lvq_decoder(params: LVQParams):
+    """Vectorized numpy decoder for :func:`lvq_packed_col` rows — the
+    ``decode`` hook of ``flat_knn`` (the reference's compressed-scan
+    extension point, extensions/flat/*.h). Elementwise-identical to
+    :func:`lvq_decompress` level 1: x = (mu + lo) + step * c."""
+    mu = np.asarray(params.mean, dtype=np.float64)
+    bits, dims = params.primary_bits, params.dims
+
+    def decode(M: np.ndarray) -> np.ndarray:
+        lo, step = M[:, 0], M[:, 1]
+        body = M[:, 2:]
+        if bits == 8:
+            C = body + 128.0
+        else:
+            ub = body + 128.0
+            hi = np.floor(ub / 16.0)
+            lo_nib = ub - 16.0 * hi
+            C = np.empty((M.shape[0], body.shape[1] * 2), dtype=np.float64)
+            C[:, 0::2] = hi
+            C[:, 1::2] = lo_nib
+            C = C[:, :dims]
+        return (mu + lo[:, None]) + step[:, None] * C
+
+    return decode
+
+
 def lvq_knn(
     base: DataFrame,
     queries: DataFrame,
@@ -275,15 +315,23 @@ def lvq_knn(
 
     qvec_col = qvec_col or vec_col
     comp = base if base_compressed else lvq_compress(base, params, vec_col)
-    recon1 = lvq_decompress(comp, params, out_col="__rv", level=1).select(
-        F.col(id_col).cast("long").alias("id"), F.col("__rv").alias("vector")
+    # primary scan reads the PACKED codes (1 or 0.5 bytes/component on
+    # disk) and decompresses inside the Arrow kernel — bandwidth of the
+    # compressed table, decode at BLAS speed, values bit-identical to
+    # the Catalyst lvq_decompress chain
+    packed = comp.select(
+        F.col(id_col).cast("long").alias("id"),
+        lvq_packed_col(params).alias("vector"),
     )
+    dec = lvq_decoder(params)
     q = queries.select(F.col(qid_col).alias("qid"), F.col(qvec_col).alias("vector"))
     if k_reorder is None or not params.residual_bits:
-        return flat_knn(recon1, q, k=k, distance=distance, round_to=round_to)
+        return flat_knn(packed, q, k=k, distance=distance, round_to=round_to, decode=dec)
     if k_reorder < k:
         raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
-    cands = flat_knn(recon1, q, k=k_reorder, distance=distance, round_to=round_to)
+    cands = flat_knn(
+        packed, q, k=k_reorder, distance=distance, round_to=round_to, decode=dec
+    )
     recon2 = lvq_decompress(comp, params, out_col="__rv", level=2).select(
         F.col(id_col).cast("long").alias("neighbor_id"), F.col("__rv").alias("__bv")
     )
