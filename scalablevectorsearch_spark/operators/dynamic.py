@@ -255,6 +255,12 @@ def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
             "dynamic mutations require a hash-sharded index (shard_by='hash'); "
             "cluster-sharded layouts re-cluster via a rebuild job instead"
         )
+    if getattr(index, "vec_decode", None) is not None:
+        raise ValueError(
+            "dynamic mutations are not supported on packed-storage indexes; "
+            "build the LVQ index over the reconstruction (vec_decode=None) "
+            "for mutation workloads"
+        )
     return DynamicVamana(index=index, tomb_ids=())
 
 

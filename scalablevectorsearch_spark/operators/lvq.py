@@ -395,21 +395,52 @@ def lvq_vamana_build(
     id_col: str = "id",
     vec_col: str = "vector",
     base_compressed: bool = False,
+    packed: bool = True,
     **build_kw,
 ):
-    """Build a Vamana graph over the LVQ primary reconstruction.
+    """Build a Vamana graph over LVQ storage.
+
+    ``packed=True`` (default): the index's persisted layout holds the
+    PACKED rows ([lo, step, code bytes] — 0.5-1 byte/component of
+    payload) and every kernel decodes at entry via ``vec_decode`` —
+    the reference's compressed dataset inside the graph index
+    (vamana_with_compression_lvq.py), and the storage shape that
+    matters at 100 TB. ``packed=False`` materializes the primary
+    reconstruction instead (required for dynamic mutation workloads).
+    Distances are identical either way (the decode is bit-exact).
     Extra kwargs (shard_by/closure_bp/...) pass through to
-    ``vamana_build`` — LVQ composes with cluster sharding, closure
-    replication, and epsilon probing like every other storage kind."""
+    ``vamana_build``; kmeans sharding with ``packed=True`` trains the
+    shard model on the reconstruction automatically."""
     from scalablevectorsearch_spark.operators.vamana import vamana_build
 
     comp = base if base_compressed else lvq_compress(base, params, vec_col)
-    recon1 = lvq_decompress(comp, params, out_col="__rv", level=1).select(
-        F.col(id_col).alias(id_col), F.col("__rv").alias(vec_col)
+    if not packed:
+        recon1 = lvq_decompress(comp, params, out_col="__rv", level=1).select(
+            F.col(id_col).alias(id_col), F.col("__rv").alias(vec_col)
+        )
+        idx = vamana_build(
+            recon1, vamana_params, n_shards=n_shards, distance=distance,
+            id_col=id_col, vec_col=vec_col, **build_kw,
+        )
+        idx.lvq_params = params
+        return idx
+    if build_kw.get("shard_by") == "kmeans" and build_kw.get("shard_model") is None:
+        # centroids live in the decoded geometry — train on the
+        # reconstruction, then stamp the packed rows via the decoder
+        from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+        recon1 = lvq_decompress(comp, params, out_col="__rv", level=1).select(
+            F.col(id_col).alias(id_col), F.col("__rv").alias(vec_col)
+        )
+        build_kw["shard_model"] = train_kmeans(
+            recon1, n_shards, build_kw.pop("kmeans_iters", 2), id_col, vec_col
+        )
+    packed_df = comp.select(
+        F.col(id_col).alias(id_col), lvq_packed_col(params).alias(vec_col)
     )
     idx = vamana_build(
-        recon1, vamana_params, n_shards=n_shards, distance=distance,
-        id_col=id_col, vec_col=vec_col, **build_kw,
+        packed_df, vamana_params, n_shards=n_shards, distance=distance,
+        id_col=id_col, vec_col=vec_col, vec_decode=lvq_decoder(params), **build_kw,
     )
     idx.lvq_params = params
     return idx

@@ -138,6 +138,13 @@ class VamanaIndex:
     #: whose scale/bias correct the compressed-domain distances. Build
     #: and search with operators.sq.sq_vamana_build / sq_vamana_search.
     sq_params: object | None = None
+    #: optional vectorized storage decoder: the layout's ``__vec`` rows
+    #: are PACKED storage (e.g. LVQ codes at 0.5-1 byte/component) and
+    #: every kernel decodes (n, w) -> (n, d) at entry — the reference's
+    #: compressed dataset plugged into the graph index
+    #: (extensions/vamana/*.h). Ships in task closures; persisted
+    #: indexes rebuild it from their compression params at load.
+    vec_decode: object | None = None
 
 
 def _sharded(
@@ -147,6 +154,7 @@ def _sharded(
     shard_model=None,
     vec_col: str = "vector",
     closure_bp: int | None = None,
+    vec_decode=None,
 ) -> DataFrame:
     if shard_model is None:
         return base.withColumn(
@@ -174,6 +182,8 @@ def _sharded(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if vec_decode is not None:
+                V = vec_decode(V)
             pdf = pdf.copy()
             pdf["shard_id"] = _nearest_centroid(V, C)
             yield pdf
@@ -188,6 +198,8 @@ def _sharded(
             if len(pdf) == 0:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            if vec_decode is not None:
+                V = vec_decode(V)
             key = np.floor(pairwise_distances(V, C, "l2") * 1e4 + 0.5).astype(
                 np.int64
             )
@@ -216,6 +228,7 @@ def vamana_build(
     kmeans_iters: int = 2,
     closure_bp: int | None = None,
     shard_model=None,
+    vec_decode=None,
 ) -> VamanaIndex:
     """Build one Vamana graph per shard (deterministic: per-shard rows
     processed in ascending id order).
@@ -236,10 +249,22 @@ def vamana_build(
     constant — safe constants don't transfer across geometries.
     ``shard_model``: pass a pre-trained KMeansModel to skip the
     (deterministic) retrain — e.g. when the centroids were already
-    trained to FIT closure/epsilon parameters against budgets."""
+    trained to FIT closure/epsilon parameters against budgets.
+    ``vec_decode``: vectorized storage decoder — ``base[vec_col]``
+    rows are packed storage and every kernel (shard stamp, graph
+    build, search) decodes (n, w) -> (n, d) at entry; the persisted
+    layout then holds the COMPRESSED rows (the point of a compressed
+    index at 100 TB). kmeans sharding requires an explicit
+    ``shard_model`` in this mode (centroids live in the decoded
+    geometry)."""
     params = params or VamanaParams()
     if shard_by == "kmeans":
         if shard_model is None:
+            if vec_decode is not None:
+                raise ValueError(
+                    "vec_decode with shard_by='kmeans' requires a pre-trained "
+                    "shard_model over the DECODED vectors"
+                )
             from scalablevectorsearch_spark.operators.kmeans import train_kmeans
 
             shard_model = train_kmeans(base, n_shards, kmeans_iters, id_col, vec_col)
@@ -265,6 +290,8 @@ def vamana_build(
         pdf = pdf.sort_values("__id").reset_index(drop=True)
         gids = pdf["__id"].to_numpy(dtype=np.int64)
         X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+        if vec_decode is not None:
+            X = vec_decode(X)
         shard = int(pdf["shard_id"].iloc[0])
         graph, entry = build_graph(X, params, distance)
         return pd.DataFrame(
@@ -282,7 +309,9 @@ def vamana_build(
     # so build AND every later search read the shard-partitioned copy
     # instead of re-shuffling the base (index.h's materialized data_)
     layout = _by_shard(
-        _sharded(base, n_shards, id_col, shard_model, vec_col, closure_bp).select(
+        _sharded(
+            base, n_shards, id_col, shard_model, vec_col, closure_bp, vec_decode
+        ).select(
             "shard_id",
             F.col(id_col).cast("long").alias("__id"),
             F.col(vec_col).alias("__vec"),
@@ -292,7 +321,7 @@ def vamana_build(
     return VamanaIndex(
         graph=graph, base=base, params=params, distance=distance,
         n_shards=n_shards, id_col=id_col, vec_col=vec_col, shard_model=shard_model,
-        closure_bp=closure_bp, layout=layout,
+        closure_bp=closure_bp, layout=layout, vec_decode=vec_decode,
     )
 
 
@@ -413,6 +442,7 @@ def _vamana_search_block(
     ranked result and the block's broadcast (caller frees it when
     iterating blocks eagerly)."""
     params, distance = index.params, index.distance
+    vec_decode = index.vec_decode
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     probe_of = None
@@ -472,6 +502,8 @@ def _vamana_search_block(
         vdf = vdf.sort_values("__id").reset_index(drop=True)
         gids = vdf["__id"].to_numpy(dtype=np.int64)
         X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        if vec_decode is not None:
+            X = vec_decode(X)
         del_flag = (
             vdf["__del"].to_numpy(dtype=bool) if "__del" in vdf.columns else None
         )
@@ -515,7 +547,7 @@ def _vamana_search_block(
         scan = _by_shard(
             _sharded(
                 index.base, index.n_shards, index.id_col, index.shard_model,
-                index.vec_col, index.closure_bp,
+                index.vec_col, index.closure_bp, index.vec_decode,
             ).select(
                 "shard_id",
                 F.col(index.id_col).cast("long").alias("__id"),

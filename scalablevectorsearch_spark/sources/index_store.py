@@ -220,6 +220,10 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         params["lvq_primary_bits"] = lvq.primary_bits
         params["lvq_residual_bits"] = lvq.residual_bits
         params["lvq_mean"] = [float(x) for x in lvq.mean]
+        # packed layout: the data table holds [lo, step, code bytes]
+        # rows and kernels decode at entry — the decoder is rebuilt
+        # from these params at load
+        params["lvq_packed"] = getattr(index, "vec_decode", None) is not None
     lv = getattr(index, "leanvec_model", None)
     if lv is not None:
         # LeanVec index (data_traits.h leanvec_dims + the projection
@@ -315,13 +319,15 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
 
         idx.sq_params = SQParams(gmin=p["sq_gmin"], gmax=p["sq_gmax"])
     if p.get("lvq_primary_bits") is not None:
-        from scalablevectorsearch_spark.operators.lvq import LVQParams
+        from scalablevectorsearch_spark.operators.lvq import LVQParams, lvq_decoder
 
         idx.lvq_params = LVQParams(
             mean=tuple(p["lvq_mean"]), dims=len(p["lvq_mean"]),
             primary_bits=p["lvq_primary_bits"],
             residual_bits=p.get("lvq_residual_bits", 0),
         )
+        if p.get("lvq_packed"):
+            idx.vec_decode = lvq_decoder(idx.lvq_params)
     if p.get("leanvec_data_matrix") is not None:
         from scalablevectorsearch_spark.operators.leanvec import LeanVecModel
 

@@ -186,3 +186,38 @@ def test_lvq_ivf_composition(base, queries, p48):
     ).select("qid", "neighbor_id")
     gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
     assert res.join(gt, ["qid", "neighbor_id"]).count() / gt.count() >= 0.85
+
+
+def test_lvq_vamana_packed_layout(base, queries, p48):
+    """packed=True (default): the persisted layout holds [lo, step,
+    nibble bytes] rows (2 + ceil(d/2) doubles), kernels decode at
+    entry, and results EQUAL the reconstruction-layout build."""
+    idx_p = lvq_vamana_build(base, p48, n_shards=2)
+    w = idx_p.layout.select(F.size("__vec")).first()[0]
+    assert w == 2 + (p48.dims + 1) // 2
+    idx_r = lvq_vamana_build(base, p48, n_shards=2, packed=False)
+    assert idx_r.layout.select(F.size("__vec")).first()[0] == p48.dims
+    rp = lvq_vamana_search(idx_p, queries, k=10, search_window_size=4096)
+    rr = lvq_vamana_search(idx_r, queries, k=10, search_window_size=4096)
+    a = {tuple(r) for r in rp.select("qid", "rank", "neighbor_id").collect()}
+    b = {tuple(r) for r in rr.select("qid", "rank", "neighbor_id").collect()}
+    assert a == b
+
+
+def test_lvq_vamana_packed_kmeans_routing(base, queries, p48):
+    """packed layout composes with kmeans sharding + epsilon probing
+    (shard model trained on the reconstruction automatically)."""
+    idx = lvq_vamana_build(base, p48, n_shards=4, shard_by="kmeans")
+    res = lvq_vamana_search(
+        idx, queries, k=10, search_window_size=40, epsilon_bp=2000
+    ).select("qid", "neighbor_id")
+    gt = flat_knn(base, queries, k=10, distance="l2").select("qid", "neighbor_id")
+    assert res.join(gt, ["qid", "neighbor_id"]).count() / gt.count() >= 0.8
+
+
+def test_lvq_vamana_packed_dynamic_rejected(base, p48):
+    from scalablevectorsearch_spark.operators.dynamic import dynamic_vamana
+
+    idx = lvq_vamana_build(base, p48, n_shards=2)
+    with pytest.raises(ValueError):
+        dynamic_vamana(idx)
