@@ -315,19 +315,24 @@ def leanvec_vamana_build(
     pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
         F.col(id_col).alias(id_col), F.col("__pv").alias(vec_col)
     )
+    decode = None
     if primary_lvq is not None:
+        # LeanVec4x*/8x* primary: the projected rows are LVQ-packed in
+        # the layout (m/2-1m bytes per vector) and kernels decode at
+        # entry — compression ON TOP of the dimensionality reduction
         from scalablevectorsearch_spark.operators.lvq import (
             lvq_compress,
-            lvq_decompress,
+            lvq_decoder,
+            lvq_packed_col,
         )
 
-        pb = lvq_decompress(
-            lvq_compress(pb, primary_lvq, vec_col), primary_lvq,
-            out_col=vec_col, level=1,
-        ).select(id_col, vec_col)
+        pb = lvq_compress(pb, primary_lvq, vec_col).select(
+            F.col(id_col), lvq_packed_col(primary_lvq).alias(vec_col)
+        )
+        decode = lvq_decoder(primary_lvq)
     idx = vamana_build(
         pb, vamana_params, n_shards=n_shards, distance=distance,
-        id_col=id_col, vec_col=vec_col, **build_kw,
+        id_col=id_col, vec_col=vec_col, vec_decode=decode, **build_kw,
     )
     idx.leanvec_model = model
     return idx
