@@ -292,6 +292,7 @@ def vamana_build(
         X = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
         if vec_decode is not None:
             X = vec_decode(X)
+        X = X.astype(params.build_dtype, copy=False)
         shard = int(pdf["shard_id"].iloc[0])
         graph, entry = build_graph(X, params, distance)
         return pd.DataFrame(

@@ -205,6 +205,8 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         "window_size": p.window_size,
         "max_candidate_pool_size": p.max_candidate_pool_size,
         "prune_to": p.prune_to,
+        "use_full_search_history": p.use_full_search_history,
+        "build_dtype": p.build_dtype,
     }
     if index.sq_params is not None:
         # SQ-compressed index (extensions/vamana/scalar.h): the data
@@ -287,6 +289,8 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
         window_size=p["window_size"],
         max_candidate_pool_size=p["max_candidate_pool_size"],
         prune_to=p["prune_to"],
+        use_full_search_history=p.get("use_full_search_history", False),
+        build_dtype=p.get("build_dtype", "float64"),
     )
     shard_model = None
     if p.get("shard_by") == "kmeans":
