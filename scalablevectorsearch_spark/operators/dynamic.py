@@ -402,7 +402,8 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
             )
         vdf = vdf.sort_values("__id").reset_index(drop=True)
         gids = vdf["__id"].to_numpy(dtype=np.int64)
-        X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        # construction kernel: honor params.build_dtype (search stays f64)
+        X = np.stack(vdf["__vec"].to_numpy()).astype(params.build_dtype)
         new_mask = vdf["__new"].to_numpy(dtype=bool)
         if len(gdf) == 0 or new_mask.all():
             # shard had no prior graph — fresh build
@@ -580,7 +581,8 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
             return empty
         vdf = vdf.sort_values("__id").reset_index(drop=True)
         gids = vdf["__id"].to_numpy(dtype=np.int64)
-        X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        # repair kernel: honor params.build_dtype (search stays f64)
+        X = np.stack(vdf["__vec"].to_numpy()).astype(params.build_dtype)
         graph, entry = _decode_adjacency(gids, gdf)
         if "__del" in vdf.columns:
             deleted = vdf["__del"].to_numpy(dtype=bool)
