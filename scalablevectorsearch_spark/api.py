@@ -482,13 +482,26 @@ class Vamana:
         elif (
             getattr(self.index, "lvq_params", None) is not None
             and self.index.lvq_params.residual_bits
-            and getattr(self, "_lvq_storage", None) is not None
         ):
             from scalablevectorsearch_spark.operators.lvq import lvq_vamana_search
 
+            storage = getattr(self, "_lvq_storage", None)
+            if storage is None and rerank_base is not None:
+                # loaded-from-disk residual index: the manifest holds the
+                # primary layout only, so the caller supplies the lvq_*
+                # compressed storage table for the two-level re-rank
+                storage = rerank_base
+                if not isinstance(storage, DataFrame):
+                    storage = _to_df(storage, self.spark)
+            if storage is None:
+                raise ValueError(
+                    "residual-LVQ index loaded from disk: pass rerank_base= "
+                    "(the lvq_* compressed storage table) to search so the "
+                    "two-level re-rank the docstring promises can run"
+                )
             res = lvq_vamana_search(
                 self.index, qdf, k=k, k_reorder=window,
-                compressed=self._lvq_storage, search_window_size=window, **kw,
+                compressed=storage, search_window_size=window, **kw,
             )
         else:
             res = vamana_search(self.index, qdf, k=k, search_window_size=window, **kw)

@@ -164,9 +164,15 @@ def _scan_kernel(
                 # reshape to the storage width, decode to (n, d) in one
                 # vectorized numpy pass — the in-register decompression
                 # of the reference's compressed scan kernels
-                if vec.null_count or len(flat) % n:
-                    raise ValueError("packed vector column must be non-null uniform")
-                B = decode(flat.reshape(n, len(flat) // n))
+                import pyarrow.compute as pc
+
+                lens = pc.list_value_length(vec).to_numpy(zero_copy_only=False)
+                if vec.null_count or not len(lens) or (lens != lens[0]).any():
+                    raise ValueError(
+                        "packed vector column must be non-null with a uniform "
+                        "storage width (ragged packed rows cannot be reshaped)"
+                    )
+                B = decode(flat.reshape(n, int(lens[0])))
                 if B.shape != (n, d):
                     raise ValueError(
                         f"decode returned {B.shape}, expected {(n, d)}"

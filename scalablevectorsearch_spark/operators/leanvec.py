@@ -130,11 +130,20 @@ def leanvec_train(
         n = 0
         for b in batches:
             col = b.column(0)
-            if len(col) == 0:
+            nb = len(col)
+            if nb == 0:
                 continue
-            X = np.stack(col.to_pylist()).astype(np.float64) - mu
+            # zero-copy Arrow decode (the flat.py:154 pattern): the
+            # list array's flattened values buffer IS the (n, d) matrix
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if col.null_count or len(flat) != nb * d:
+                raise ValueError(
+                    f"vector column must be non-null uniform dim {d}; "
+                    f"got {len(flat)} values for {nb} rows"
+                )
+            X = flat.reshape(nb, d).astype(np.float64, copy=False) - mu
             acc += X.T @ X
-            n += len(col)
+            n += nb
         yield pa.RecordBatch.from_arrays(
             [pa.array([acc.reshape(-1).tolist()]), pa.array([n])],
             names=["mm", "n"],
@@ -187,18 +196,33 @@ def leanvec_project(
         + [f"`{out_col}` array<double>"]
     )
 
+    d_in = model.dims
+
     def project(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
-            if b.num_rows == 0:
+            n = b.num_rows
+            if n == 0:
                 continue
             vi = b.schema.names.index(vec_col)
-            X = np.stack(
-                [np.asarray(v, dtype=np.float64) for v in b.column(vi).to_pylist()]
-            )
+            col = b.column(vi)
+            # zero-copy decode + zero-copy encode: values buffer in,
+            # BLAS matmul, values buffer out (flat.py:154 pattern) — no
+            # per-row Python objects in the projection hot path
+            flat = col.flatten().to_numpy(zero_copy_only=False)
+            if col.null_count or len(flat) != n * d_in:
+                raise ValueError(
+                    f"vector column must be non-null uniform dim {d_in}; "
+                    f"got {len(flat)} values for {n} rows"
+                )
+            X = flat.reshape(n, d_in).astype(np.float64, copy=False)
             if mu is not None:
                 X = X - mu
-            Y = X @ P
-            new = pa.array([row.tolist() for row in Y], type=pa.list_(pa.float64()))
+            Y = np.ascontiguousarray(X @ P)
+            m = Y.shape[1]
+            new = pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * m, m, dtype=np.int32)),
+                pa.array(Y.reshape(-1), type=pa.float64()),
+            )
             yield pa.RecordBatch.from_arrays(
                 [b.column(i) for i in range(b.num_columns)] + [new],
                 names=list(b.schema.names) + [out_col],
@@ -326,6 +350,14 @@ def leanvec_vamana_build(
             lvq_packed_col,
         )
 
+        if build_kw.get("shard_by") == "kmeans" and build_kw.get("shard_model") is None:
+            # centroids live in the projected (decoded) geometry —
+            # train before packing, like lvq_vamana_build
+            from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+            build_kw["shard_model"] = train_kmeans(
+                pb, n_shards, build_kw.pop("kmeans_iters", 2), id_col, vec_col
+            )
         pb = lvq_compress(pb, primary_lvq, vec_col).select(
             F.col(id_col), lvq_packed_col(primary_lvq).alias(vec_col)
         )
@@ -335,6 +367,12 @@ def leanvec_vamana_build(
         id_col=id_col, vec_col=vec_col, vec_decode=decode, **build_kw,
     )
     idx.leanvec_model = model
+    if primary_lvq is not None:
+        # the primary-LVQ params (projected-space mean + bit widths)
+        # are part of the index identity: save_vamana persists them and
+        # load_vamana rebuilds vec_decode from them — without this the
+        # loaded packed index cannot decode its own layout
+        idx.lvq_params = primary_lvq
     return idx
 
 

@@ -355,8 +355,12 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
             F.col("vector").alias("__vec"),
         )
     else:
+        # re-derivation must stamp shards in the DECODED geometry: a
+        # packed (LVQ) index's raw storage rows have the wrong width
+        # and wrong values for nearest-centroid assignment
         assigned = _sharded(
-            data, p["n_shards"], "id", shard_model, "vector", p.get("closure_bp")
+            data, p["n_shards"], "id", shard_model, "vector", p.get("closure_bp"),
+            vec_decode=getattr(idx, "vec_decode", None),
         ).select(
             "shard_id",
             F.col("id").cast("long").alias("__id"),
