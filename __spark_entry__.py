@@ -254,6 +254,28 @@ def _inverted_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _inverted_routed_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL two-level Inverted composition (memory_based.h:577-586
+    route through the primary centroid index, :508 epsilon refinement)
+    — the reference's default search design and this engine's default
+    routed path at scale. Metamorphic hash gate: with
+    ``router_candidates == n_clusters`` the router's candidate set is
+    complete (route() pads to all cells), so routed epsilon probing
+    EQUALS plain epsilon probing and the same SQL oracle gates the
+    composition end to end."""
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+
+    base = _base(spark, sf_dir)
+    index = ivf_build(base, N_CLUSTERS, KM_ITERS)
+    router = build_centroid_router(index.model, distance="l2")
+    res = ivf_search(
+        index, _queries_df(spark, sf_dir), k=K, n_probes=0, distance="l2",
+        round_to=4, epsilon_bp=INV_EPS_BP, router=router,
+        router_candidates=N_CLUSTERS,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _sq_minmax_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
 
@@ -1012,6 +1034,35 @@ def _batch_iterator_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _batch_iterator_ivf_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-backed BatchIterator (ivf/iterator.h:53 + orchestrators/
+    ivf_iterator.h): the generic paging machinery composed with
+    ivf_search at fixed n_probes. Three pages of size 4 concatenated
+    must hash-equal the one-shot top-12 IVF result — deterministic
+    probe selection makes the re-searched pages disjoint and complete."""
+    from scalablevectorsearch_spark.operators.iterator import (
+        BatchIterator,
+        DefaultSchedule,
+    )
+
+    base = _base(spark, sf_dir)
+    q = _queries_df(spark, sf_dir)
+    index = ivf_build(base, N_CLUSTERS, KM_ITERS)
+    it = BatchIterator(
+        search_fn=lambda kk, w: ivf_search(
+            index, q, k=kk, n_probes=N_PROBES, distance="l2", round_to=4
+        ),
+        schedule=DefaultSchedule(batch_size=ITER_PAGE_SIZE),
+    )
+    pages = [it.next_batch() for _ in range(ITER_PAGES)]
+    out = pages[0]
+    for pg in pages[1:]:
+        out = out.unionByName(pg)
+    return out.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
 def _batch_iterator_linear_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LinearSchedule paging gate (iterator_schedule.h:123): page sizes
     grow 4, 8, 12 (slope 4); the three concatenated pages must
@@ -1672,6 +1723,30 @@ def _leanvec_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _leanvec_knn_cosine_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LeanVec cosine gate (truncation projection): primary = IP over
+    the first m centered coordinates of the unit-normalized base (query
+    uncentered — the ip convention), exact full-dim cosine re-rank.
+    Exercises the normalize-then-IP reduction of the reference's
+    generic distance dispatch (distance/cosine.h:102)."""
+    from scalablevectorsearch_spark.operators.leanvec import (
+        LeanVecModel,
+        _normalized,
+        dataset_mean,
+        leanvec_knn,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    model = LeanVecModel.truncation(
+        64, LV_TRUNC_M, mean=dataset_mean(_normalized(base, "vector"), "vector")
+    )
+    res = leanvec_knn(
+        base, _queries_df(spark, sf_dir), model, k=K, k_reorder=LV_TRUNC_RE_K,
+        distance="cosine", round_to=4,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 def _leanvec_vamana_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metamorphic gate for LeanVec inside Vamana: graph built in the
     projected space, exhaustive-window search + full-dim re-rank must
@@ -1733,7 +1808,44 @@ def _api_facade_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registry ORDER is part of the verification contract: the round
+    # driver samples the FIRST ~50 entries for CORRECTNESS_r{N}.json.
+    # Gates that have never had (or lost) a driver-green row lead;
+    # long-green gates from earlier rounds trail. Rotate when adding.
     return {
+        # --- round 3-4 gates never sampled by the driver (VERDICT r4
+        # task 1): LVQ/LeanVec storage kinds, streaming, iterator,
+        # facade, extension surface ---
+        "lvq_roundtrip": _lvq_roundtrip_query,
+        "lvq_knn_l2": _lvq_knn_query("l2"),
+        "lvq_knn_cosine": _lvq_knn_query("cosine"),
+        "lvq4x8_knn": _lvq4x8_knn_query,
+        "lvq_vamana_knn": _lvq_vamana_knn_query,
+        "leanvec_knn": _leanvec_knn_query,
+        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
+        "leanvec_recall": _leanvec_recall_query,
+        "batch_iterator_pages": _batch_iterator_query,
+        "batch_iterator_linear": _batch_iterator_linear_query,
+        "ivf_knn_reordered": _ivf_reorder_query,
+        "streaming_knn": _streaming_knn_query,
+        "streaming_dedup": _streaming_dedup_query,
+        "streaming_window_agg": _streaming_window_query,
+        "streaming_upsert_log": _streaming_upsert_query,
+        "sq_knn_cosine": _sq_knn_cosine_query,
+        "mixed_precision_knn": _mixed_precision_query,
+        "testdata_generator": _testdata_generator_query,
+        "search_cancel": _cancel_query,
+        "custom_distance_knn": _custom_distance_query,
+        "schema_validation": _schema_validation_query,
+        "graph_loader": _graph_loader_query,
+        "query_norm_fix": _query_norm_fix_query,
+        "alpha_prune_invariants": _alpha_prune_query,
+        "api_facade_knn": _api_facade_query,
+        # --- new round-5 gates ---
+        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
+        "inverted_routed_knn": _inverted_routed_knn_query,
+        "batch_iterator_ivf": _batch_iterator_ivf_query,
+        # --- round-1/2 gates, driver-green since CORRECTNESS_r04 ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
         "flat_knn_cosine": _knn_query("cosine"),
@@ -1784,31 +1896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats_query,
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
-        "batch_iterator_pages": _batch_iterator_query,
-        "batch_iterator_linear": _batch_iterator_linear_query,
-        "ivf_knn_reordered": _ivf_reorder_query,
-        "streaming_knn": _streaming_knn_query,
-        "streaming_dedup": _streaming_dedup_query,
-        "streaming_window_agg": _streaming_window_query,
-        "streaming_upsert_log": _streaming_upsert_query,
-        "sq_knn_cosine": _sq_knn_cosine_query,
-        "mixed_precision_knn": _mixed_precision_query,
-        "testdata_generator": _testdata_generator_query,
-        "search_cancel": _cancel_query,
-        "custom_distance_knn": _custom_distance_query,
-        "schema_validation": _schema_validation_query,
-        "graph_loader": _graph_loader_query,
-        "query_norm_fix": _query_norm_fix_query,
-        "alpha_prune_invariants": _alpha_prune_query,
-        "api_facade_knn": _api_facade_query,
-        "lvq_roundtrip": _lvq_roundtrip_query,
-        "lvq_knn_l2": _lvq_knn_query("l2"),
-        "lvq_knn_cosine": _lvq_knn_query("cosine"),
-        "lvq4x8_knn": _lvq4x8_knn_query,
-        "lvq_vamana_knn": _lvq_vamana_knn_query,
-        "leanvec_knn": _leanvec_knn_query,
-        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
-        "leanvec_recall": _leanvec_recall_query,
     }
 
 
@@ -1837,6 +1924,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_recall": oracles.ivf_recall_sql(K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES),
         "inverted_knn": oracles.ivf_knn_sql(
+            K, N_CLUSTERS, KM_ITERS, 0, N_QUERIES, epsilon_bp=INV_EPS_BP
+        ),
+        # router-proposed candidates cover every cell at
+        # router_candidates == n_clusters -> equals plain epsilon probing
+        "inverted_routed_knn": oracles.ivf_knn_sql(
             K, N_CLUSTERS, KM_ITERS, 0, N_QUERIES, epsilon_bp=INV_EPS_BP
         ),
         "sq_minmax": oracles.sq_minmax_sql(),
@@ -1911,6 +2003,10 @@ def oracle_sql() -> dict[str, str]:
         "batch_iterator_linear": oracles.flat_knn_sql(
             "l2", ITER_PAGE_SIZE * (1 + 2 + 3), N_QUERIES
         ),
+        # IVF pages concatenated == one-shot top-(pages*size) IVF search
+        "batch_iterator_ivf": oracles.ivf_knn_sql(
+            ITER_PAGES * ITER_PAGE_SIZE, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES
+        ),
         "ivf_knn_reordered": oracles.ivf_reorder_sql(
             K, RE_K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES
         ),
@@ -1940,6 +2036,9 @@ def oracle_sql() -> dict[str, str]:
         # exhaustive-window LVQ-graph search degenerates to the flat LVQ scan
         "lvq_vamana_knn": oracles.lvq_knn_sql("l2", K, N_QUERIES, 8),
         "leanvec_knn": oracles.leanvec_knn_sql(K, LV_TRUNC_RE_K, LV_TRUNC_M, N_QUERIES),
+        "leanvec_knn_cosine": oracles.leanvec_knn_cosine_sql(
+            K, LV_TRUNC_RE_K, LV_TRUNC_M, N_QUERIES
+        ),
         # exhaustive-window projected graph == flat projected scan
         "leanvec_vamana_knn": oracles.leanvec_knn_sql(
             K, LV_TRUNC_RE_K, LV_TRUNC_M, N_QUERIES

@@ -350,6 +350,7 @@ def ivf_search(
     rerank_queries: DataFrame | None = None,
     where=None,
     router=None,
+    router_candidates: int | None = None,
     max_query_block: int | None = None,
     deadline: float | None = None,
 ) -> DataFrame:
@@ -403,6 +404,7 @@ def ivf_search(
         part, bc = _ivf_search_block(
             index, qp, k, n_probes, distance, round_to, epsilon_bp,
             max_probes, k_reorder, where, router, deadline,
+            router_candidates=router_candidates,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -448,6 +450,7 @@ def _ivf_search_block(
     where,
     router,
     deadline: float | None = None,
+    router_candidates: int | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's probe + member scan + merge; returns the
     ranked candidates (inner_k deep when re-ranking) and the block's
@@ -466,7 +469,8 @@ def _ivf_search_block(
         if router is not None:
             sel = probe_clusters_epsilon_routed(
                 Q, index.model.centroids, router, epsilon_bp,
-                max_probes=max_probes, distance=distance,
+                n_candidates=router_candidates, max_probes=max_probes,
+                distance=distance,
             )
         else:
             sel = probe_clusters_epsilon(

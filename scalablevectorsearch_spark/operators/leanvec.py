@@ -52,6 +52,23 @@ from pyspark.sql import functions as F
 from scalablevectorsearch_spark.functions.distances import is_similarity
 
 
+def _normalized(df: DataFrame, vec_col: str) -> DataFrame:
+    """Unit-normalize the vector column (Catalyst, float64 — identical
+    left-to-right summation in the DuckDB oracles). Cosine ranking over
+    x equals IP ranking over x/|x| for any fixed query, which is how the
+    cosine LeanVec primary reduces to the ip machinery (the generic
+    distance dispatch of the reference: include/svs/core/distance/
+    cosine.h:102, selector include/svs/core/distance.h:41)."""
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
+    )
+
+
 @dataclass
 class LeanVecModel:
     """Projection pair + centering vector (training.h's
@@ -260,18 +277,24 @@ def leanvec_knn(
     from scalablevectorsearch_spark.operators.flat import flat_knn
     from scalablevectorsearch_spark.operators.lvq import lvq_knn
 
-    if distance not in ("l2", "ip"):
-        raise ValueError(f"leanvec primary supports l2/ip, got {distance!r}")
+    if distance not in ("l2", "ip", "cosine"):
+        raise ValueError(f"leanvec primary supports l2/ip/cosine, got {distance!r}")
     if k_reorder < k:
         raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
     qvec_col = qvec_col or vec_col
+    # cosine reduces to IP over the unit-normalized data side (query
+    # scale is rank-invariant); the exact stage restores true cosine
+    primary_distance = "ip" if distance == "cosine" else distance
     center_q = distance == "l2"
     if base_projected is not None:
+        # for cosine, the persisted projection must be of the
+        # NORMALIZED base (leanvec_project(_normalized(base), ...))
         pb = base_projected.select(
             F.col(id_col).cast("long").alias("id"), F.col(vec_col).alias("vector")
         )
     else:
-        pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
+        data_side = _normalized(base, vec_col) if distance == "cosine" else base
+        pb = leanvec_project(data_side, model, "data", vec_col, "__pv").select(
             F.col(id_col).cast("long").alias("id"), F.col("__pv").alias("vector")
         )
     pq = leanvec_project(
@@ -279,10 +302,13 @@ def leanvec_knn(
     ).select(F.col(qid_col).cast("long").alias("qid"), F.col("__pv").alias("vector"))
     if primary_lvq is not None:
         cands = lvq_knn(
-            pb, pq, primary_lvq, k=k_reorder, distance=distance, round_to=round_to
+            pb, pq, primary_lvq, k=k_reorder, distance=primary_distance,
+            round_to=round_to,
         )
     else:
-        cands = flat_knn(pb, pq, k=k_reorder, distance=distance, round_to=round_to)
+        cands = flat_knn(
+            pb, pq, k=k_reorder, distance=primary_distance, round_to=round_to
+        )
     return _full_dim_rerank(
         cands, base, queries, k, distance, round_to, id_col, vec_col, qid_col, qvec_col
     )
@@ -334,9 +360,17 @@ def leanvec_vamana_build(
     shard_by/closure_bp/... like every storage kind."""
     from scalablevectorsearch_spark.operators.vamana import vamana_build
 
-    if distance not in ("l2", "ip"):
-        raise ValueError(f"leanvec primary supports l2/ip, got {distance!r}")
-    pb = leanvec_project(base, model, "data", vec_col, "__pv").select(
+    if distance not in ("l2", "ip", "cosine"):
+        raise ValueError(f"leanvec primary supports l2/ip/cosine, got {distance!r}")
+    # cosine: graph lives in IP geometry over the normalized projection
+    # (cosine.h's normalize-then-IP reduction); the search's exact stage
+    # re-ranks with true cosine on the full-dimension secondary
+    rerank_distance = distance
+    data_side = base
+    if distance == "cosine":
+        data_side = _normalized(base, vec_col)
+        distance = "ip"
+    pb = leanvec_project(data_side, model, "data", vec_col, "__pv").select(
         F.col(id_col).alias(id_col), F.col("__pv").alias(vec_col)
     )
     decode = None
@@ -367,6 +401,9 @@ def leanvec_vamana_build(
         id_col=id_col, vec_col=vec_col, vec_decode=decode, **build_kw,
     )
     idx.leanvec_model = model
+    # the re-rank metric (persisted): differs from index.distance only
+    # for cosine, whose primary runs in IP geometry
+    idx.leanvec_distance = rerank_distance
     if primary_lvq is not None:
         # the primary-LVQ params (projected-space mean + bit widths)
         # are part of the index identity: save_vamana persists them and
@@ -399,6 +436,9 @@ def leanvec_vamana_search(
         raise ValueError("index was not built with leanvec_vamana_build")
     if k_reorder < k:
         raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
+    # cosine indexes traverse in IP geometry (index.distance == "ip")
+    # but re-rank with true cosine (leanvec_distance)
+    rerank_distance = getattr(index, "leanvec_distance", None) or index.distance
     center_q = index.distance == "l2"
     pq = leanvec_project(
         queries, model, "query", qvec_col, "__pv", center=center_q
@@ -408,6 +448,6 @@ def leanvec_vamana_search(
         round_to=round_to, **search_kw,
     )
     return _full_dim_rerank(
-        cands, base, queries, k, index.distance, round_to,
+        cands, base, queries, k, rerank_distance, round_to,
         index.id_col, vec_col, qid_col, qvec_col,
     )

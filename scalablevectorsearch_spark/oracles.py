@@ -1290,3 +1290,46 @@ r2 AS (SELECT qid, id, {e4} AS dist_e4,
 SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r2 WHERE rnk <= {k}
 """.strip()
+
+
+def leanvec_knn_cosine_sql(
+    k: int, k_reorder: int, leanvec_dims: int, n_queries: int
+) -> str:
+    """Cosine LeanVec two-stage k-NN (truncation projection): the
+    primary ranks by INNER PRODUCT over the first m centered coordinates
+    of the UNIT-NORMALIZED data (cosine == IP over x/|x|, query scale
+    rank-invariant; query uncentered — the ip convention), and the top
+    k_reorder candidates re-rank with exact full-dimension cosine.
+    Mirrors operators/leanvec.py's normalize-then-IP reduction of the
+    reference's generic distance dispatch (distance/cosine.h:102)."""
+    e4 = E4.format(expr="dist")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ne AS (SELECT vec_id,
+              list_transform(v, x -> x / sqrt(list_sum(list_transform(v, y -> y*y)))) AS v
+       FROM e),
+mu0 AS (SELECT pos, floor(avg(x) * 1000000.0 + 0.5) / 1000000.0 AS m
+        FROM (SELECT unnest(v) AS x, generate_subscripts(v, 1) AS pos FROM ne) u
+        GROUP BY pos),
+mu AS (SELECT list(m ORDER BY pos) AS mv FROM mu0),
+pb AS (SELECT vec_id AS id,
+              list_transform(range(1, {leanvec_dims + 1}), i -> v[i] - mv[i]) AS bv
+       FROM ne CROSS JOIN mu),
+pq AS (SELECT vec_id AS qid,
+              list_transform(range(1, {leanvec_dims + 1}), i -> v[i]) AS qv
+       FROM e WHERE vec_id < {n_queries}),
+d1 AS (SELECT qid, id, {_DIST_SQL["ip"]} AS dist FROM pq CROSS JOIN pb),
+r1 AS (SELECT qid, id,
+              row_number() OVER (PARTITION BY qid ORDER BY {e4} DESC, id ASC) AS rnk
+       FROM d1),
+cand AS (SELECT qid, id FROM r1 WHERE rnk <= {k_reorder}),
+fq AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {n_queries}),
+fb AS (SELECT vec_id AS id, v AS bv FROM e),
+d2 AS (SELECT fq.qid, fb.id, {_DIST_SQL["cosine"]} AS dist
+       FROM cand JOIN fb ON cand.id = fb.id JOIN fq ON fq.qid = cand.qid),
+r2 AS (SELECT qid, id, {e4} AS dist_e4,
+              row_number() OVER (PARTITION BY qid ORDER BY {e4} DESC, id ASC) AS rnk
+       FROM d2)
+SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
+FROM r2 WHERE rnk <= {k}
+""".strip()

@@ -238,6 +238,11 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         params["leanvec_query_matrix"] = [
             [float(x) for x in row] for row in lv.query_matrix
         ]
+        # re-rank metric (== distance except cosine, whose primary
+        # graph runs in IP geometry over the normalized projection)
+        params["leanvec_distance"] = getattr(
+            index, "leanvec_distance", None
+        ) or index.distance
     if index.shard_model is not None:
         # cluster-sharded (SPANN-style) layout: the centroids ARE part
         # of the index — without them a loaded index would re-stamp
@@ -340,6 +345,7 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
             query_matrix=np.asarray(p["leanvec_query_matrix"], dtype=np.float64),
             mean=tuple(p["leanvec_mean"]),
         )
+        idx.leanvec_distance = p.get("leanvec_distance", p["distance"])
     # rebuild the persisted layout with the SAME sharding the graphs
     # were built under. Kmeans-sharded saves carry the exact
     # (shard_id, id) assignment table (see save_vamana) — join it back

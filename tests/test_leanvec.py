@@ -93,6 +93,51 @@ def test_ip_distance_path(base, queries):
     assert res.join(gt, ["qid", "neighbor_id"]).count() / gt.count() >= 0.8
 
 
+def test_cosine_distance_path(base, queries):
+    """cosine primary = IP over the normalized projection; re-rank with
+    exact cosine recovers >= 0.8 at m=32 / k_reorder=50 (same floor as
+    the l2/ip paths)."""
+    from scalablevectorsearch_spark.operators.leanvec import _normalized
+
+    model = leanvec_train(_normalized(base, "vector"), 32)
+    gt = flat_knn(base, queries, k=10, distance="cosine").select("qid", "neighbor_id")
+    res = leanvec_knn(
+        base, queries, model, k=10, k_reorder=50, distance="cosine"
+    ).select("qid", "neighbor_id")
+    assert res.join(gt, ["qid", "neighbor_id"]).count() / gt.count() >= 0.8
+
+
+def test_cosine_vamana_saveload(spark, base, queries, tmp_path):
+    """cosine LeanVec-Vamana: exhaustive window == flat cosine LeanVec;
+    the re-rank metric survives a save/load cycle."""
+    from scalablevectorsearch_spark.operators.leanvec import _normalized
+    from scalablevectorsearch_spark.sources.index_store import (
+        load_vamana,
+        save_vamana,
+    )
+
+    model = leanvec_train(_normalized(base, "vector"), 32)
+    idx = leanvec_vamana_build(base, model, n_shards=2, distance="cosine")
+    assert idx.distance == "ip" and idx.leanvec_distance == "cosine"
+    direct = leanvec_vamana_search(
+        idx, queries, base, k=10, k_reorder=50, search_window_size=4096
+    )
+    flat = leanvec_knn(base, queries, model, k=10, k_reorder=50, distance="cosine")
+    key = ["qid", "rank", "neighbor_id"]
+    assert sorted(map(tuple, direct.select(*key).collect())) == sorted(
+        map(tuple, flat.select(*key).collect())
+    )
+    save_vamana(idx, str(tmp_path / "lv_cos"))
+    loaded = load_vamana(spark, str(tmp_path / "lv_cos"))
+    assert loaded.leanvec_distance == "cosine"
+    reloaded = leanvec_vamana_search(
+        loaded, queries, base, k=10, k_reorder=50, search_window_size=4096
+    )
+    assert sorted(map(tuple, direct.select(*key).collect())) == sorted(
+        map(tuple, reloaded.select(*key).collect())
+    )
+
+
 def test_lvq_primary_composition(base, queries):
     """LeanVec4x8-style: LVQ4 on the projected primary + full-dim
     re-rank (the primary_lvq hook) stays close to the fp primary."""
@@ -125,7 +170,7 @@ def test_arg_validation(base, queries):
     with pytest.raises(ValueError):
         leanvec_knn(base, queries, model, k=10, k_reorder=5)
     with pytest.raises(ValueError):
-        leanvec_knn(base, queries, model, k=5, k_reorder=10, distance="cosine")
+        leanvec_knn(base, queries, model, k=5, k_reorder=10, distance="hamming")
     from scalablevectorsearch_spark.operators.vamana import vamana_build
 
     idx = vamana_build(base, n_shards=2)
