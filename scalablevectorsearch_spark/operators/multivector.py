@@ -49,7 +49,21 @@ def multivector_knn(
     labels = base.select(F.col(id_col).alias("id"), F.col(label_col).alias("label"))
     n_base = base.count()
     n_queries = queries.count()
-    ki = k_inner or 4 * k
+    if k_inner is None:
+        # pre-size from the label multiplicity (one agg over the small
+        # (id, label) projection): among any k * max_multiplicity inner
+        # candidates each label contributes at most max_multiplicity
+        # rows, so >= k DISTINCT labels are guaranteed — the adaptive
+        # loop below then converges in ONE search on any distribution,
+        # including the skewed ones that previously forced log(n)
+        # full-search retries (each retry = a complete scan + 2 driver
+        # actions). The loop stays as a belt-and-braces fallback only.
+        max_mult = labels.groupBy("label").agg(
+            F.count("*").alias("c")
+        ).agg(F.max("c")).collect()[0][0] or 1
+        ki = max(4 * k, k * int(max_mult))
+    else:
+        ki = k_inner
     while True:
         ki = min(ki, n_base)
         if search_fn is not None:

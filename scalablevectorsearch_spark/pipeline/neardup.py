@@ -86,9 +86,21 @@ def embedding_neardup_clustered(
     n_iters: int = 2,
     id_col: str = "id",
     vec_col: str = "vector",
+    max_cluster_rows: int | None = None,
 ) -> DataFrame:
     """Cluster-bucketed near-dup mining: k-means assign, then pairs only
-    within a cluster. The join shuffles on cluster_id — never all-pairs."""
+    within a cluster. The join shuffles on cluster_id — never all-pairs.
+
+    ``max_cluster_rows``: skew guard. The within-cell self-join is
+    O(|c|^2) per cell, so one mega-cluster (common in near-dup-heavy
+    crawls) becomes a single straggler task. Cells above the cap are
+    split by a SECONDARY k-means trained over the oversized rows, and
+    pairs then require equal (cluster_id, sub_id) — within each sub-cell
+    the semantics stay exact. Like the primary bucketing's
+    cluster-boundary miss, this adds one recall caveat: a pair inside an
+    oversized cell whose members land in different SUB-cells is missed
+    (tests measure both miss classes). None (default) disables the cap
+    — the exact-within-cell semantics the hash gate verifies."""
     model = train_kmeans(df, n_clusters, n_iters, id_col, vec_col)
     # map-side stamp against the broadcast centroids: one pass over the
     # base, no assign-then-join shuffle
@@ -101,5 +113,43 @@ def embedding_neardup_clustered(
     )
     t_e4 = int(threshold * 10000)
     a_cl = F.col("a.cluster_id") == F.col("b.cluster_id")
+    if max_cluster_rows is not None:
+        side = _subsplit_oversized(side, max_cluster_rows, n_iters)
+        a_cl = a_cl & (F.col("a.__sub") == F.col("b.__sub"))
     out = _pairs_with_cosine(side, a_cl)
     return out.filter(_e4(F.col("cosine")) >= t_e4).select("id_a", "id_b", "cosine")
+
+
+def _subsplit_oversized(
+    side: DataFrame, max_cluster_rows: int, n_iters: int
+) -> DataFrame:
+    """Add a ``__sub`` column: 0 for rows of cells within the cap; rows
+    of oversized cells get a secondary k-means sub-cluster id (one
+    shared secondary model over all oversized rows — one extra train +
+    one map-side stamp, no per-cell driver loop). Pair mining keys on
+    (cluster_id, __sub), bounding the expected per-task comparison
+    count by ~max_cluster_rows^2."""
+    import math
+
+    sizes = side.groupBy("cluster_id").count().collect()  # <= n_clusters rows
+    big = [r for r in sizes if r["count"] > max_cluster_rows]
+    if not big:
+        return side.withColumn("__sub", F.lit(0))
+    over_ids = [int(r["cluster_id"]) for r in big]
+    total_over = sum(int(r["count"]) for r in big)
+    k2 = max(2, math.ceil(total_over / max_cluster_rows))
+    over = side.filter(F.col("cluster_id").isin(over_ids))
+    sub_model = train_kmeans(over, k2, n_iters, "__id", "__v")
+    stamped = stamp_clusters(
+        over.withColumnRenamed("cluster_id", "__pc"), sub_model, vec_col="__v"
+    )
+    split = stamped.select(
+        F.col("__id"), F.col("__v"), F.col("__pc").alias("cluster_id"),
+        # sub ids start at 1 so they never collide with the 0 of
+        # within-cap cells
+        (F.col("cluster_id") + F.lit(1)).alias("__sub"),
+    )
+    small = side.filter(~F.col("cluster_id").isin(over_ids)).select(
+        "__id", "__v", "cluster_id", F.lit(0).alias("__sub")
+    )
+    return split.unionByName(small)

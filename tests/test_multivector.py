@@ -43,6 +43,26 @@ def test_caps_at_available_labels(tiny_labels, queries):
     assert all(v == 3 for v in per.values())  # only 3 labels exist
 
 
+def test_presized_k_inner_single_iteration(skewed, queries):
+    """VERDICT r4 #8: with k_inner unset, the label-multiplicity
+    pre-size must make the adaptive loop converge in ONE inner search
+    on skewed labels (every label here has multiplicity 8, so the old
+    4*k default was too small and retried)."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    calls = []
+
+    def counting_search(qdf, ki):
+        calls.append(ki)
+        return flat_knn(skewed, qdf, k=ki, distance="l2", round_to=4)
+
+    out = multivector_knn(skewed, queries, k=6, search_fn=counting_search)
+    per = out.groupBy("qid").agg(F.countDistinct("label").alias("nl")).collect()
+    assert all(r["nl"] == 6 for r in per)
+    assert len(calls) == 1, f"expected 1 inner search, ran {len(calls)}: {calls}"
+    assert calls[0] >= 6 * 8  # k * max_multiplicity
+
+
 def test_nearest_representative_per_label(skewed, queries):
     out = multivector_knn(skewed, queries, k=3)
     # each (qid,label) appears once, ranked 1..3
