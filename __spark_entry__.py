@@ -781,6 +781,45 @@ def _dynamic_vamana_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFr
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+MV_LABEL_OFFSET = 100
+MV_DEL_LABELS = (8, 9)
+
+
+def _dynamic_multivector_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic multi-vector gate (MultiMutableVamanaIndex,
+    multi.h:155): add vectors under NEW labels through the incremental
+    link, delete two labels WHOLESALE (every vector they carry — the
+    label -> external-id translation), then an exhaustive-window
+    label-deduped search must hash-equal the flat multivector SQL over
+    the mutated table."""
+    from scalablevectorsearch_spark.operators.multivector import (
+        multi_add_points,
+        multi_delete_labels,
+        multi_dynamic_search,
+        multi_dynamic_vamana,
+    )
+
+    base = _base(spark, sf_dir)
+    idx = vamana_build(
+        base.select("id", "vector"), VAMANA_PARAMS, n_shards=VAMANA_SHARDS
+    )
+    m = multi_dynamic_vamana(idx, base.select("id", "label"))
+    added = base.filter(F.col("id") < DYN_ADDED).select(
+        (F.col("id") + DYN_OFFSET).alias("id"),
+        "vector",
+        (F.col("label") + MV_LABEL_OFFSET).alias("label"),
+    )
+    m = multi_add_points(m, added)
+    m = multi_delete_labels(m, MV_DEL_LABELS)
+    res = multi_dynamic_search(
+        m, _queries_df(spark, sf_dir), k=5, k_inner=40, search_window_size=4096
+    )
+    return res.select(
+        "qid", "rank", F.col("label").cast("int").alias("label"), "neighbor_id",
+        E4("distance").alias("distance_e4"),
+    )
+
+
 def _dynamic_vamana_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B6 cycle: build -> add 1% -> delete 1% -> consolidate -> search;
     recall vs exact flat over the mutated base, emitted as a hash-gated
@@ -1845,6 +1884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leanvec_knn_cosine": _leanvec_knn_cosine_query,
         "inverted_routed_knn": _inverted_routed_knn_query,
         "batch_iterator_ivf": _batch_iterator_ivf_query,
+        "dynamic_multivector_knn": _dynamic_multivector_query,
         # --- round-1/2 gates, driver-green since CORRECTNESS_r04 ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
@@ -2006,6 +2046,12 @@ def oracle_sql() -> dict[str, str]:
         # IVF pages concatenated == one-shot top-(pages*size) IVF search
         "batch_iterator_ivf": oracles.ivf_knn_sql(
             ITER_PAGES * ITER_PAGE_SIZE, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES
+        ),
+        # exhaustive-window label-deduped search over the mutated
+        # multi-vector table (adds under new labels, label-wholesale
+        # deletes)
+        "dynamic_multivector_knn": oracles.dynamic_multivector_knn_sql(
+            5, 40, N_QUERIES, DYN_ADDED, DYN_OFFSET, MV_LABEL_OFFSET, MV_DEL_LABELS
         ),
         "ivf_knn_reordered": oracles.ivf_reorder_sql(
             K, RE_K, N_CLUSTERS, KM_ITERS, N_PROBES, N_QUERIES

@@ -116,6 +116,111 @@ def multivector_batch_iterator(
     return BatchIterator(search_fn=search_fn, schedule=schedule)
 
 
+# ------------------------------------------------- dynamic multi-vector
+# Parity: MultiMutableVamanaIndex (multi.h:155-260) — a mutable Vamana
+# with a label <-> external-id translation layer: add_points() registers
+# each new vector under its label, delete_entries(labels) removes EVERY
+# vector carrying those labels, search dedupes by label. Spark shape:
+# the translation table is a (id, label) DataFrame beside the
+# DynamicVamana; mutations compose the gated add/delete operators.
+
+
+from dataclasses import dataclass
+
+
+@dataclass
+class MultiDynamicVamana:
+    """DynamicVamana + label translation (multi.h:173-175
+    label_to_external_/external_to_label_ as one DataFrame)."""
+
+    dyn: object            # operators.dynamic.DynamicVamana
+    labels: DataFrame      # (id LONG, label LONG) — one row per vector
+
+
+def multi_dynamic_vamana(index, labels: DataFrame,
+                         id_col: str = "id", label_col: str = "label"
+                         ) -> MultiDynamicVamana:
+    """Wrap a built VamanaIndex with its label table. ``labels`` must
+    cover every base id (the reference constructor takes point-aligned
+    labels, multi.h:199-216)."""
+    from scalablevectorsearch_spark.operators.dynamic import dynamic_vamana
+
+    lab = labels.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(label_col).cast("long").alias("label"),
+    )
+    return MultiDynamicVamana(dyn=dynamic_vamana(index), labels=lab)
+
+
+def multi_add_points(m: MultiDynamicVamana, points: DataFrame,
+                     id_col: str = "id", vec_col: str = "vector",
+                     label_col: str = "label") -> MultiDynamicVamana:
+    """Add vectors under labels (multi.h:262-289 add_points + the
+    id-by-label registration): new rows enter the graph via the gated
+    incremental link and their (id, label) rows join the translation
+    table. Ids must be fresh (validated by add_points); labels may be
+    new or existing — an existing label gains another vector."""
+    from scalablevectorsearch_spark.operators.dynamic import add_points
+
+    dyn = add_points(m.dyn, points.select(id_col, vec_col))
+    lab = m.labels.unionByName(
+        points.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(label_col).cast("long").alias("label"),
+        )
+    )
+    return MultiDynamicVamana(dyn=dyn, labels=lab)
+
+
+def multi_delete_labels(m: MultiDynamicVamana, labels) -> MultiDynamicVamana:
+    """Delete EVERY vector carrying the given labels (multi.h:291-313
+    delete_entries(labels) — erases each label's whole external-id
+    vector). ``labels``: iterable of ints or a 1-column DataFrame.
+    Raises if any requested label has no live vectors (the reference
+    throws on unknown labels)."""
+    from scalablevectorsearch_spark.operators.dynamic import delete_entries
+
+    spark = m.labels.sparkSession
+    if isinstance(labels, DataFrame):
+        ldf = labels.select(F.col(labels.columns[0]).cast("long").alias("label"))
+    else:
+        ldf = spark.createDataFrame([(int(l),) for l in labels], "label long")
+    ldf = ldf.distinct()
+    n_req = ldf.count()
+    present = m.labels.join(ldf, "label", "left_semi")
+    n_labels = present.select(F.countDistinct("label")).collect()[0][0]
+    if n_labels < n_req:
+        raise ValueError(f"{n_req - n_labels} labels are unknown")
+    ids = present.select("id")
+    dyn = delete_entries(m.dyn, ids)
+    lab = m.labels.join(ldf, "label", "left_anti")
+    return MultiDynamicVamana(dyn=dyn, labels=lab)
+
+
+def multi_dynamic_search(m: MultiDynamicVamana, queries: DataFrame, k: int,
+                         k_inner: int | None = None,
+                         qid_col: str = "qid", qvec_col: str = "vector",
+                         round_to: int | None = 4, **search_kw) -> DataFrame:
+    """Top-k distinct labels over the live (non-tombstoned) vectors —
+    the MultiBatchIterator dedup running over the mutable index
+    (multi.h:22-47 over :155). ``k_inner=None`` pre-sizes from the live
+    label multiplicity like :func:`multivector_knn`."""
+    from scalablevectorsearch_spark.operators.dynamic import dynamic_search
+
+    live_labels = m.labels
+    if k_inner is None:
+        max_mult = live_labels.groupBy("label").agg(
+            F.count("*").alias("c")
+        ).agg(F.max("c")).collect()[0][0] or 1
+        k_inner = max(4 * k, k * int(max_mult))
+    inner = dynamic_search(
+        m.dyn, queries, k=k_inner,
+        qid_col=qid_col, qvec_col=qvec_col, round_to=round_to, **search_kw,
+    )
+    dist = m.dyn.index.distance
+    return dedupe_by_label(inner, live_labels, k=k, distance=dist)
+
+
 def dedupe_by_label(
     results: DataFrame,
     labels: DataFrame,

@@ -81,6 +81,49 @@ FROM ranked WHERE rnk <= {k}
 """.strip()
 
 
+def dynamic_multivector_knn_sql(
+    k: int,
+    k_inner: int,
+    n_queries: int,
+    n_added: int,
+    add_offset: int,
+    label_offset: int,
+    del_labels: tuple,
+) -> str:
+    """Label-deduped k-NN over the MUTATED multi-vector table: base
+    plus copies of vec_id < n_added (shifted ids, shifted labels) minus
+    EVERY row carrying a deleted label — the MultiMutableVamanaIndex
+    surface (multi.h:155) as pure SQL."""
+    e4 = E4.format(expr="dist")
+    labs = ", ".join(str(int(l)) for l in del_labels)
+    return f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < {n_queries}),
+b0 AS (SELECT vec_id AS id, label, embedding::DOUBLE[] AS bv FROM embeddings
+       UNION ALL
+       SELECT vec_id + {add_offset} AS id, label + {label_offset} AS label,
+              embedding::DOUBLE[] AS bv
+       FROM embeddings WHERE vec_id < {n_added}),
+b AS (SELECT * FROM b0 WHERE label NOT IN ({labs})),
+d AS (SELECT qid, id, label, {_DIST_SQL["l2"]} AS dist FROM q CROSS JOIN b),
+r AS (SELECT qid, id, label, {e4} AS dist_e4,
+             row_number() OVER (PARTITION BY qid ORDER BY {e4} ASC, id ASC) AS rnk
+      FROM d),
+inner_k AS (SELECT qid, id, label, dist_e4 FROM r WHERE rnk <= {k_inner}),
+per_label AS (
+  SELECT qid, id, label, dist_e4,
+         row_number() OVER (PARTITION BY qid, label ORDER BY dist_e4 ASC, id ASC) AS lr
+  FROM inner_k),
+best AS (SELECT qid, id, label, dist_e4 FROM per_label WHERE lr = 1),
+ranked AS (
+  SELECT qid, label, id, dist_e4,
+         row_number() OVER (PARTITION BY qid ORDER BY dist_e4 ASC, id ASC) AS rnk
+  FROM best)
+SELECT qid, rnk AS rank, label, id AS neighbor_id, dist_e4 AS distance_e4
+FROM ranked WHERE rnk <= {k}
+""".strip()
+
+
 def recall_sql(k: int, n_queries: int) -> str:
     e4_l2 = E4.format(expr="dist_l2")
     e4_ip = E4.format(expr="dist_ip")

@@ -68,9 +68,41 @@ def test_nearest_representative_per_label(skewed, queries):
     # each (qid,label) appears once, ranked 1..3
     dup = out.groupBy("qid", "label").count().filter("count > 1").count()
     assert dup == 0
-    ranks = {r["qid"]: sorted([]) for r in out.collect()}
-    for r in out.collect():
-        ranks.setdefault(r["qid"], []).append(r["rank"])
+
+
+def test_dynamic_multivector_label_cycle(spark, skewed, queries):
+    """MultiMutableVamanaIndex semantics (multi.h:155): deleting a
+    label removes EVERY vector it carries; adding under a new label
+    makes it searchable; unknown labels raise."""
+    from scalablevectorsearch_spark.operators.multivector import (
+        multi_add_points,
+        multi_delete_labels,
+        multi_dynamic_search,
+        multi_dynamic_vamana,
+    )
+    from scalablevectorsearch_spark.operators.vamana import vamana_build
+
+    idx = vamana_build(skewed.select("id", "vector"), n_shards=2)
+    m = multi_dynamic_vamana(idx, skewed.select("id", "label"))
+    # add 3 vectors under one brand-new label
+    added = skewed.filter(F.col("id") < 3).selectExpr(
+        "id + 500000 as id", "vector", "cast(777 as int) as label"
+    )
+    m = multi_add_points(m, added)
+    # delete label 0 wholesale (8 vectors)
+    m = multi_delete_labels(m, [0])
+    assert m.labels.filter("label = 0").count() == 0
+    assert m.labels.filter("label = 777").count() == 3
+    out = multi_dynamic_search(m, queries, k=5, search_window_size=4096)
+    got_labels = {r["label"] for r in out.select("label").distinct().collect()}
+    assert 0 not in got_labels  # deleted label never returned
+    # queries 0..4 ARE vectors of labels 0 and 777-adjacent; the new
+    # label's nearest vector (an exact copy of id<3) must surface at
+    # rank 1 for its own query
+    r1 = {r["qid"]: r["label"] for r in out.filter("rank = 1").collect()}
+    assert r1[0] == 777 and r1[1] == 777 and r1[2] == 777
+    with pytest.raises(ValueError, match="unknown"):
+        multi_delete_labels(m, [999999])
 
 
 def test_multivector_batch_iterator_pages(skewed, queries):
