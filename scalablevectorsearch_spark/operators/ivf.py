@@ -71,26 +71,15 @@ def ivf_build(
 ) -> IVFIndex:
     """Train k-means and stamp each row with its cluster id (one extra
     scan, no shuffle — the stamp is computed in the map side)."""
+    from scalablevectorsearch_spark.functions.arrowio import map_stamp
+    from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
+
     model = train_kmeans(base, n_clusters, n_iters, id_col, vec_col)
     sc = base.sparkSession.sparkContext
     bc = sc.broadcast(model.centroids)
-
-    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
-
-        C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            pdf = pdf.copy()
-            pdf["cluster_id"] = _nearest_centroid(V, C)
-            yield pdf
-
-    # StructType.add mutates in place — never mutate df.schema (it is the
-    # DataFrame's cached schema object); build a fresh copy instead
-    schema = StructType(list(base.schema.fields) + [StructField("cluster_id", IntegerType())])
-    clustered = base.mapInPandas(stamp, schema)
+    clustered = map_stamp(
+        base, vec_col, "cluster_id", lambda V: _nearest_centroid(V, bc.value)
+    )
     return IVFIndex(clustered=clustered, model=model, id_col=id_col, vec_col=vec_col)
 
 

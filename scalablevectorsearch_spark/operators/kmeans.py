@@ -86,44 +86,59 @@ def _scan(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
 
 
 def _partial_sums_fn(bc):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as pa
+
+        from scalablevectorsearch_spark.functions.arrowio import batch_matrix
+
         C = bc.value
         k, d = C.shape
         cnt = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, d), dtype=np.float64)
-        for pdf in batches:
-            if len(pdf) == 0:
+        seen = False
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            seen = True
+            V = batch_matrix(rb.column(1))
             a = _nearest_centroid(V, C)
             cnt += np.bincount(a, minlength=k)
             np.add.at(sums, a, V)
+        if not seen:
+            return
         nz = np.nonzero(cnt)[0]
         if len(nz) == 0:
             return
-        yield pd.DataFrame(
-            {
-                "cluster_id": nz.astype(np.int32),
-                "cnt": cnt[nz],
-                "sums": list(sums[nz]),
-            }
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(nz.astype(np.int32), type=pa.int32()),
+                pa.array(cnt[nz], type=pa.int64()),
+                pa.array(sums[nz].tolist(), type=pa.list_(pa.float64())),
+            ],
+            names=["cluster_id", "cnt", "sums"],
         )
 
     return fn
 
 
 def _assign_fn(bc):
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as pa
+
+        from scalablevectorsearch_spark.functions.arrowio import batch_matrix
+
         C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["__id"].to_numpy(dtype=np.int64),
-                    "cluster_id": _nearest_centroid(V, C),
-                }
+            V = batch_matrix(rb.column(1))
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ids.astype(np.int64, copy=False), type=pa.int64()),
+                    pa.array(_nearest_centroid(V, C), type=pa.int32()),
+                ],
+                names=["id", "cluster_id"],
             )
 
     return fn
@@ -159,7 +174,7 @@ def train_kmeans(
     C = _round_half_up(init_centroids(base, n_clusters, id_col, vec_col), round_decimals)
     for _ in range(n_iters):
         bc = sc.broadcast(C)
-        part = scan.mapInPandas(_partial_sums_fn(bc), PARTIAL_SCHEMA).toPandas()
+        part = scan.mapInArrow(_partial_sums_fn(bc), PARTIAL_SCHEMA).toPandas()
         bc.unpersist()
         cnt = np.zeros(n_clusters, dtype=np.int64)
         sums = np.zeros_like(C)
@@ -184,7 +199,7 @@ def assign_clusters(
     """(id, cluster_id) under the model's (final, rounded) centroids."""
     sc = base.sparkSession.sparkContext
     bc = sc.broadcast(model.centroids)
-    return _scan(base, id_col, vec_col).mapInPandas(_assign_fn(bc), ASSIGN_SCHEMA)
+    return _scan(base, id_col, vec_col).mapInArrow(_assign_fn(bc), ASSIGN_SCHEMA)
 
 
 def stamp_clusters(
@@ -195,23 +210,13 @@ def stamp_clusters(
     """``base`` + a ``cluster_id`` column, stamped map-side against the
     broadcast centroids — no join back on id (the assign-then-join shape
     shuffles the base twice; this is one pass, zero shuffles)."""
+    from scalablevectorsearch_spark.functions.arrowio import map_stamp
+
     sc = base.sparkSession.sparkContext
     bc = sc.broadcast(model.centroids)
-
-    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            pdf = pdf.copy()
-            pdf["cluster_id"] = _nearest_centroid(V, C)
-            yield pdf
-
-    schema = StructType(
-        list(base.schema.fields) + [StructField("cluster_id", IntegerType())]
+    return map_stamp(
+        base, vec_col, "cluster_id", lambda V: _nearest_centroid(V, bc.value)
     )
-    return base.mapInPandas(stamp, schema)
 
 
 def _local_lloyd(

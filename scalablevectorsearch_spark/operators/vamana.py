@@ -167,54 +167,39 @@ def _sharded(
     # become reachable from each nearby cell's graph, trading bounded
     # storage amplification for routed recall at a fixed probe count
     # (the same sign-aware additive cutoff as probe_clusters_epsilon).
-    from collections.abc import Iterator
-
-    from pyspark.sql.types import IntegerType, StructField, StructType
+    from scalablevectorsearch_spark.functions.arrowio import (
+        map_stamp,
+        map_stamp_replicate,
+    )
 
     sc = base.sparkSession.sparkContext
     bc = sc.broadcast(shard_model.centroids)
 
-    def stamp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def stamp(V: np.ndarray) -> np.ndarray:
         from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
 
-        C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if vec_decode is not None:
-                V = vec_decode(V)
-            pdf = pdf.copy()
-            pdf["shard_id"] = _nearest_centroid(V, C)
-            yield pdf
+        return _nearest_centroid(V, bc.value)
 
-    def stamp_closure(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def stamp_closure(V: np.ndarray):
         from scalablevectorsearch_spark.functions.distances import (
             pairwise_distances,
         )
 
-        C = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            if vec_decode is not None:
-                V = vec_decode(V)
-            key = np.floor(pairwise_distances(V, C, "l2") * 1e4 + 0.5).astype(
-                np.int64
-            )
-            best = key.min(axis=1)
-            cut = best * 10000 + np.abs(best) * closure_bp
-            rows, cells = np.nonzero(key * 10000 <= cut[:, None])
-            out = pdf.iloc[rows].copy()
-            out["shard_id"] = cells.astype(np.int32)
-            yield out
+        key = np.floor(pairwise_distances(V, bc.value, "l2") * 1e4 + 0.5).astype(
+            np.int64
+        )
+        best = key.min(axis=1)
+        cut = best * 10000 + np.abs(best) * closure_bp
+        return np.nonzero(key * 10000 <= cut[:, None])
 
-    schema = StructType(list(base.schema.fields) + [StructField("shard_id", IntegerType())])
     # dispatch on 'is not None' (the same test the search path uses) so a
     # zero/None mix can never pick different code paths; vamana_build
     # validates closure_bp > 0 before it gets here
-    return base.mapInPandas(stamp_closure if closure_bp is not None else stamp, schema)
+    if closure_bp is not None:
+        return map_stamp_replicate(
+            base, vec_col, "shard_id", stamp_closure, vec_decode=vec_decode
+        )
+    return map_stamp(base, vec_col, "shard_id", stamp, vec_decode=vec_decode)
 
 
 def vamana_build(
