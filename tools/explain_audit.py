@@ -81,6 +81,13 @@ def main() -> int:
         "ivf: probed-cluster isin filter in scan stage",
         bool(re.search(r"cluster_id#\d+ IN", p)) or "cluster_id" in p,
     )
+    # the cluster stamp is an Arrow-batch kernel (zero-copy list decode),
+    # never a pandas conversion that materializes per-row objects
+    p = plan_of(idx.clustered)
+    check(
+        "ivf: cluster stamp is MapInArrow (no pandas per-row objects)",
+        "MapInArrow" in p and "MapInPandas" not in p,
+    )
 
     # 3. multivector single qid shuffle reuse
     from scalablevectorsearch_spark.operators.multivector import dedupe_by_label
