@@ -46,6 +46,58 @@ def batch_matrix(vec, dtype=np.float64) -> np.ndarray:
     return flat.reshape(n, w).astype(dtype, copy=False)
 
 
+def binary_matrix(col) -> tuple[np.ndarray, int]:
+    """Decode an Arrow binary column of uniform-width rows into
+    ``(flat_uint8, width)`` straight off the values buffer — the packed
+    analog of :func:`batch_matrix`. Raises on nulls or ragged rows."""
+    import pyarrow as pa
+
+    n = len(col)
+    if col.null_count:
+        raise ValueError("packed binary column must be non-null")
+    if n == 0:
+        return np.empty(0, dtype=np.uint8), 0
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset : col.offset + n + 1
+    ]
+    widths = np.diff(offsets)
+    w = int(widths[0])
+    if (widths != w).any():
+        raise ValueError("ragged packed binary rows cannot be reshaped")
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)[
+        int(offsets[0]) : int(offsets[-1])
+    ]
+    return data, w
+
+
+def binary_rows(data: np.ndarray, n: int, w: int):
+    """Build an Arrow binary column of ``n`` uniform ``w``-byte rows from
+    one contiguous buffer — no per-row bytes objects."""
+    import pyarrow as pa
+
+    data = np.ascontiguousarray(data, dtype=np.uint8)
+    if data.size != n * w:
+        raise ValueError(f"buffer holds {data.size} bytes, expected {n}x{w}")
+    offsets = np.arange(0, (n + 1) * w, w, dtype=np.int32)
+    return pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets.tobytes()), pa.py_buffer(data.tobytes())],
+    )
+
+
+def list_rows(flat: np.ndarray, n: int, d: int):
+    """Build an Arrow ``list<float64>`` column of ``n`` uniform ``d``-wide
+    rows from one flat values array — no per-row list objects."""
+    import pyarrow as pa
+
+    flat = np.ascontiguousarray(flat, dtype=np.float64).reshape(-1)
+    if flat.size != n * d:
+        raise ValueError(f"values hold {flat.size} floats, expected {n}x{d}")
+    offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    return pa.ListArray.from_arrays(offsets, pa.array(flat, type=pa.float64()))
+
+
 def map_stamp(
     base: DataFrame,
     vec_col: str,

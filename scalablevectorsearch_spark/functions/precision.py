@@ -61,50 +61,95 @@ _PACK = {"float16": pack_f16, "bfloat16": pack_bf16}
 _UNPACK = {"float16": unpack_f16, "bfloat16": unpack_bf16}
 
 
+def _pack_matrix(X: np.ndarray, dtype: str) -> np.ndarray:
+    """(n, d) float64 -> contiguous packed uint8 buffer (2 bytes/comp)."""
+    if dtype == "float16":
+        return np.ascontiguousarray(X.astype("<f2")).view(np.uint8).reshape(-1)
+    F32 = np.ascontiguousarray(X, dtype=np.float32)
+    U = F32.view(np.uint32)
+    rounded = (U + 0x7FFF + ((U >> 16) & 1)) >> 16
+    rounded = np.where(np.isnan(F32), (U >> 16) | 0x0040, rounded)
+    return np.ascontiguousarray(rounded.astype("<u2")).view(np.uint8).reshape(-1)
+
+
+def _unpack_matrix(data: np.ndarray, n: int, d: int, dtype: str) -> np.ndarray:
+    """Contiguous packed uint8 buffer -> (n, d) float64."""
+    if dtype == "float16":
+        return data.view("<f2").astype(np.float64).reshape(n, d)
+    H = data.view("<u2").astype(np.uint32) << 16
+    return H.view(np.float32).astype(np.float64).reshape(n, d)
+
+
 def compress_vectors(
     df: DataFrame, dtype: str = "float16", vec_col: str = "vector", out_col: str = "packed"
 ) -> DataFrame:
-    """Add a packed BINARY column (2 bytes/component). mapInPandas —
-    one Arrow pass, no per-row Python."""
+    """Add a packed BINARY column (2 bytes/component). mapInArrow —
+    one columnar pass, zero per-row Python objects in or out."""
+    from scalablevectorsearch_spark.functions.arrowio import (
+        batch_matrix,
+        binary_rows,
+    )
+
     if dtype not in DTYPES:
         raise ValueError(f"dtype must be one of {DTYPES}")
-    pack = _PACK[dtype]
-    cols = df.columns
+    vi = df.columns.index(vec_col)
+    names = df.columns + [out_col]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def fn(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            pdf = pdf.copy()
-            pdf[out_col] = pack(X)
-            yield pdf
+            X = batch_matrix(rb.column(vi))
+            packed = binary_rows(_pack_matrix(X, dtype), n, 2 * X.shape[1])
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [packed], names=names
+            )
 
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
-    return df.mapInPandas(fn, f"{schema}, {out_col} binary")
+    return df.mapInArrow(fn, f"{schema}, {out_col} binary")
 
 
 def decompress_vectors(
     df: DataFrame, dtype: str = "float16", packed_col: str = "packed", out_col: str = "vector"
 ) -> DataFrame:
-    """BINARY -> ARRAY<DOUBLE> (widened; exact for both 16-bit formats)."""
+    """BINARY -> ARRAY<DOUBLE> (widened; exact for both 16-bit formats).
+    Columnar both ways: the binary values buffer is viewed as the packed
+    matrix, widened in one vectorized pass, and re-emitted as a single
+    flat list column."""
+    from scalablevectorsearch_spark.functions.arrowio import (
+        binary_matrix,
+        list_rows,
+    )
+
     if dtype not in DTYPES:
         raise ValueError(f"dtype must be one of {DTYPES}")
-    unpack = _UNPACK[dtype]
-    keep = [c for c in df.columns if c != out_col]
+    src = df.drop(out_col) if out_col in df.columns else df
+    pi = src.columns.index(packed_col)
+    names = src.columns + [out_col]
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if len(pdf) == 0:
+    def fn(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
                 continue
-            pdf = pdf.copy()
-            pdf[out_col] = [unpack(bytes(b)).tolist() for b in pdf[packed_col]]
-            yield pdf
+            data, w = binary_matrix(rb.column(pi))
+            if w % 2:
+                raise ValueError(f"packed width {w} is not 2 bytes/component")
+            d = w // 2
+            V = _unpack_matrix(data, n, d, dtype)
+            yield pa.RecordBatch.from_arrays(
+                list(rb.columns) + [list_rows(V, n, d)], names=names
+            )
 
     schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields if f.name != out_col
+        f"{f.name} {f.dataType.simpleString()}" for f in src.schema.fields
     )
-    return df.mapInPandas(fn, f"{schema}, {out_col} array<double>")
+    return src.mapInArrow(fn, f"{schema}, {out_col} array<double>")
 
 
 def f16_knn(
