@@ -321,12 +321,17 @@ def assign_hierarchical(
     sc = base.sparkSession.sparkContext
     bc = sc.broadcast((parent_model.centroids, child_map))
 
-    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def fn(batches) -> Iterator:
+        import pyarrow as arrow
+
+        from scalablevectorsearch_spark.functions.arrowio import batch_matrix
+
         P, CM = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
+        for rb in batches:
+            if rb.num_rows == 0:
                 continue
-            V = np.stack(pdf["__vec"].to_numpy()).astype(np.float64)
+            V = batch_matrix(rb.column(1))
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
             pa = _nearest_centroid(V, P)
             ca = np.zeros(len(V), dtype=np.int32)
             for p in np.unique(pa):
@@ -338,15 +343,16 @@ def assign_hierarchical(
                 cm = CM.get(int(p))
                 if cm is not None:
                     ca[rows_] = _nearest_centroid(V[rows_], cm)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["__id"].to_numpy(dtype=np.int64),
-                    "parent_cid": pa.astype(np.int32),
-                    "child_cid": ca,
-                }
+            yield arrow.RecordBatch.from_arrays(
+                [
+                    arrow.array(ids.astype(np.int64, copy=False), type=arrow.int64()),
+                    arrow.array(pa.astype(np.int32), type=arrow.int32()),
+                    arrow.array(ca, type=arrow.int32()),
+                ],
+                names=["id", "parent_cid", "child_cid"],
             )
 
-    return _scan(base, id_col, vec_col).mapInPandas(fn, HIER_ASSIGN_SCHEMA)
+    return _scan(base, id_col, vec_col).mapInArrow(fn, HIER_ASSIGN_SCHEMA)
 
 
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
