@@ -302,11 +302,21 @@ def recall_live(name, res):
     print(f"{name} recall (live gt): {recalls[name]}", flush=True)
 
 
+def _materialized(df):
+    # time THROUGH materialization (a bare plan returns in ms); the
+    # cached result then feeds the recall join without a second search
+    df = df.cache()
+    df.count()
+    return df
+
+
 recall_live(
     "dynamic_tombstoned",
     timed(
         "dynamic_tombstoned_search",
-        lambda: dynamic_search(dyn, queries, k=K, search_window_size=30),
+        lambda: _materialized(
+            dynamic_search(dyn, queries, k=K, search_window_size=30)
+        ),
     ),
 )
 dyn2 = timed("dynamic_consolidate", lambda: consolidate(dyn))
@@ -314,7 +324,9 @@ recall_live(
     "dynamic_consolidated",
     timed(
         "dynamic_consolidated_search",
-        lambda: dynamic_search(dyn2, queries, k=K, search_window_size=30),
+        lambda: _materialized(
+            dynamic_search(dyn2, queries, k=K, search_window_size=30)
+        ),
     ),
 )
 
