@@ -910,6 +910,27 @@ def _dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_a", "doc_b", E4("jaccard").alias("jaccard_e4"))
 
 
+DECON_MOD = 7
+DECON_OFFSET = 500000
+
+
+def _decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination gate: probes = shifted copies of
+    every doc with doc_id % DECON_MOD = 0 (planted contamination), the
+    banded cross-MinHash join must surface each probe's source doc (and
+    any near-dups) — hash-equal to the two-table SQL replica."""
+    from scalablevectorsearch_spark.pipeline.dedup import decontaminate
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % DECON_MOD == 0).select(
+        (F.col("doc_id") + DECON_OFFSET).alias("doc_id"), "text"
+    )
+    res = decontaminate(
+        docs, probes, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5
+    )
+    return res.select("probe_id", "doc_id", E4("jaccard").alias("jaccard_e4"))
+
+
 def _dedup_components_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from scalablevectorsearch_spark.pipeline.dedup import dedup_components
 
@@ -1885,6 +1906,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_routed_knn": _inverted_routed_knn_query,
         "batch_iterator_ivf": _batch_iterator_ivf_query,
         "dynamic_multivector_knn": _dynamic_multivector_query,
+        "decontaminate": _decontaminate_query,
         # --- round-1/2 gates, driver-green since CORRECTNESS_r04 ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
@@ -2024,6 +2046,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprints": oracles.doc_fingerprints_sql(16, 8),
         "dedup_exact": oracles.dedup_exact_sql(10, 10000),
         "dedup_minhash": oracles.dedup_minhash_sql(3, 16, 4, 0.5),
+        "decontaminate": oracles.decontaminate_sql(
+            DECON_MOD, DECON_OFFSET, 3, 16, 4, 0.5
+        ),
         "dedup_components": oracles.dedup_components_sql(3, 16, 4, 0.5),
         "simhash": oracles.simhash_sql(32),
         "embedding_neardup": oracles.embedding_neardup_sql(

@@ -293,8 +293,19 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
             base.select("id", "vector"), threshold=0.9, n_clusters=IVF_CLUSTERS
         ).count()
 
+    def _decon():
+        from scalablevectorsearch_spark.pipeline.dedup import decontaminate
+        from pyspark.sql import functions as F
+
+        probes = docs.filter(F.col("doc_id") % 29 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        decontaminate(docs, probes, n_shingle=3, n_perm=16, n_bands=4,
+                      threshold=0.5).count()
+
     timed("text_stats", _text_stats)
     timed("dedup_minhash", _dedup)
+    timed("decontaminate", _decon)
     timed("embedding_neardup_clustered", _neardup)
 
     # drop this rep's cached build artifacts so reps don't accumulate

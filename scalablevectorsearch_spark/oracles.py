@@ -708,6 +708,68 @@ FROM ver WHERE jac >= {threshold}
 """.strip()
 
 
+def decontaminate_sql(
+    probe_mod: int,
+    probe_offset: int,
+    n_shingle: int = 3,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> str:
+    """Cross-corpus banded-MinHash contamination: probes are SHIFTED
+    copies of every doc with doc_id % probe_mod = 0 (planted
+    contamination — each probe's source doc must surface), corpus is the
+    full documents table. Mirrors pipeline/dedup.py:decontaminate."""
+    from scalablevectorsearch_spark.pipeline.dedup import MERSENNE, perm_coeffs
+
+    r = n_perm // n_bands
+    md5i = _MD5I_SQL.format(
+        s=f"array_to_string(list_slice(toks, i, i + {n_shingle} - 1), ' ')"
+    )
+    mins = ", ".join(
+        f"list_min(list_transform(shingles, h -> ({a} * (h % {MERSENNE}) + {b}) % {MERSENNE}))"
+        for a, b in perm_coeffs(n_perm)
+    )
+    return f"""
+WITH tc AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+tp AS (SELECT doc_id + {probe_offset} AS doc_id,
+              string_split_regex(trim(text), '\\s+') AS toks
+       FROM documents WHERE doc_id % {probe_mod} = 0),
+shc AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {n_shingle} + 1, 1) + 1),
+                                      i -> {md5i})) AS shingles
+  FROM tc),
+shp AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {n_shingle} + 1, 1) + 1),
+                                      i -> {md5i})) AS shingles
+  FROM tp),
+sgc AS (SELECT doc_id, shingles, [{mins}] AS sig FROM shc),
+sgp AS (SELECT doc_id, shingles, [{mins}] AS sig FROM shp),
+bc AS (
+  SELECT doc_id, b AS band_id,
+         array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), ':') AS band_key
+  FROM sgc CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b) bb),
+bp AS (
+  SELECT doc_id AS probe_id, b AS band_id,
+         array_to_string(list_slice(sig, b * {r} + 1, b * {r} + {r}), ':') AS band_key
+  FROM sgp CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b) bb),
+pairs AS (
+  SELECT DISTINCT bp.probe_id, bc.doc_id
+  FROM bc JOIN bp ON bc.band_id = bp.band_id AND bc.band_key = bp.band_key),
+ver AS (
+  SELECT p.probe_id, p.doc_id,
+         len(list_intersect(sc.shingles, sp.shingles))::DOUBLE
+           / len(list_distinct(list_concat(sc.shingles, sp.shingles)))::DOUBLE AS jac
+  FROM pairs p
+  JOIN shc sc ON p.doc_id = sc.doc_id
+  JOIN shp sp ON p.probe_id = sp.doc_id)
+SELECT probe_id, doc_id, {E4.format(expr='jac')} AS jaccard_e4
+FROM ver WHERE jac >= {threshold}
+""".strip()
+
+
 def dedup_components_sql(
     n_shingle: int = 3, n_perm: int = 16, n_bands: int = 4, threshold: float = 0.5
 ) -> str:

@@ -90,6 +90,20 @@ def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
     return shingled.select("doc_id", "shingles", F.expr(f"array({mins})").alias("sig"))
 
 
+def _band_keys(signed: DataFrame, n_bands: int, r: int) -> DataFrame:
+    """Explode each signature into (doc_id, band_id, band_key) rows —
+    the banded-LSH bucket keys (the ONLY shuffle key downstream)."""
+    return signed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> struct(b as band_id, array_join(slice(sig, b * {r} + 1, {r}), ':') as band_key))"
+            )
+        ).alias("bk"),
+    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     n_bands: int = 4,
@@ -111,15 +125,7 @@ def lsh_candidate_pairs(
     if sig_len is None:
         sig_len = signed.select(F.size("sig").alias("s")).limit(1).collect()[0]["s"]
     r = sig_len // n_bands
-    bands = signed.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}),"
-                f" b -> struct(b as band_id, array_join(slice(sig, b * {r} + 1, {r}), ':') as band_key))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+    bands = _band_keys(signed, n_bands, r)
     if max_bucket_size is not None:
         from pyspark.sql import Window
 
@@ -186,6 +192,65 @@ def dedup_minhash(
     )
     pairs = lsh_candidate_pairs(signed, n_bands, max_bucket_size, sig_len=n_perm)
     return jaccard_verify(pairs, signed.select("doc_id", "shingles"), threshold)
+
+
+def decontaminate(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n_shingle: int = 3,
+    n_perm: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Cross-corpus contamination mining — the decontamination step of a
+    training pipeline: find every (probe_id, doc_id, jaccard) where a
+    training-corpus document near-duplicates an evaluation/test probe,
+    so the pipeline can drop the corpus rows (or flag the probes).
+
+    Same banded-MinHash machinery as :func:`dedup_minhash`, but the
+    candidate join runs BETWEEN the two corpora on (band_id, band_key)
+    — never corpus x probes. Scale shape: the probe set (an eval/test
+    suite) is orders of magnitude smaller than the corpus, so its banded
+    keys broadcast (``broadcast_probes``) and candidate generation is a
+    map-side probe of corpus bands; the corpus shuffles only its
+    colliding rows into the Jaccard verify. Ids may overlap between the
+    two tables — they are distinct id spaces."""
+    from pyspark.storagelevel import StorageLevel
+
+    r = n_perm // n_bands
+    signed_c = minhash_signature(
+        shingle_hashes(corpus, n_shingle, text_col, id_col), n_perm
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    signed_p = minhash_signature(
+        shingle_hashes(probes, n_shingle, text_col, id_col), n_perm
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_c = _band_keys(signed_c, n_bands, r)
+    bands_p = _band_keys(signed_p, n_bands, r).withColumnRenamed("doc_id", "probe_id")
+    if broadcast_probes:
+        bands_p = F.broadcast(bands_p)
+    pairs = (
+        bands_c.join(bands_p, ["band_id", "band_key"])
+        .select("probe_id", "doc_id")
+        .distinct()
+    )
+    sp = signed_p.select(F.col("doc_id").alias("probe_id"), F.col("shingles").alias("__sp"))
+    if broadcast_probes:
+        sp = F.broadcast(sp)
+    j = (
+        pairs.join(signed_c.select("doc_id", F.col("shingles").alias("__sc")), "doc_id")
+        .join(sp, "probe_id")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("__sc", "__sp")).cast("double")
+            / F.size(F.array_union("__sc", "__sp")).cast("double"),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select(
+        "probe_id", "doc_id", "jaccard"
+    )
 
 
 def dedup_components(

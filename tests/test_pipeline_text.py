@@ -77,6 +77,28 @@ def test_minhash_finds_planted_neardup(docs, spark):
     assert pairs[(0, 888)] > 0.8
 
 
+def test_decontaminate_finds_planted_and_skips_clean(docs, spark):
+    """Cross-corpus contamination: a probe that is a (mutated) copy of a
+    corpus doc must surface with its source; a disjoint-text probe must
+    not; corpus-internal dup pairs must NOT appear (the join is strictly
+    cross-corpus)."""
+    from scalablevectorsearch_spark.pipeline.dedup import decontaminate
+
+    corpus = docs.filter(F.col("doc_id") < 60)
+    contaminated = corpus.filter(F.col("doc_id") == 3).select(
+        F.lit(9001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    clean = spark.createDataFrame(
+        [(9002, "qqq www eee rrr ttt yyy uuu iii ooo ppp")], "doc_id long, text string"
+    )
+    res = decontaminate(corpus, contaminated.unionByName(clean), threshold=0.5)
+    rows = {(r["probe_id"], r["doc_id"]): r["jaccard"] for r in res.collect()}
+    assert (9001, 3) in rows and rows[(9001, 3)] > 0.8
+    assert not any(p == 9002 for p, _ in rows)
+    assert all(p in (9001, 9002) for p, _ in rows)  # never corpus-internal
+
+
 def test_lsh_is_not_all_pairs(docs):
     """The candidate set must be far smaller than n*(n-1)/2."""
     sh = shingle_hashes(docs)
