@@ -912,6 +912,23 @@ def _dedup_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DECON_MOD = 7
 DECON_OFFSET = 500000
+SH_COPIES = 20
+SH_OFFSET = 600000
+
+
+def _simhash_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup join gate: plant near-copies (one token
+    appended) of doc_id < SH_COPIES; every (original, copy) pair within
+    the hamming budget must hash-equal the SQL replica's pair set."""
+    from scalablevectorsearch_spark.pipeline.dedup import simhash_neardup
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") < SH_COPIES).select(
+        (F.col("doc_id") + SH_OFFSET).alias("doc_id"),
+        F.concat(F.trim(F.col("text")), F.lit(" zzz")).alias("text"),
+    )
+    both = docs.select("doc_id", F.trim("text").alias("text")).unionByName(copies)
+    return simhash_neardup(both, n_bits=32, n_bands=4, max_hamming=3)
 
 
 def _decontaminate_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1907,6 +1924,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "batch_iterator_ivf": _batch_iterator_ivf_query,
         "dynamic_multivector_knn": _dynamic_multivector_query,
         "decontaminate": _decontaminate_query,
+        "simhash_neardup": _simhash_neardup_query,
         # --- round-1/2 gates, driver-green since CORRECTNESS_r04 ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
@@ -2049,6 +2067,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": oracles.decontaminate_sql(
             DECON_MOD, DECON_OFFSET, 3, 16, 4, 0.5
         ),
+        "simhash_neardup": oracles.simhash_neardup_sql(SH_COPIES, SH_OFFSET, 32, 4, 3),
         "dedup_components": oracles.dedup_components_sql(3, 16, 4, 0.5),
         "simhash": oracles.simhash_sql(32),
         "embedding_neardup": oracles.embedding_neardup_sql(

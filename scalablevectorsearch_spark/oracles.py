@@ -810,6 +810,47 @@ SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h
 """.strip()
 
 
+def simhash_neardup_sql(
+    n_copies: int,
+    offset: int,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+) -> str:
+    """Banded SimHash near-dup join over documents + planted copies of
+    doc_id < n_copies (shifted ids, text perturbed by one appended
+    token). Mirrors pipeline/dedup.py:simhash_neardup."""
+    w = n_bits // n_bands
+    mask = (1 << w) - 1
+    md5i = _MD5I_SQL.format(s="t")
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> "
+        f"CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN {1 << b} ELSE 0 END)"
+        for b in range(n_bits)
+    )
+    return f"""
+WITH t0 AS (SELECT doc_id, trim(text) AS text FROM documents
+            UNION ALL
+            SELECT doc_id + {offset} AS doc_id, trim(text) || ' zzz' AS text
+            FROM documents WHERE doc_id < {n_copies}),
+t AS (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM t0),
+h AS (SELECT doc_id, list_transform(toks, t -> {md5i}) AS hs FROM t),
+fp AS (SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM h),
+bands AS (
+  SELECT doc_id, simhash, b AS band_id, (simhash >> (b * {w})) & {mask} AS band_bits
+  FROM fp CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b) bb),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS ha, b.simhash AS hb
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_bits = b.band_bits
+   AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+""".strip()
+
+
 # ------------------------------------------------------------ embedding near-dup
 
 _COS_SQL = (

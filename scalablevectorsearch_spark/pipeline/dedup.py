@@ -311,6 +311,82 @@ def dedup_components(
     )
 
 
+def simhash_neardup(
+    df: DataFrame,
+    n_bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup JOIN — the banded lookup the fingerprint was
+    built for: split the n_bits fingerprint into ``n_bands`` bit bands;
+    by pigeonhole, two fingerprints within hamming distance < n_bands
+    share at least one band EXACTLY, so candidates come from an
+    equi-join on (band_id, band_bits) — the only shuffle key, never
+    doc x doc — and only candidates pay the popcount verify.
+    Returns (doc_a, doc_b, hamming) with hamming <= max_hamming,
+    doc_a < doc_b.
+
+    Completeness holds for ``max_hamming <= n_bands - 1``; a larger
+    ``max_hamming`` still returns only verified-true pairs but may miss
+    pairs whose differing bits touch every band. ``max_bucket_size``
+    caps degenerate hot buckets like :func:`lsh_candidate_pairs`."""
+    if n_bits % n_bands:
+        raise ValueError(f"n_bands {n_bands} must divide n_bits {n_bits}")
+    w = n_bits // n_bands
+    mask = (1 << w) - 1
+    fp = simhash(df, n_bits, text_col, id_col)
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> struct(b as band_id,"
+                f" (shiftright(simhash, b * {w}) & {mask}L) as band_bits))"
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_bits").alias("band_bits"),
+    )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        wnd = Window.partitionBy("band_id", "band_bits")
+        bands = bands.withColumn("__bs", F.count("*").over(wnd)).filter(
+            F.col("__bs") <= max_bucket_size
+        ).drop("__bs")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.expr("bit_count(__ha ^ __hb)").cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(
     df: DataFrame, n_bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -99,6 +99,23 @@ def test_decontaminate_finds_planted_and_skips_clean(docs, spark):
     assert all(p in (9001, 9002) for p, _ in rows)  # never corpus-internal
 
 
+def test_simhash_neardup_banded_join(docs):
+    """A one-token-appended copy lands within the hamming budget and the
+    banded join finds it; output respects the bound and doc_a < doc_b."""
+    from scalablevectorsearch_spark.pipeline.dedup import simhash_neardup
+
+    base = docs.filter(F.col("doc_id") < 40).select(
+        "doc_id", F.trim("text").alias("text")
+    )
+    copy = base.filter(F.col("doc_id") == 5).select(
+        F.lit(7005).alias("doc_id"), F.concat("text", F.lit(" zzz")).alias("text")
+    )
+    out = simhash_neardup(base.unionByName(copy), n_bands=4, max_hamming=3)
+    rows = [(r["doc_a"], r["doc_b"], r["hamming"]) for r in out.collect()]
+    assert any(a == 5 and b == 7005 for a, b, _ in rows)
+    assert all(h <= 3 and a < b for a, b, h in rows)
+
+
 def test_lsh_is_not_all_pairs(docs):
     """The candidate set must be far smaller than n*(n-1)/2."""
     sh = shingle_hashes(docs)
