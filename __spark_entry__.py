@@ -916,6 +916,28 @@ SH_COPIES = 20
 SH_OFFSET = 600000
 
 
+def _token_vocabulary_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-training vocabulary gate: top-200 token counts with a
+    deterministic (count desc, token asc) cut, hash-equal to SQL."""
+    from scalablevectorsearch_spark.pipeline.text import token_vocabulary
+
+    res = token_vocabulary(_docs(spark, sf_dir), top_n=200)
+    return res.select(
+        "token",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+def _pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sharding gate: the distributed-prefix-sum packing
+    must hash-equal the single-window SQL cumsum."""
+    from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), token_budget=500)
+
+
 def _simhash_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup join gate: plant near-copies (one token
     appended) of doc_id < SH_COPIES; every (original, copy) pair within
@@ -1925,6 +1947,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_multivector_knn": _dynamic_multivector_query,
         "decontaminate": _decontaminate_query,
         "simhash_neardup": _simhash_neardup_query,
+        "token_vocabulary": _token_vocabulary_query,
+        "pack_sequences": _pack_sequences_query,
         # --- round-1/2 gates, driver-green since CORRECTNESS_r04 ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
@@ -2068,6 +2092,8 @@ def oracle_sql() -> dict[str, str]:
             DECON_MOD, DECON_OFFSET, 3, 16, 4, 0.5
         ),
         "simhash_neardup": oracles.simhash_neardup_sql(SH_COPIES, SH_OFFSET, 32, 4, 3),
+        "token_vocabulary": oracles.token_vocabulary_sql(200),
+        "pack_sequences": oracles.pack_sequences_sql(500),
         "dedup_components": oracles.dedup_components_sql(3, 16, 4, 0.5),
         "simhash": oracles.simhash_sql(32),
         "embedding_neardup": oracles.embedding_neardup_sql(

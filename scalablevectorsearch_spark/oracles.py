@@ -577,6 +577,49 @@ def _sql_str_list(words: list[str]) -> str:
     return ", ".join(f"'{w}'" for w in words)
 
 
+def token_vocabulary_sql(top_n: int, min_count: int = 1) -> str:
+    """Top-n token counts over documents, ties broken by token asc —
+    mirrors pipeline/text.py:token_vocabulary."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+  FROM documents),
+per_doc AS (
+  SELECT token, doc_id, count(*) AS c FROM toks GROUP BY token, doc_id),
+counts AS (
+  SELECT token, sum(c) AS n_occurrences, count(*) AS n_docs
+  FROM per_doc GROUP BY token
+  HAVING sum(c) >= {min_count}),
+ranked AS (
+  SELECT token, n_occurrences::BIGINT AS n_occurrences,
+         n_docs::BIGINT AS n_docs,
+         row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS rank
+  FROM counts)
+SELECT token, n_occurrences, n_docs, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {top_n}
+""".strip()
+
+
+def pack_sequences_sql(token_budget: int) -> str:
+    """Greedy sequential token-budget packing in doc_id order — mirrors
+    pipeline/pack.py:pack_sequences (distributed prefix sum) with a
+    plain ordered-window cumsum."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, len(string_split_regex(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(sum(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+           AS tokens_before
+  FROM t)
+SELECT doc_id, n_tokens, tokens_before,
+       (tokens_before // {token_budget})::BIGINT AS bin_id
+FROM c
+""".strip()
+
+
 def text_stats_sql() -> str:
     from scalablevectorsearch_spark.pipeline.text import BPE_PATTERN, STOPWORDS
 

@@ -171,3 +171,43 @@ def normalize_text(
     if lowercase:
         c = F.lower(c)
     return df.select(F.col(id_col).alias("doc_id"), c.alias(out_col))
+
+
+def token_vocabulary(
+    df: DataFrame,
+    top_n: int = 1000,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus token vocabulary — the counting pass of tokenizer training:
+    (token, n_occurrences, n_docs, rank) for the ``top_n`` most frequent
+    whitespace tokens (ties rank by token ascending, so the cut is
+    deterministic cross-engine).
+
+    Scale shape: explode is map-side; Spark's aggregate does map-side
+    partial counts per token before the ONE shuffle on the token key, so
+    shuffled rows are O(distinct tokens x partitions), not O(corpus
+    tokens); the final top-n is a tiny sort."""
+    # one grouped pass over (token, doc) pre-aggregation feeds both
+    # occurrence and document counts
+    per_doc = (
+        df.select(F.col("doc_id"), F.explode(_toks(text_col)).alias("token"))
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("__c"))
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.sum("__c").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
+    ).filter(F.col("n_occurrences") >= min_count)
+    # global top-n via orderBy+limit = TakeOrderedAndProject (map-side
+    # partial top-k, never a single-partition sort of the full vocab);
+    # the rank window then runs over only top_n rows
+    from pyspark.sql import Window
+
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("token").asc()
+    ).limit(top_n)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "n_occurrences", "n_docs", "rank"
+    )

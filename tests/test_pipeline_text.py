@@ -134,6 +134,49 @@ def test_jaccard_verify_bounds(docs):
     assert bad == 0
 
 
+def test_token_vocabulary_counts_and_cut(docs, spark):
+    from scalablevectorsearch_spark.pipeline.text import token_vocabulary
+
+    v = token_vocabulary(docs, top_n=10).collect()
+    assert len(v) == 10
+    occ = [r["n_occurrences"] for r in v]
+    assert occ == sorted(occ, reverse=True)
+    assert all(r["n_docs"] <= r["n_occurrences"] for r in v)
+    assert [r["rank"] for r in v] == list(range(1, 11))
+
+
+def test_pack_sequences_matches_naive_prefix(docs, spark):
+    """The distributed prefix sum must equal the naive single-machine
+    walk, regardless of partitioning; bins average the budget."""
+    from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+
+    out = {r["doc_id"]: r for r in pack_sequences(docs, token_budget=300).collect()}
+    toks = sorted(
+        (r["doc_id"], r["n"])
+        for r in docs.selectExpr(
+            "doc_id", "size(split(trim(text), '\\\\s+')) as n"
+        ).collect()
+    )
+    run = 0
+    for did, n in toks:
+        r = out[did]
+        assert r["n_tokens"] == n
+        assert r["tokens_before"] == run
+        assert r["bin_id"] == run // 300
+        run += n
+    # every bin except possibly the last carries >= budget tokens
+    # counting its straddling doc
+    n_bins = max(r["bin_id"] for r in out.values()) + 1
+    assert n_bins >= run // 300
+
+
+def test_pack_sequences_rejects_bad_budget(docs):
+    from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+
+    with pytest.raises(ValueError, match="positive"):
+        pack_sequences(docs, token_budget=0)
+
+
 def test_perm_coeffs_deterministic():
     assert perm_coeffs(8) == perm_coeffs(8)
     assert len(set(perm_coeffs(16))) == 16
