@@ -119,6 +119,23 @@ def main() -> int:
         len(re.findall(r"\(\d+\) Exchange", p)) == 1,
     )
 
+    # 4b. packing/vocab scale shapes: the prefix-sum packer must never
+    # plan a single-partition exchange (the global-window trap), and the
+    # vocabulary top-n must be a distributed TakeOrdered, not a sort
+    from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+    from scalablevectorsearch_spark.pipeline.text import token_vocabulary
+
+    p = plan_of(pack_sequences(docs, token_budget=500))
+    check(
+        "pack_sequences: range-partitioned prefix sum, no SinglePartition",
+        "rangepartitioning" in p and "SinglePartition" not in p,
+    )
+    p = plan_of(token_vocabulary(docs, top_n=100))
+    check(
+        "token_vocabulary: top-n via TakeOrdered (no full-vocab global sort)",
+        "TakeOrderedAndProject" in p,
+    )
+
     # 5. vamana search reads the index's persisted shard-partitioned
     # layout with NO exchange between the cogroup and the cached scan —
     # a query batch must never re-shuffle the base, including after a
