@@ -1,0 +1,215 @@
+"""Large-scale stress for the LLM-pipeline text operators — dedup,
+decontamination, packing, vocabulary — beyond the sf0.1 gate corpus.
+
+Usage: python tools/stress_pipeline.py [n_docs]   (default 1_000_000)
+
+Corpus: generated DISTRIBUTED and Catalyst-only — each document's
+tokens derive from hash(doc_id, position) over a closed vocabulary, so
+`spark.range(N)` plus expressions builds ~100-token documents with no
+Python and no driver materialization. Deterministic: the same N always
+yields the same corpus.
+
+Planted structure (what the invariants check):
+ - EXACT dups:    docs with id % 100 == 0 are copied verbatim under
+                  id + N        -> dedup_exact must flag every copy.
+ - NEAR dups:     docs with id % 101 == 0 are copied with one appended
+                  token under id + 2N -> dedup_minhash must pair >= 99%
+                  of them with their source (16 perms / 4 bands at
+                  jaccard ~0.99; banding miss probability is negligible).
+ - CONTAMINATION: docs with id % 103 == 0 are copied (one appended
+                  token) into a PROBE corpus under id + 3N ->
+                  decontaminate must trace every probe to its source.
+ - simhash_neardup runs on a bounded subset (50k) with gate parameters:
+   32-bit fingerprints over random text collide at corpus scale (8-bit
+   bands ~ N/256 per bucket) — the banded-SimHash join is a
+   small/medium-corpus tool; banded MinHash is the corpus-scale path.
+
+pack_sequences is verified EXACTLY at full scale: collect the (tiny)
+per-doc (n_tokens, tokens_before) columns and replay the prefix sum in
+numpy.
+
+Appends one line to BENCH_HISTORY.jsonl tagged {"stress_pipeline": n}
+and asserts the planted-recall floors so silent regressions fail.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from scalablevectorsearch_spark.session import get_spark
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+VOCAB = 1000
+MIN_LEN, LEN_SPREAD = 60, 80
+SIMHASH_SUBSET = 50_000
+
+spark = get_spark("stress-pipeline")
+timings: dict[str, float] = {}
+metrics: dict[str, float] = {}
+
+
+def timed(name, fn):
+    t0 = time.time()
+    r = fn()
+    timings[name] = round(time.time() - t0, 1)
+    print(f"{name}: {timings[name]}s", flush=True)
+    return r
+
+
+def gen_docs(ids_df):
+    """(doc_id, text): ~MIN_LEN..MIN_LEN+LEN_SPREAD tokens drawn from a
+    closed vocab by hashing (doc_id, position) — pure Catalyst."""
+    return ids_df.select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"array_join(transform(sequence(1, {MIN_LEN} + pmod(hash(id), {LEN_SPREAD})),"
+            f" i -> concat('w', pmod(hash(id * 131071 + i), {VOCAB}))), ' ')"
+        ).alias("text"),
+    )
+
+
+out = f"/root/repo/_artifacts/stress_docs{N}"
+if not os.path.exists(out):
+    timed(
+        "generate",
+        lambda: gen_docs(spark.range(N)).write.parquet(out),
+    )
+docs = spark.read.parquet(out)
+docs.cache()
+print("docs:", docs.count(), flush=True)
+
+# ---- text_stats / vocabulary / packing over the clean corpus ----
+from scalablevectorsearch_spark.pipeline.text import text_stats, token_vocabulary
+
+timed("text_stats", lambda: text_stats(docs).count())
+
+vocab = timed("token_vocabulary", lambda: token_vocabulary(docs, top_n=VOCAB + 10).collect())
+assert len(vocab) == VOCAB, f"expected the closed vocab of {VOCAB}, got {len(vocab)}"
+assert [r["rank"] for r in vocab] == list(range(1, VOCAB + 1))
+metrics["vocab_size"] = len(vocab)
+
+from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+
+BUDGET = 4096
+packed = timed(
+    "pack_sequences",
+    lambda: pack_sequences(docs, token_budget=BUDGET).select(
+        "doc_id", "n_tokens", "tokens_before", "bin_id"
+    ).toPandas(),
+)
+packed = packed.sort_values("doc_id").reset_index(drop=True)
+toks = packed["n_tokens"].to_numpy(dtype=np.int64)
+want_before = np.cumsum(toks) - toks
+assert np.array_equal(packed["tokens_before"].to_numpy(dtype=np.int64), want_before), (
+    "distributed prefix sum diverged from the naive replay"
+)
+assert np.array_equal(
+    packed["bin_id"].to_numpy(dtype=np.int64), want_before // BUDGET
+)
+metrics["pack_total_tokens"] = int(toks.sum())
+metrics["pack_n_bins"] = int(packed["bin_id"].max()) + 1
+print(f"pack: {metrics['pack_total_tokens']} tokens -> {metrics['pack_n_bins']} bins", flush=True)
+
+# ---- exact dedup with planted copies ----
+from scalablevectorsearch_spark.pipeline.dedup import (
+    decontaminate,
+    dedup_exact,
+    dedup_minhash,
+    simhash_neardup,
+)
+
+exact_src = docs.filter(F.col("doc_id") % 100 == 0)
+n_exact = exact_src.count()
+with_copies = docs.unionByName(
+    exact_src.select((F.col("doc_id") + N).alias("doc_id"), "text")
+)
+flagged = timed(
+    "dedup_exact",
+    lambda: dedup_exact(with_copies)
+    .filter("is_dup")
+    .filter(F.col("doc_id") >= N)
+    .count(),
+)
+metrics["exact_planted_recall"] = round(flagged / n_exact, 4)
+print("exact planted recall:", metrics["exact_planted_recall"], flush=True)
+assert metrics["exact_planted_recall"] == 1.0
+
+# ---- minhash near-dup with planted near-copies ----
+near_src = docs.filter(F.col("doc_id") % 101 == 0)
+n_near = near_src.count()
+near = near_src.select(
+    (F.col("doc_id") + 2 * N).alias("doc_id"),
+    F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+)
+pairs = timed(
+    "dedup_minhash",
+    lambda: dedup_minhash(
+        docs.unionByName(near), n_shingle=3, n_perm=16, n_bands=4, threshold=0.5
+    )
+    .filter((F.col("doc_b") >= 2 * N) & (F.col("doc_a") == F.col("doc_b") - 2 * N))
+    .count(),
+)
+metrics["minhash_planted_recall"] = round(pairs / n_near, 4)
+print("minhash planted recall:", metrics["minhash_planted_recall"], flush=True)
+assert metrics["minhash_planted_recall"] >= 0.99
+
+# ---- cross-corpus decontamination ----
+probe_src = docs.filter(F.col("doc_id") % 103 == 0)
+n_probe = probe_src.count()
+probes = probe_src.select(
+    (F.col("doc_id") + 3 * N).alias("doc_id"),
+    F.concat(F.col("text"), F.lit(" qqq")).alias("text"),
+)
+found = timed(
+    "decontaminate",
+    lambda: decontaminate(docs, probes, threshold=0.5)
+    .filter(F.col("doc_id") == F.col("probe_id") - 3 * N)
+    .count(),
+)
+metrics["decon_planted_recall"] = round(found / n_probe, 4)
+print("decontaminate planted recall:", metrics["decon_planted_recall"], flush=True)
+assert metrics["decon_planted_recall"] >= 0.99
+
+# ---- simhash join on the bounded subset ----
+sub = docs.filter(F.col("doc_id") < SIMHASH_SUBSET)
+sub_near = sub.filter(F.col("doc_id") % 101 == 0).select(
+    (F.col("doc_id") + 2 * N).alias("doc_id"),
+    F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+)
+n_sub_near = sub_near.count()
+sh_pairs = timed(
+    "simhash_neardup_50k",
+    lambda: simhash_neardup(
+        sub.unionByName(sub_near), n_bands=4, max_hamming=3,
+        max_bucket_size=2000,
+    )
+    .filter((F.col("doc_b") >= 2 * N) & (F.col("doc_a") == F.col("doc_b") - 2 * N))
+    .count(),
+)
+metrics["simhash_planted_recall"] = round(sh_pairs / n_sub_near, 4)
+print("simhash planted recall (50k subset):", metrics["simhash_planted_recall"], flush=True)
+assert metrics["simhash_planted_recall"] >= 0.95
+
+line = {
+    "ts": __import__("datetime")
+    .datetime.now(__import__("datetime").timezone.utc)
+    .astimezone()
+    .isoformat(timespec="seconds"),
+    "stress_pipeline": N,
+    "timings": timings,
+    "metrics": metrics,
+    "meta": {"vocab": VOCAB, "pack_budget": BUDGET, "simhash_subset": SIMHASH_SUBSET},
+}
+with open("/root/repo/BENCH_HISTORY.jsonl", "a") as f:
+    f.write(json.dumps(line) + "\n")
+print(json.dumps(line), flush=True)
+print("STRESS PIPELINE DONE", flush=True)
