@@ -51,7 +51,29 @@ from scalablevectorsearch_spark.operators.dynamic import (
     dynamic_search,
     dynamic_vamana,
 )
-from scalablevectorsearch_spark.operators.multivector import multivector_knn
+from scalablevectorsearch_spark.operators.multivector import (
+    multi_add_points,
+    multi_delete_labels,
+    multi_dynamic_search,
+    multi_dynamic_vamana,
+    multivector_knn,
+)
+from scalablevectorsearch_spark.pipeline.dedup import (
+    decontaminate,
+    dedup_components,
+    dedup_exact,
+    dedup_minhash,
+    simhash,
+    simhash_neardup,
+)
+from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+from scalablevectorsearch_spark.pipeline.text import (
+    doc_fingerprints,
+    lang_id,
+    normalize_text,
+    text_stats,
+    token_vocabulary,
+)
 from scalablevectorsearch_spark.operators.calibrate import calibrate_window
 from scalablevectorsearch_spark.operators.iterator import BatchIterator, DefaultSchedule
 from scalablevectorsearch_spark.operators.reconstruct import reconstruct
