@@ -915,6 +915,29 @@ def write_svs(path: str, X: np.ndarray) -> None:
     vio.write_svs(path, X)
 
 
+def convert_vecs_to_svs(vecs_file: str, svs_file: str, dtype: str = "float32") -> None:
+    """File-format converter (python_bindings.cpp `convert_vecs_to_svs`):
+    read a `*vecs` file, write the native `.svs` V1 layout."""
+    from scalablevectorsearch_spark.sources import vecs as vio
+
+    vio.write_svs(svs_file, vio.read_vecs(vecs_file).astype(dtype))
+
+
+def library_version() -> str:
+    """Engine version string (python_bindings.cpp `library_version`)."""
+    from scalablevectorsearch_spark import __version__
+
+    return __version__
+
+
+def have_mkl() -> bool:
+    """MKL-backend probe (python_bindings.cpp `have_mkl`). This engine's
+    kernels run on numpy's BLAS inside Spark tasks; there is no MKL
+    backend to toggle, so this is always False — callers branching on it
+    get the generic path, which is the only path."""
+    return False
+
+
 class _Upgrader:
     """svs.upgrader (bindings/python/src/svs/upgrader.py) — migrates a
     saved index directory to the current serialization version; the

@@ -46,6 +46,20 @@ def test_vecs_roundtrip(kind, dtype):
     assert Y.dtype == dtype and np.array_equal(X, Y)
 
 
+def test_convert_vecs_to_svs_roundtrip():
+    """python_bindings.cpp convert_vecs_to_svs: fvecs -> .svs preserves
+    values; library_version/have_mkl exist on the facade."""
+    import scalablevectorsearch_spark.api as svs
+
+    X = np.arange(24, dtype=np.float32).reshape(6, 4)
+    fv, fs = f"{ART}/conv.fvecs", f"{ART}/conv.svs"
+    svs.write_vecs(fv, X)
+    svs.convert_vecs_to_svs(fv, fs)
+    assert np.array_equal(svs.read_svs(fs), X)
+    assert isinstance(svs.library_version(), str)
+    assert svs.have_mkl() is False
+
+
 def test_vecs_rejects_inconsistent_dims():
     path = f"{ART}/bad.fvecs"
     with open(path, "wb") as f:
