@@ -587,7 +587,11 @@ def alpha_prune_batch(
         counts[rows] += 1
         state[rows, p] = ADDED
         # lazy kill row: d(added, pool_j), computed over the full batch
-        # in one einsum (wasted flops on idle rows beat gather copies)
+        # in one einsum. Kill results are only used for rows that
+        # stepped (p_full = P empties the mask for the rest), but at the
+        # dispatch-bound batch sizes the build produces (~200 x 64 x 64)
+        # the full-batch matmul beats any gathered-row variant — an
+        # adaptive gather branch A/B-measured SLOWER here.
         cand_full = np.zeros(m, dtype=np.int64)
         cand_full[rows] = cand
         Vr = X[cand_full]  # (m, d)
@@ -650,9 +654,11 @@ def _node_pool(
     the prune itself runs batched (:func:`alpha_prune_batch`)."""
     m = ids >= 0
     pool_ids, pool_d = ids[m], ds[m]
-    extra = [int(v) for v in graph[node] if int(v) not in set(int(i) for i in pool_ids)]
-    if extra:
-        ea = np.asarray(extra, dtype=np.int64)
+    # neighbors not already in the pool; order is irrelevant (the final
+    # lexsort is keyed on (distance, id) alone) so the sorted-unique
+    # setdiff replaces the per-node Python set scan
+    ea = np.setdiff1d(np.asarray(graph[node], dtype=np.int64), pool_ids)
+    if len(ea):
         ed = _dists(X, X[node], ea, distance)
         pool_ids = np.concatenate([pool_ids, ea])
         pool_d = np.concatenate([pool_d, ed])
