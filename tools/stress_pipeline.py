@@ -162,6 +162,37 @@ metrics["minhash_planted_recall"] = round(pairs / n_near, 4)
 print("minhash planted recall:", metrics["minhash_planted_recall"], flush=True)
 assert metrics["minhash_planted_recall"] >= 0.99
 
+# ---- connected components over a planted chain (A ~ B ~ C) ----
+from scalablevectorsearch_spark.pipeline.dedup import dedup_components
+
+chain2 = near_src.select(
+    (F.col("doc_id") + 4 * N).alias("doc_id"),
+    F.concat(F.col("text"), F.lit(" zzz yyy")).alias("text"),
+)
+chain_pairs = timed(
+    "dedup_minhash_chain",
+    lambda: dedup_minhash(
+        docs.unionByName(near).unionByName(chain2),
+        n_shingle=3, n_perm=16, n_bands=4, threshold=0.5,
+    ).persist(),
+)
+comp = timed("dedup_components", lambda: dedup_components(chain_pairs).persist())
+# transitive collapse: every copy (id >= 2N) must trace to an ORIGINAL
+# canonical (< N) — the 2nd-degree copy often has no direct pair with
+# its source, only through the 1st copy. (Natural near-dups between
+# originals may further merge clusters, so the canonical is "some
+# original", not necessarily that copy's own source.)
+bad = comp.filter(
+    (F.col("doc_id") >= 2 * N) & (F.col("canonical_id") >= N)
+).count()
+n_members = comp.filter(F.col("doc_id") >= 2 * N).count()
+metrics["components_bad_canonicals"] = int(bad)
+metrics["components_chain_members"] = int(n_members)
+print(f"components: {n_members} chain members, {bad} bad canonicals", flush=True)
+assert bad == 0 and n_members >= 2 * n_near * 0.99
+chain_pairs.unpersist()
+comp.unpersist()
+
 # ---- cross-corpus decontamination ----
 probe_src = docs.filter(F.col("doc_id") % 103 == 0)
 n_probe = probe_src.count()
