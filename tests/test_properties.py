@@ -169,3 +169,42 @@ def test_alpha_prune_batch_duplicate_points():
     for i, node in enumerate(nodes):
         exp = alpha_prune(X, int(node), pools[i], pool_d[i], 1.2, 8)
         assert np.array_equal(got[i], exp)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(0, 2**32),
+    st.integers(2, 12),   # window
+    st.integers(1, 6),    # nq
+    st.sampled_from(["l2", "ip", "cosine"]),
+    st.booleans(),        # lazy batch mode
+)
+def test_batch_greedy_equals_sequential(seed, window, nq, distance, lazy):
+    """batch_greedy_search's docstring claims query-for-query identity
+    with the sequential traversal — verify on random graphs, all three
+    distances, dense and lazy modes, including the split buffer."""
+    from scalablevectorsearch_spark.operators.vamana_local import (
+        batch_greedy_search,
+        greedy_search,
+    )
+
+    rng = np.random.default_rng(seed)
+    n = 40
+    X = rng.normal(size=(n, 5))
+    graph = [
+        np.sort(rng.choice(n, size=rng.integers(0, 6), replace=False)).astype(np.int64)
+        for _ in range(n)
+    ]
+    eps = [int(rng.integers(0, n))]
+    Q = rng.normal(size=(nq, 5))
+    cap = window + int(rng.integers(0, 5))
+    bids, bds = batch_greedy_search(
+        X, graph, eps, Q, window, distance, capacity=cap, lazy=lazy
+    )
+    for qi in range(nq):
+        sids, sds = greedy_search(
+            X, graph, eps, Q[qi], window, distance, capacity=cap
+        )
+        got = bids[qi][bids[qi] >= 0]
+        assert np.array_equal(got, sids), f"query {qi} ids"
+        assert np.allclose(bds[qi][: len(sds)], sds), f"query {qi} dists"
