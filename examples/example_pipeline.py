@@ -57,6 +57,32 @@ def main() -> None:
     pairs = embedding_neardup_clustered(emb, threshold=0.9, n_clusters=16)
     print(f"embedding near-dup pairs (cos>=0.9): {pairs.count()}")
 
+    # 5. decontaminate the corpus against an eval/test probe set
+    # (here: perturbed copies of a few corpus docs, standing in for a
+    # benchmark suite): drop every training doc a probe traces to
+    from scalablevectorsearch_spark.pipeline.dedup import decontaminate
+
+    probes = docs.filter(F.col("doc_id") % 29 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat("text", F.lit(" extra")).alias("text"),
+    )
+    contam = decontaminate(docs, probes, threshold=0.5)
+    poisoned = contam.select("doc_id").distinct()
+    train = docs.join(poisoned, "doc_id", "left_anti")
+    print(f"decontamination: dropped {docs.count() - train.count()} corpus docs")
+
+    # 6. tokenizer vocabulary + fixed-token-budget shards for training
+    from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+    from scalablevectorsearch_spark.pipeline.text import token_vocabulary
+
+    vocab = token_vocabulary(train, top_n=20)
+    print("top tokens:", [r["token"] for r in vocab.collect()][:10])
+    bins = pack_sequences(train, token_budget=2048)
+    print(
+        f"packed into {bins.agg(F.max('bin_id')).collect()[0][0] + 1} "
+        f"shards of ~2048 tokens"
+    )
+
 
 if __name__ == "__main__":
     main()
