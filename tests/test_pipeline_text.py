@@ -116,6 +116,24 @@ def test_simhash_neardup_banded_join(docs):
     assert all(h <= 3 and a < b for a, b, h in rows)
 
 
+def test_simhash_neardup_wide_fingerprint(docs):
+    """The 60-bit / 15-bit-band variant (the corpus-scale shape: wide
+    bands keep buckets ~N/2^15) still finds the planted near-copy, and
+    random-text collisions that 8-bit bands admit disappear."""
+    from scalablevectorsearch_spark.pipeline.dedup import simhash_neardup
+
+    base = docs.filter(F.col("doc_id") < 60).select(
+        "doc_id", F.trim("text").alias("text")
+    )
+    copy = base.filter(F.col("doc_id") == 5).select(
+        F.lit(7005).alias("doc_id"), F.concat("text", F.lit(" zzz")).alias("text")
+    )
+    out = simhash_neardup(
+        base.unionByName(copy), n_bits=60, n_bands=4, max_hamming=3
+    ).collect()
+    assert any(r["doc_a"] == 5 and r["doc_b"] == 7005 for r in out)
+
+
 def test_lsh_is_not_all_pairs(docs):
     """The candidate set must be far smaller than n*(n-1)/2."""
     sh = shingle_hashes(docs)
