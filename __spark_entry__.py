@@ -938,6 +938,67 @@ def _pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_docs(spark, sf_dir), token_budget=500)
 
 
+SPLIT_NAMES = ["train", "val", "test"]
+SPLIT_WEIGHTS = [0.9, 0.05, 0.05]
+
+
+def _repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-repetition gate: the explode/groupBy n-gram aggregation
+    must hash-equal the SQL unnest replica, short docs kept at zero."""
+    from scalablevectorsearch_spark.pipeline.curate import repetition_stats
+
+    s = repetition_stats(_docs(spark, sf_dir), n=2)
+    return s.select(
+        "doc_id",
+        "n_ngrams",
+        E4("top_ngram_frac").alias("top_ngram_frac_e4"),
+        E4("dup_ngram_frac").alias("dup_ngram_frac_e4"),
+    )
+
+
+def _dataset_split_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-split gate: per-doc md5 assignment must hash-equal
+    the SQL replica (identical boundary literals both sides)."""
+    from scalablevectorsearch_spark.pipeline.curate import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir), SPLIT_NAMES, SPLIT_WEIGHTS).select(
+        "doc_id", "split"
+    )
+
+
+def _pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-scrub gate: the corpus is clean word-salad, so synthetic PII
+    is injected deterministically (same expression in the oracle SQL);
+    per-kind counts and the scrubbed text must match byte-exactly."""
+    from scalablevectorsearch_spark.pipeline.curate import pii_redact
+
+    d = F.col("doc_id")
+    injected = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 2 == 0,
+                F.concat(F.lit(" mail bob"), (d % 100).cast("string"), F.lit("@mail.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit(" from 10.0."), (d % 256).cast("string"), F.lit(".7")),
+            ).otherwise(F.lit("")),
+            F.when(d % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((d % 1000).cast("string"), 3, "0"),
+                    F.lit("-0199"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return pii_redact(injected)
+
+
 def _simhash_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup join gate: plant near-copies (one token
     appended) of doc_id < SH_COPIES; every (original, copy) pair within
@@ -1912,6 +1973,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
+        # --- new round-5 curation gates (never driver-sampled) ---
+        "repetition_stats": _repetition_stats_query,
+        "dataset_split": _dataset_split_query,
+        "pii_redact": _pii_redact_query,
         # --- round 3-4 gates never sampled by the driver (VERDICT r4
         # task 1): LVQ/LeanVec storage kinds, streaming, iterator,
         # facade, extension surface ---
@@ -2004,7 +2069,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from scalablevectorsearch_spark.pipeline.curate import split_boundaries
+
     return {
+        "repetition_stats": oracles.repetition_stats_sql(2),
+        "dataset_split": oracles.dataset_split_sql(
+            SPLIT_NAMES, split_boundaries(SPLIT_WEIGHTS)
+        ),
+        "pii_redact": oracles.pii_redact_sql(),
         "flat_knn_l2": oracles.flat_knn_sql("l2", K, N_QUERIES),
         # exhaustive-window graph search degenerates to exact k-NN
         "vamana_exhaustive_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),

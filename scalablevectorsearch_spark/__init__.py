@@ -66,6 +66,11 @@ from scalablevectorsearch_spark.pipeline.dedup import (
     simhash,
     simhash_neardup,
 )
+from scalablevectorsearch_spark.pipeline.curate import (
+    dataset_split,
+    pii_redact,
+    repetition_stats,
+)
 from scalablevectorsearch_spark.pipeline.pack import pack_sequences
 from scalablevectorsearch_spark.pipeline.text import (
     doc_fingerprints,

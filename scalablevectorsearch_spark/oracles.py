@@ -1522,3 +1522,71 @@ r2 AS (SELECT qid, id, {e4} AS dist_e4,
 SELECT qid, rnk AS rank, id AS neighbor_id, dist_e4 AS distance_e4
 FROM r2 WHERE rnk <= {k}
 """.strip()
+
+
+def repetition_stats_sql(n: int = 2) -> str:
+    """Gopher-style word-n-gram repetition over documents — mirrors
+    pipeline/curate.py:repetition_stats (left join keeps short docs
+    at zero, matching Spark's explode_outer)."""
+    return f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(toks) - {n - 1}),
+                        i -> array_to_string(toks[i:i+{n - 1}], ' ')) AS grams
+  FROM t),
+e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+pg AS (SELECT doc_id, gram, count(*) AS c FROM e GROUP BY doc_id, gram),
+pd AS (
+  SELECT doc_id, sum(c) AS n_ngrams, max(c) AS top,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+  FROM pg GROUP BY doc_id)
+SELECT t.doc_id,
+       coalesce(pd.n_ngrams, 0)::BIGINT AS n_ngrams,
+       {E4.format(expr="(coalesce(pd.top, 0)::DOUBLE / greatest(coalesce(pd.n_ngrams, 0), 1)::DOUBLE)")} AS top_ngram_frac_e4,
+       {E4.format(expr="(coalesce(pd.dup, 0)::DOUBLE / greatest(coalesce(pd.n_ngrams, 0), 1)::DOUBLE)")} AS dup_ngram_frac_e4
+FROM t LEFT JOIN pd ON t.doc_id = pd.doc_id
+""".strip()
+
+
+def dataset_split_sql(
+    names: list[str], bounds: list[str], salt: str = "", digits: int = 4
+) -> str:
+    """Deterministic md5 split — mirrors pipeline/curate.py:
+    dataset_split (identical boundary literals, lexicographic hex
+    comparison; no hex->int conversion in either engine)."""
+    case = f"'{names[-1]}'"
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        case = f"CASE WHEN substr(md5('{salt}:' || doc_id::VARCHAR), 1, {digits}) < '{b}' THEN '{name}' ELSE {case} END"
+    return f"SELECT doc_id, {case} AS split FROM documents".strip()
+
+
+def pii_redact_sql() -> str:
+    """Sequential PII scrub over documents with deterministically
+    injected synthetic PII (the corpus itself is clean word-salad) —
+    mirrors pipeline/curate.py:pii_redact and the injection in
+    __spark_entry__._pii_redact_query stage for stage."""
+    from scalablevectorsearch_spark.pipeline.curate import PII_PATTERNS
+
+    inject = """text
+    || CASE WHEN doc_id % 2 = 0 THEN ' mail bob' || (doc_id % 100)::VARCHAR || '@mail.com' ELSE '' END
+    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.7' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199' ELSE '' END"""
+    stages, prev = [f"s0 AS (SELECT doc_id, {inject} AS t FROM documents)"], "s0"
+    for i, (name, pat, token) in enumerate(PII_PATTERNS, start=1):
+        carried = ", ".join(f"n_{pname}" for pname, _, _ in PII_PATTERNS[: i - 1])
+        carried = carried + ", " if carried else ""
+        stages.append(
+            f"s{i} AS (SELECT doc_id, {carried}"
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{token}', 'g') AS t FROM {prev})"
+        )
+        prev = f"s{i}"
+    counts = ", ".join(f"n_{name}" for name, _, _ in PII_PATTERNS)
+    return (
+        "WITH " + ",\n".join(stages)
+        + f"\nSELECT doc_id, {counts}, t AS clean_text FROM {prev}"
+    ).strip()

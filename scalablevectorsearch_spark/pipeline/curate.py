@@ -1,0 +1,167 @@
+"""Corpus-curation operators for large-scale training-data pipelines —
+intra-document repetition signals, deterministic dataset splits, PII
+redaction.
+
+These extend the reference's surface the same way ``pipeline/text.py``
+does (BASELINE.json north star): before a 100 TB crawl becomes training
+data it is filtered for degenerate repetition (the Gopher/C4 quality
+rules), split train/val/test reproducibly, and scrubbed of obvious PII.
+Everything here is expressible as Catalyst plans; the only shuffle in
+the module is :func:`repetition_stats`'s (doc_id, ngram) aggregation —
+the scale-safe shape for arbitrarily long documents (an in-array
+frequency count would be O(uniq x len) per row).
+
+Cross-engine protocol: every computed ratio is emitted by the gates at
+e4 fixed point (round-half-up), and every operator keeps one canonical
+operation order so the DuckDB oracles (oracles.repetition_stats_sql
+etc.) reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Sequential redaction order — FIXED, part of the cross-engine
+#: protocol: each pattern counts and rewrites the text produced by the
+#: previous stage. Patterns restrict themselves to the regex subset
+#: with identical semantics in Java regex (Spark) and RE2 (DuckDB):
+#: character classes, bounded repetition, \d, \b.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,6}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+]
+
+
+def word_ngrams(text_col: str, n: int) -> F.Column:
+    """Array of space-joined word ``n``-grams of ``text_col`` (empty
+    when the document has fewer than ``n`` tokens — guarded, because
+    ``sequence(0, negative)`` would DESCEND, not return empty)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals over word
+    ``n``-grams: (doc_id, n_ngrams, top_ngram_frac, dup_ngram_frac).
+
+    ``top_ngram_frac`` is the fraction of n-gram slots taken by the
+    single most frequent n-gram; ``dup_ngram_frac`` the fraction of
+    slots whose n-gram occurs more than once. Documents with fewer
+    than ``n`` tokens yield n_ngrams=0 and zero fractions (kept, so
+    the output is total over the input — the filter policy is the
+    caller's).
+
+    Scale shape: explode -> two keyed aggregations. The first
+    shuffles on (doc_id, ngram) with map-side partial counts, the
+    second on doc_id; both keys are high-cardinality and unskewed, so
+    the plan survives arbitrarily long documents (no per-row
+    O(uniq x len) array scan, no driver collect).
+    """
+    grams = df.select(
+        F.col(id_col).alias("doc_id"), word_ngrams(text_col, n).alias("__ngrams")
+    )
+    per_gram = (
+        grams.select("doc_id", F.explode_outer("__ngrams").alias("__g"))
+        .groupBy("doc_id", "__g")
+        .agg(F.count("*").alias("__c"))
+    )
+    # explode_outer keeps empty docs as a NULL gram; its count must not
+    # contribute to the totals
+    c = F.when(F.col("__g").isNotNull(), F.col("__c")).otherwise(F.lit(0))
+    per_doc = per_gram.groupBy("doc_id").agg(
+        F.sum(c).alias("n_ngrams"),
+        F.max(c).alias("__top"),
+        F.sum(F.when(F.col("__g").isNotNull() & (F.col("__c") > 1), F.col("__c")).otherwise(F.lit(0))).alias("__dup"),
+    )
+    tot = F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_ngrams").cast("long").alias("n_ngrams"),
+        (F.col("__top").cast("double") / tot).alias("top_ngram_frac"),
+        (F.col("__dup").cast("double") / tot).alias("dup_ngram_frac"),
+    )
+
+
+def split_boundaries(weights: list[float], digits: int = 4) -> list[str]:
+    """Cumulative-weight boundaries as ``digits``-char lowercase hex
+    strings over the [0, 16^digits) hash space. Shared verbatim with
+    the oracle SQL so both engines compare against identical literals."""
+    if any(w <= 0 for w in weights) or abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must be positive and sum to 1: {weights}")
+    space = 16**digits
+    bounds, acc = [], 0.0
+    for w in weights[:-1]:
+        acc += w
+        bounds.append(format(min(int(acc * space), space - 1), f"0{digits}x"))
+    return bounds
+
+
+def dataset_split(
+    df: DataFrame,
+    names: list[str] | None = None,
+    weights: list[float] | None = None,
+    id_col: str = "doc_id",
+    salt: str = "",
+    digits: int = 4,
+) -> DataFrame:
+    """Deterministic, content-independent train/val/test assignment:
+    ``df`` + a ``split`` column chosen by ``md5(salt:doc_id)``.
+
+    The first ``digits`` hex chars of the digest are compared
+    LEXICOGRAPHICALLY against cumulative-weight boundary strings —
+    pure string comparison, so Spark and any SQL oracle agree without
+    hex->int conversion. Reproducible across runs, clusters, and
+    engines; adding documents never reassigns existing ones (the
+    property random() splits lack). Narrow op: no shuffle, no UDF.
+    """
+    names = names or ["train", "val", "test"]
+    weights = weights or [0.9, 0.05, 0.05]
+    if len(names) != len(weights):
+        raise ValueError("names and weights must align")
+    bounds = split_boundaries(weights, digits)
+    h = F.substring(
+        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")).cast("binary")),
+        1,
+        digits,
+    )
+    expr = F.lit(names[-1])
+    for name, b in zip(reversed(names[:-1]), reversed(bounds)):
+        expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Scrub obvious PII: (doc_id, clean_text, n_email, n_ip, n_ssn,
+    n_phone).
+
+    Patterns run SEQUENTIALLY in :data:`PII_PATTERNS` order; each
+    stage counts matches in — and rewrites — the text produced by the
+    previous stage (so an IP inside an already-redacted email is never
+    double-counted). Counts use ``regexp_count``-equivalent semantics
+    (non-overlapping, leftmost). Pure Catalyst regexp chain: scan-only,
+    no shuffle, no Python in the row path.
+    """
+    cur = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.size(F.regexp_extract_all(cur, F.lit(pat), 0)).alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, token)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        *counts,
+        cur.alias("clean_text"),
+    )

@@ -234,6 +234,31 @@ def main() -> int:
         "BroadcastExchange" in p,
     )
 
+    # 9. curation ops: split/redact are scan-only Catalyst (no shuffle,
+    # no Python); repetition is exactly two partial-agg shuffles
+    # ((doc_id, ngram) then doc_id) — never an in-array O(uniq x len)
+    # scan, never a global window
+    from scalablevectorsearch_spark.pipeline.curate import (
+        dataset_split,
+        pii_redact,
+        repetition_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(dataset_split(docs))
+    check("dataset_split: scan-only (no shuffle)", "Exchange" not in p)
+    check("dataset_split: no Python UDF", "EvalPython" not in p and "MapInArrow" not in p)
+    p = plan_of(pii_redact(docs))
+    check("pii_redact: scan-only (no shuffle)", "Exchange" not in p)
+    check("pii_redact: no Python UDF", "EvalPython" not in p and "MapInArrow" not in p)
+    p = plan_of(repetition_stats(docs))
+    n_ex = len(re.findall(r"\(\d+\) Exchange", p))
+    check("repetition_stats: exactly two keyed shuffles", n_ex == 2, f"{n_ex} exchanges")
+    check(
+        "repetition_stats: map-side partial aggregation before both",
+        len(re.findall(r"partial_", p)) >= 2,
+    )
+
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
 
