@@ -999,6 +999,24 @@ def _pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(injected)
 
 
+def _quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4 filter gate: the three-way metadata join + first-fail
+    rule chain must hash-equal the nested-CTE SQL replica (thresholds
+    compared at e4 fixed point on both sides)."""
+    from scalablevectorsearch_spark.pipeline.curate import (
+        quality_filter,
+        repetition_stats,
+    )
+
+    docs = _docs(spark, sf_dir)
+    out = quality_filter(
+        text_stats(docs), repetition_stats(docs, n=2), lang_id(docs)
+    )
+    return out.select(
+        "doc_id", "reason", F.col("keep").cast("long").alias("keep")
+    )
+
+
 def _simhash_neardup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded SimHash near-dup join gate: plant near-copies (one token
     appended) of doc_id < SH_COPIES; every (original, copy) pair within
@@ -1977,6 +1995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": _repetition_stats_query,
         "dataset_split": _dataset_split_query,
         "pii_redact": _pii_redact_query,
+        "quality_filter": _quality_filter_query,
         # --- round 3-4 gates never sampled by the driver (VERDICT r4
         # task 1): LVQ/LeanVec storage kinds, streaming, iterator,
         # facade, extension surface ---
@@ -2077,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
             SPLIT_NAMES, split_boundaries(SPLIT_WEIGHTS)
         ),
         "pii_redact": oracles.pii_redact_sql(),
+        "quality_filter": oracles.quality_filter_sql(),
         "flat_knn_l2": oracles.flat_knn_sql("l2", K, N_QUERIES),
         # exhaustive-window graph search degenerates to exact k-NN
         "vamana_exhaustive_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),

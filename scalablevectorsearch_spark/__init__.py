@@ -69,6 +69,7 @@ from scalablevectorsearch_spark.pipeline.dedup import (
 from scalablevectorsearch_spark.pipeline.curate import (
     dataset_split,
     pii_redact,
+    quality_filter,
     repetition_stats,
 )
 from scalablevectorsearch_spark.pipeline.pack import pack_sequences

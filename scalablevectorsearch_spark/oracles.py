@@ -1590,3 +1590,39 @@ def pii_redact_sql() -> str:
         "WITH " + ",\n".join(stages)
         + f"\nSELECT doc_id, {counts}, t AS clean_text FROM {prev}"
     ).strip()
+
+
+def quality_filter_sql(
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_top_ngram_e4: int = 2000,
+    max_dup_ngram_e4: int = 1200,
+    min_quality_e4: int = 3500,
+    langs: list[str] | None = None,
+) -> str:
+    """Gopher/C4 filter decision — mirrors pipeline/curate.py:
+    quality_filter by composing the three metadata oracles as nested
+    CTEs (same e4 fixed-point thresholds, same first-fail rule order)."""
+    langs = langs or ["en"]
+    lang_list = _sql_str_list(langs)
+    return f"""
+WITH ts AS ({text_stats_sql()}),
+rs AS ({repetition_stats_sql(2)}),
+lg AS ({lang_id_sql()}),
+j AS (
+  SELECT ts.doc_id, ts.n_tokens, ts.quality_score_e4 AS q,
+         rs.top_ngram_frac_e4 AS topf, rs.dup_ngram_frac_e4 AS dupf,
+         lg.pred_lang
+  FROM ts JOIN rs ON ts.doc_id = rs.doc_id JOIN lg ON ts.doc_id = lg.doc_id),
+r AS (
+  SELECT doc_id,
+         CASE WHEN n_tokens < {min_tokens} THEN 'too_short'
+              WHEN n_tokens > {max_tokens} THEN 'too_long'
+              WHEN topf > {max_top_ngram_e4} THEN 'top_ngram_repetition'
+              WHEN dupf > {max_dup_ngram_e4} THEN 'dup_ngram_repetition'
+              WHEN q < {min_quality_e4} THEN 'low_quality'
+              WHEN pred_lang NOT IN ({lang_list}) THEN 'bad_lang'
+              ELSE 'ok' END AS reason
+  FROM j)
+SELECT doc_id, reason, (reason = 'ok')::BIGINT AS keep FROM r
+""".strip()

@@ -142,6 +142,69 @@ def dataset_split(
     return df.withColumn("split", expr)
 
 
+#: Rule order is FIXED — ``reason`` reports the FIRST failing rule, so
+#: the order is part of the cross-engine protocol.
+QUALITY_RULES: list[str] = [
+    "too_short",
+    "too_long",
+    "top_ngram_repetition",
+    "dup_ngram_repetition",
+    "low_quality",
+    "bad_lang",
+]
+
+
+def quality_filter(
+    stats: DataFrame,
+    rep: DataFrame,
+    lang: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 100_000,
+    max_top_ngram_e4: int = 2000,
+    max_dup_ngram_e4: int = 1200,
+    min_quality_e4: int = 3500,
+    langs: list[str] | None = None,
+) -> DataFrame:
+    """Gopher/C4-style document filter over PRECOMPUTED metadata:
+    (doc_id, keep, reason), where ``reason`` is the first failing rule
+    in :data:`QUALITY_RULES` order or ``'ok'``.
+
+    Deliberately takes the outputs of :func:`~.text.text_stats`,
+    :func:`repetition_stats` and :func:`~.text.lang_id` rather than raw
+    text — at 100 TB the metadata tables are computed once (each is a
+    single pass over the corpus) and every downstream policy is then a
+    narrow three-way join on doc_id, re-runnable at metadata cost
+    whenever thresholds change. Ratio thresholds compare at e4 fixed
+    point so any SQL engine reproduces the decision bit-for-bit.
+    """
+    langs = langs or ["en"]
+    e4 = lambda c: F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast("long")
+    j = (
+        stats.select("doc_id", "n_tokens", e4("quality_score").alias("__q"))
+        .join(
+            rep.select(
+                "doc_id",
+                e4("top_ngram_frac").alias("__top"),
+                e4("dup_ngram_frac").alias("__dup"),
+            ),
+            "doc_id",
+        )
+        .join(lang.select("doc_id", "pred_lang"), "doc_id")
+    )
+    reason = (
+        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
+        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
+        .when(F.col("__top") > max_top_ngram_e4, F.lit("top_ngram_repetition"))
+        .when(F.col("__dup") > max_dup_ngram_e4, F.lit("dup_ngram_repetition"))
+        .when(F.col("__q") < min_quality_e4, F.lit("low_quality"))
+        .when(~F.col("pred_lang").isin(*langs), F.lit("bad_lang"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    )
+
+
 def pii_redact(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -123,3 +123,54 @@ def test_pii_redact_sequential_no_double_count(spark):
     assert r["n_email"] == 1
     assert r["n_ip"] == 0
     assert r["clean_text"] == "x <EMAIL> y"
+
+
+def test_quality_filter_rules_and_precedence(spark):
+    from scalablevectorsearch_spark.pipeline.curate import quality_filter
+
+    # (doc_id, n_tokens, quality_score)
+    stats = spark.createDataFrame(
+        [
+            (0, 100, 0.9),   # ok
+            (1, 5, 0.9),     # too_short
+            (2, 100, 0.1),   # low_quality
+            (3, 100, 0.9),   # top_ngram_repetition (via rep)
+            (4, 100, 0.9),   # dup_ngram_repetition (via rep)
+            (5, 100, 0.9),   # bad_lang
+            (6, 5, 0.1),     # too_short wins over low_quality (first fail)
+            (7, 200_000, 0.9),  # too_long
+        ],
+        ["doc_id", "n_tokens", "quality_score"],
+    )
+    rep = spark.createDataFrame(
+        [
+            (0, 0.01, 0.02), (1, 0.01, 0.02), (2, 0.01, 0.02),
+            (3, 0.9, 0.02), (4, 0.01, 0.9), (5, 0.01, 0.02),
+            (6, 0.9, 0.9), (7, 0.01, 0.02),
+        ],
+        ["doc_id", "top_ngram_frac", "dup_ngram_frac"],
+    )
+    lang = spark.createDataFrame(
+        [(i, "en" if i != 5 else "de") for i in range(8)],
+        ["doc_id", "pred_lang"],
+    )
+    got = {r["doc_id"]: r for r in quality_filter(stats, rep, lang).collect()}
+    want = {
+        0: "ok", 1: "too_short", 2: "low_quality",
+        3: "top_ngram_repetition", 4: "dup_ngram_repetition",
+        5: "bad_lang", 6: "too_short", 7: "too_long",
+    }
+    for i, reason in want.items():
+        assert got[i]["reason"] == reason, (i, got[i]["reason"])
+        assert got[i]["keep"] == (reason == "ok")
+
+
+def test_quality_filter_threshold_boundaries(spark):
+    """e4 thresholds are inclusive on the keep side (> / < fail only)."""
+    from scalablevectorsearch_spark.pipeline.curate import quality_filter
+
+    stats = spark.createDataFrame([(0, 20, 0.35)], ["doc_id", "n_tokens", "quality_score"])
+    rep = spark.createDataFrame([(0, 0.2, 0.12)], ["doc_id", "top_ngram_frac", "dup_ngram_frac"])
+    lang = spark.createDataFrame([(0, "en")], ["doc_id", "pred_lang"])
+    r = quality_filter(stats, rep, lang).collect()[0]
+    assert r["reason"] == "ok" and r["keep"]
