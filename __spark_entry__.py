@@ -943,8 +943,9 @@ SPLIT_WEIGHTS = [0.9, 0.05, 0.05]
 
 
 def _repetition_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-repetition gate: the explode/groupBy n-gram aggregation
-    must hash-equal the SQL unnest replica, short docs kept at zero."""
+    """Gopher-repetition gate: the scan-only sorted-array run-length
+    fold must hash-equal the SQL unnest/groupBy replica, short docs
+    kept at zero."""
     from scalablevectorsearch_spark.pipeline.curate import repetition_stats
 
     s = repetition_stats(_docs(spark, sf_dir), n=2)

@@ -303,9 +303,22 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
         decontaminate(docs, probes, n_shingle=3, n_perm=16, n_bands=4,
                       threshold=0.5).count()
 
+    def _curate():
+        from scalablevectorsearch_spark.pipeline.curate import (
+            dataset_split,
+            quality_filter,
+            repetition_stats,
+        )
+        from scalablevectorsearch_spark.pipeline.text import lang_id, text_stats
+
+        quality_filter(
+            text_stats(docs), repetition_stats(docs, n=2), lang_id(docs)
+        ).join(dataset_split(docs).select("doc_id", "split"), "doc_id").count()
+
     timed("text_stats", _text_stats)
     timed("dedup_minhash", _dedup)
     timed("decontaminate", _decon)
+    timed("quality_filter_split", _curate)
     timed("embedding_neardup_clustered", _neardup)
 
     # drop this rep's cached build artifacts so reps don't accumulate

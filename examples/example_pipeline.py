@@ -24,15 +24,31 @@ def main() -> None:
         "vec_id as id", "transform(embedding, x -> cast(x as double)) as vector"
     )
 
-    # 1. per-document quality stats -> filter a training subset
-    stats = text_stats(docs)
-    kept = stats.filter(
-        (F.col("quality_score") > 0.5) & (F.col("n_tokens") >= 10)
+    # 1. metadata passes (each one scan/aggregation over the corpus),
+    # then the Gopher/C4-style filter as a narrow metadata join —
+    # thresholds can be re-tuned without touching the text again
+    from scalablevectorsearch_spark.pipeline.curate import (
+        quality_filter,
+        repetition_stats,
     )
-    print(f"quality filter: {kept.count()}/{docs.count()} docs kept")
 
-    # 2. language distribution (heuristic)
-    lang_id(docs).groupBy("pred_lang").count().orderBy("pred_lang").show()
+    decisions = quality_filter(
+        text_stats(docs), repetition_stats(docs, n=2), lang_id(docs),
+        min_quality_e4=3500,
+    )
+    decisions.groupBy("reason").count().orderBy("reason").show()
+    docs = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
+    print(f"quality filter kept {docs.count()} docs")
+
+    # 1b. scrub obvious PII from the kept docs (emails/IPs/SSNs/phones)
+    from scalablevectorsearch_spark.pipeline.curate import pii_redact
+
+    red = pii_redact(docs)
+    n_pii = red.filter(
+        (F.col("n_email") + F.col("n_ip") + F.col("n_ssn") + F.col("n_phone")) > 0
+    ).count()
+    docs = red.selectExpr("doc_id", "clean_text as text")
+    print(f"pii redaction touched {n_pii} docs")
 
     # 2b. boilerplate strip before fingerprinting/dedup
     from scalablevectorsearch_spark.pipeline.text import normalize_text
@@ -71,7 +87,15 @@ def main() -> None:
     train = docs.join(poisoned, "doc_id", "left_anti")
     print(f"decontamination: dropped {docs.count() - train.count()} corpus docs")
 
-    # 6. tokenizer vocabulary + fixed-token-budget shards for training
+    # 6. deterministic train/val/test assignment — md5-stable, so
+    # growing the corpus never reassigns an existing document
+    from scalablevectorsearch_spark.pipeline.curate import dataset_split
+
+    train = dataset_split(train)
+    train.groupBy("split").count().orderBy("split").show()
+    train = train.filter("split = 'train'").drop("split")
+
+    # 7. tokenizer vocabulary + fixed-token-budget shards for training
     from scalablevectorsearch_spark.pipeline.pack import pack_sequences
     from scalablevectorsearch_spark.pipeline.text import token_vocabulary
 

@@ -174,3 +174,34 @@ def test_quality_filter_threshold_boundaries(spark):
     lang = spark.createDataFrame([(0, "en")], ["doc_id", "pred_lang"])
     r = quality_filter(stats, rep, lang).collect()[0]
     assert r["reason"] == "ok" and r["keep"]
+
+
+def test_repetition_stats_random_differential(spark):
+    """200 random docs (varying length, skewed token distribution) vs a
+    pure-Python recount — one Spark job, exact equality."""
+    import collections
+
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(200):
+        n = int(rng.integers(0, 30))
+        toks = [f"t{int(rng.zipf(1.5)) % 12}" for _ in range(n)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=2).collect()}
+    assert len(got) == 200
+    for i, text in rows:
+        toks = text.split() if text.strip() else []
+        grams = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        c = collections.Counter(grams)
+        tot = len(grams)
+        assert got[i]["n_ngrams"] == tot, (i, text)
+        if tot == 0:
+            assert got[i]["top_ngram_frac"] == 0.0
+            assert got[i]["dup_ngram_frac"] == 0.0
+        else:
+            assert got[i]["top_ngram_frac"] == pytest.approx(max(c.values()) / tot)
+            dup = sum(v for v in c.values() if v > 1)
+            assert got[i]["dup_ngram_frac"] == pytest.approx(dup / tot)

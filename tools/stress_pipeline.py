@@ -230,6 +230,88 @@ metrics["simhash_planted_recall"] = round(sh_pairs / n_sub_near, 4)
 print("simhash planted recall (50k subset):", metrics["simhash_planted_recall"], flush=True)
 assert metrics["simhash_planted_recall"] >= 0.95
 
+# ---- curation ops: repetition / split / redaction / filter ----
+from scalablevectorsearch_spark.pipeline.curate import (
+    dataset_split,
+    pii_redact,
+    quality_filter,
+    repetition_stats,
+)
+from scalablevectorsearch_spark.pipeline.text import lang_id
+
+# plant degenerate repetition: one token repeated 60x under id + 5N
+DEGEN = 1000
+degen = spark.range(DEGEN).select(
+    (F.col("id") + 5 * N).alias("doc_id"),
+    F.array_join(F.array_repeat(F.concat(F.lit("w"), F.pmod(F.col("id"), F.lit(VOCAB)).cast("string")), 60), " ").alias("text"),
+)
+rep_in = docs.unionByName(degen)
+def _mat(df):
+    df.persist().count()
+    return df
+
+rep = timed("repetition_stats", lambda: _mat(repetition_stats(rep_in, n=2)))
+assert rep.count() == N + DEGEN
+bad_frac = rep.filter(
+    (F.col("top_ngram_frac") < 0) | (F.col("top_ngram_frac") > 1)
+    | (F.col("dup_ngram_frac") < 0) | (F.col("dup_ngram_frac") > 1)
+).count()
+degen_flagged = rep.filter(
+    (F.col("doc_id") >= 5 * N) & (F.col("dup_ngram_frac") > 0.999)
+).count()
+metrics["repetition_degen_recall"] = round(degen_flagged / DEGEN, 4)
+print("repetition degen recall:", metrics["repetition_degen_recall"], flush=True)
+assert bad_frac == 0 and metrics["repetition_degen_recall"] == 1.0
+
+splits = timed(
+    "dataset_split",
+    lambda: {
+        r["split"]: r["n"]
+        for r in dataset_split(docs)
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    },
+)
+metrics["split_train_frac"] = round(splits.get("train", 0) / N, 4)
+print("split fractions:", {k: round(v / N, 4) for k, v in splits.items()}, flush=True)
+assert abs(metrics["split_train_frac"] - 0.9) < 0.005
+
+# plant emails in docs with id % 97 == 0, nothing anywhere else
+pii_in = docs.withColumn(
+    "text",
+    F.when(
+        F.col("doc_id") % 97 == 0,
+        F.concat(F.col("text"), F.lit(" contact u"), F.col("doc_id").cast("string"), F.lit("@ex.org")),
+    ).otherwise(F.col("text")),
+)
+n_planted_pii = docs.filter(F.col("doc_id") % 97 == 0).count()
+red = timed("pii_redact", lambda: _mat(pii_redact(pii_in)))
+hits = red.filter(F.col("n_email") == 1).count()
+stray = red.filter(
+    (F.col("n_email") > 1) | (F.col("n_ip") > 0) | (F.col("n_ssn") > 0) | (F.col("n_phone") > 0)
+).count()
+leftover = red.filter(F.col("clean_text").contains("@")).count()
+metrics["pii_planted_recall"] = round(hits / n_planted_pii, 4)
+print("pii planted recall:", metrics["pii_planted_recall"], flush=True)
+assert metrics["pii_planted_recall"] == 1.0 and stray == 0 and leftover == 0
+red.unpersist()
+
+qf = timed(
+    "quality_filter",
+    lambda: _mat(quality_filter(text_stats(rep_in), rep, lang_id(rep_in))),
+)
+keep_frac = qf.filter("keep").count() / (N + DEGEN)
+degen_dropped = qf.filter(
+    (F.col("doc_id") >= 5 * N) & (F.col("reason") == "top_ngram_repetition")
+).count()
+metrics["qf_keep_frac"] = round(keep_frac, 4)
+metrics["qf_degen_drop_recall"] = round(degen_dropped / DEGEN, 4)
+print(f"quality_filter keep frac {metrics['qf_keep_frac']}, degen drop recall {metrics['qf_degen_drop_recall']}", flush=True)
+assert metrics["qf_degen_drop_recall"] == 1.0
+qf.unpersist()
+rep.unpersist()
+
 line = {
     "ts": __import__("datetime")
     .datetime.now(__import__("datetime").timezone.utc)
