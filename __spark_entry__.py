@@ -1000,6 +1000,46 @@ def _pii_redact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(injected)
 
 
+#: Domain-mixing weights for the stratified_sample gate: exercises the
+#: keep-all / drop-all / interior-boundary / default-fallback branches.
+#: Shared verbatim with the oracle SQL builder.
+SAMPLE_FRACTIONS = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+    "src5": 0.0,
+}
+SAMPLE_DEFAULT = 0.3
+
+
+def _stratified_sample_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing gate: the per-stratum md5 keep decision must
+    hash-equal the SQL replica (identical hex boundary literals,
+    sorted-key CASE order on both sides)."""
+    from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = stratified_sample(
+        docs, SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
+    )
+    return out.select("doc_id", "source", F.col("kept").cast("long").alias("kept"))
+
+
+def _ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup gate: winnowing-fingerprint blocking
+    + exact verify must hash-equal the SQL replica's pair set."""
+    from scalablevectorsearch_spark.pipeline.dedup import ngram_jaccard_neardup
+
+    res = ngram_jaccard_neardup(
+        _docs(spark, sf_dir), n_shingle=3, threshold=0.5
+    )
+    return res.select("doc_a", "doc_b", E4("jaccard").alias("jaccard_e4"))
+
+
 def _quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 filter gate: the three-way metadata join + first-fail
     rule chain must hash-equal the nested-CTE SQL replica (thresholds
@@ -1993,6 +2033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
         # --- new round-5 curation gates (never driver-sampled) ---
+        "stratified_sample": _stratified_sample_query,
+        "ngram_jaccard": _ngram_jaccard_query,
         "repetition_stats": _repetition_stats_query,
         "dataset_split": _dataset_split_query,
         "pii_redact": _pii_redact_query,
@@ -2092,6 +2134,10 @@ def oracle_sql() -> dict[str, str]:
     from scalablevectorsearch_spark.pipeline.curate import split_boundaries
 
     return {
+        "stratified_sample": oracles.stratified_sample_sql(
+            SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
+        ),
+        "ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "repetition_stats": oracles.repetition_stats_sql(2),
         "dataset_split": oracles.dataset_split_sql(
             SPLIT_NAMES, split_boundaries(SPLIT_WEIGHTS)

@@ -19,7 +19,9 @@ from scalablevectorsearch_spark.session import get_spark
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("example-pipeline")
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "source"
+    )
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
         "vec_id as id", "transform(embedding, x -> cast(x as double)) as vector"
     )
@@ -39,6 +41,17 @@ def main() -> None:
     decisions.groupBy("reason").count().orderBy("reason").show()
     docs = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
     print(f"quality filter kept {docs.count()} docs")
+
+    # 1a. domain mixing: deterministic per-source rates (keep curated
+    # sources, downsample crawl-like ones) — one scan-only CASE, and
+    # growing the corpus never flips an existing row's decision
+    from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+    mixed = stratified_sample(
+        docs, {"src0": 1.0, "src1": 0.25}, default_fraction=0.8
+    )
+    docs = mixed.filter("kept").drop("kept", "source")
+    print(f"domain mixing kept {docs.count()} docs")
 
     # 1b. scrub obvious PII from the kept docs (emails/IPs/SSNs/phones)
     from scalablevectorsearch_spark.pipeline.curate import pii_redact

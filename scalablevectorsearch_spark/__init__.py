@@ -63,6 +63,7 @@ from scalablevectorsearch_spark.pipeline.dedup import (
     dedup_components,
     dedup_exact,
     dedup_minhash,
+    ngram_jaccard_neardup,
     simhash,
     simhash_neardup,
 )
@@ -71,6 +72,7 @@ from scalablevectorsearch_spark.pipeline.curate import (
     pii_redact,
     quality_filter,
     repetition_stats,
+    stratified_sample,
 )
 from scalablevectorsearch_spark.pipeline.pack import pack_sequences
 from scalablevectorsearch_spark.pipeline.text import (

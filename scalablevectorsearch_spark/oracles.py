@@ -1563,6 +1563,79 @@ def dataset_split_sql(
     return f"SELECT doc_id, {case} AS split FROM documents".strip()
 
 
+def stratified_sample_sql(
+    fractions: dict[str, float],
+    key_col: str = "source",
+    salt: str = "",
+    digits: int = 4,
+    default_fraction: float = 0.0,
+) -> str:
+    """Deterministic per-stratum sampling — mirrors pipeline/curate.py:
+    stratified_sample (identical hex boundary literals, lexicographic
+    comparison, sorted-key CASE order)."""
+    from scalablevectorsearch_spark.pipeline.curate import fraction_bound
+
+    h = f"substr(md5('{salt}:' || {key_col} || ':' || doc_id::VARCHAR), 1, {digits})"
+
+    def keep_for(frac: float) -> str:
+        if frac <= 0.0:
+            return "FALSE"
+        if frac >= 1.0:
+            return "TRUE"
+        return f"({h} < '{fraction_bound(frac, digits)}')"
+
+    case = keep_for(default_fraction)
+    for key in sorted(fractions, reverse=True):
+        case = f"CASE WHEN {key_col} = '{key}' THEN {keep_for(fractions[key])} ELSE {case} END"
+    return f"SELECT doc_id, {key_col}, ({case})::BIGINT AS kept FROM documents".strip()
+
+
+def ngram_jaccard_sql(
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    fp_k: int = 16,
+    fp_w: int = 8,
+) -> str:
+    """Winnowing-blocked exact n-gram Jaccard — mirrors pipeline/
+    dedup.py:ngram_jaccard_neardup (same md5-derived gram hashes and
+    winnowing windows as doc_fingerprints_sql, same shingle/verify
+    CTEs as dedup_minhash_sql)."""
+    md5i = _MD5I_SQL.format(
+        s=f"array_to_string(list_slice(toks, i, i + {n_shingle} - 1), ' ')"
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(length(text) - {fp_k} + 1, 1) + 1),
+                        i -> ('0x' || substr(md5(substr(text, i, {fp_k})), 1, 15))::BIGINT) AS hs
+  FROM documents),
+f AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(hs) - {fp_w} + 1, 1) + 1),
+                                      i -> list_min(list_slice(hs, i, i + {fp_w} - 1)))) AS fps
+  FROM h),
+fps AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+t AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(toks) - {n_shingle} + 1, 1) + 1),
+                                      i -> {md5i})) AS shingles
+  FROM t),
+ver AS (
+  SELECT doc_a, doc_b,
+         len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+           / len(list_distinct(list_concat(sa.shingles, sb.shingles)))::DOUBLE AS jac
+  FROM pairs
+  JOIN sh sa ON doc_a = sa.doc_id
+  JOIN sh sb ON doc_b = sb.doc_id)
+SELECT doc_a, doc_b, {E4.format(expr='jac')} AS jaccard_e4
+FROM ver WHERE jac >= {threshold}
+""".strip()
+
+
 def pii_redact_sql() -> str:
     """Sequential PII scrub over documents with deterministically
     injected synthetic PII (the corpus itself is clean word-salad) —

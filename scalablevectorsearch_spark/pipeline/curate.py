@@ -156,6 +156,68 @@ def dataset_split(
     return df.withColumn("split", expr)
 
 
+def fraction_bound(frac: float, digits: int = 4) -> str:
+    """``digits``-char lowercase-hex literal b such that keeping rows
+    with ``md5_prefix < b`` samples ~``frac`` of the [0, 16^digits)
+    hash space. Shared verbatim with the oracle SQL."""
+    if not 0.0 < frac < 1.0:
+        raise ValueError(f"fraction_bound needs 0 < frac < 1: {frac}")
+    return format(int(frac * 16**digits), f"0{digits}x")
+
+
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+    digits: int = 4,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling — the domain-mixing /
+    importance-sampling step of a training pipeline: keep ~``fractions
+    [key]`` of each ``key_col`` stratum (e.g. upweight curated sources,
+    downweight crawl), chosen by ``md5(salt:key:doc_id)`` so the
+    decision is reproducible across runs, engines, and corpus growth
+    (adding documents never flips an existing row, unlike
+    ``sampleBy``'s RNG). Keys absent from ``fractions`` fall back to
+    ``default_fraction``.
+
+    Returns ``df`` + a ``kept`` boolean (callers filter; keeping the
+    column makes the decision auditable). Scale shape: the fraction
+    table is a driver-side literal folded into ONE scan-only CASE
+    expression — no shuffle, no join, no UDF; the same lexicographic
+    hex comparison as :func:`dataset_split`.
+    """
+    for k, f_ in fractions.items():
+        if not 0.0 <= f_ <= 1.0:
+            raise ValueError(f"fraction out of [0,1] for {k!r}: {f_}")
+    h = F.substring(
+        F.md5(
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col(key_col), F.lit(":"),
+                F.col(id_col).cast("string"),
+            ).cast("binary")
+        ),
+        1,
+        digits,
+    )
+
+    def keep_for(frac: float) -> F.Column:
+        if frac <= 0.0:
+            return F.lit(False)
+        if frac >= 1.0:
+            return F.lit(True)
+        return h < F.lit(fraction_bound(frac, digits))
+
+    expr = keep_for(default_fraction)
+    # deterministic literal order (sorted keys) so the generated plan —
+    # and therefore the gate hash — is stable across dict orderings
+    for key in sorted(fractions, reverse=True):
+        expr = F.when(F.col(key_col) == key, keep_for(fractions[key])).otherwise(expr)
+    return df.withColumn("kept", expr)
+
+
 #: Rule order is FIXED — ``reason`` reports the FIRST failing rule, so
 #: the order is part of the cross-engine protocol.
 QUALITY_RULES: list[str] = [

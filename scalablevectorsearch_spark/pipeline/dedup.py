@@ -194,6 +194,74 @@ def dedup_minhash(
     return jaccard_verify(pairs, signed.select("doc_id", "shingles"), threshold)
 
 
+def fingerprint_candidate_pairs(
+    fps: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
+    """Winnowing-fingerprint blocking: docs sharing ANY fingerprint
+    become a candidate pair (Schleimer et al.'s guarantee — any common
+    substring of length >= w+k-1 chars shares a fingerprint, so true
+    near-dups can't be blocked apart). Distinct (doc_a, doc_b),
+    doc_a < doc_b; the join is per-fingerprint, never doc x doc.
+
+    ``max_bucket_size``: same 100 TB skew guard as the LSH path — a
+    boilerplate fingerprint shared by a million docs would emit
+    |bucket|^2 pairs; buckets above the cap are dropped (their members
+    are near-identical templated content — route through exact dedup)."""
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("fp")
+        fps = (
+            fps.withColumn("__bs", F.count("*").over(w))
+            .filter(F.col("__bs") <= max_bucket_size)
+            .drop("__bs")
+        )
+    a = fps.alias("a")
+    b = fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_neardup(
+    df: DataFrame,
+    n_shingle: int = 3,
+    threshold: float = 0.5,
+    fp_k: int = 16,
+    fp_w: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """EXACT n-gram Jaccard near-dup join — the fourth dedup family
+    (exact / MinHash-LSH / SimHash / n-gram Jaccard): candidate pairs
+    from winnowing-fingerprint blocking, then the true word-n-gram
+    Jaccard on candidates only. Returns (doc_a, doc_b, jaccard >=
+    threshold).
+
+    vs :func:`dedup_minhash`: MinHash APPROXIMATES Jaccard and its
+    banded blocking misses probabilistically; this path reports the
+    exact similarity and its blocking has winnowing's deterministic
+    common-substring guarantee — the right tool when the dedup
+    decision must be reproducible/auditable (e.g. decontamination
+    evidence). Cost: fingerprints are denser than band keys, so the
+    candidate set is larger; the ``max_bucket_size`` cap bounds the
+    worst case. Scale shape identical to the LSH path: one shuffle on
+    the fingerprint, verify only on candidates, never all-pairs."""
+    from pyspark.storagelevel import StorageLevel
+
+    from .text import doc_fingerprints
+
+    fps = doc_fingerprints(df, fp_k, fp_w, text_col, id_col)
+    pairs = fingerprint_candidate_pairs(fps, max_bucket_size)
+    shingled = shingle_hashes(df, n_shingle, text_col, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return jaccard_verify(pairs, shingled, threshold)
+
+
 def decontaminate(
     corpus: DataFrame,
     probes: DataFrame,

@@ -239,3 +239,133 @@ def test_normalize_text_strips_boilerplate(spark):
         for r in normalize_text(docs).collect()
     }
     assert got == {1: "visit now", 2: "mail me at please", 3: "already clean"}
+
+
+# ---------------------------------------------------------------- ngram_jaccard
+
+
+def test_ngram_jaccard_finds_planted_copies(spark, docs):
+    """Exact copies at +10000 must pair with their originals at
+    jaccard == 1.0 (winnowing blocking can't miss an identical doc)."""
+    from scalablevectorsearch_spark.pipeline.dedup import ngram_jaccard_neardup
+
+    base = docs.limit(30)
+    copies = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    res = ngram_jaccard_neardup(base.unionByName(copies), threshold=0.5)
+    exact = {
+        r["doc_a"]
+        for r in res.filter(
+            (F.col("doc_b") == F.col("doc_a") + 10000) & (F.col("jaccard") == 1.0)
+        ).collect()
+    }
+    assert exact == {r["doc_id"] for r in base.select("doc_id").collect()}
+
+
+def test_ngram_jaccard_matches_bruteforce(spark):
+    """Fingerprint-blocked result ⊆ brute-force Jaccard over all pairs,
+    and every pair the blocking CAN see (docs sharing a >=23-char run)
+    is recovered — here: mutated copies sharing long substrings."""
+    from scalablevectorsearch_spark.pipeline.dedup import (
+        ngram_jaccard_neardup,
+        jaccard_verify,
+        shingle_hashes,
+    )
+
+    words = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+    rows = []
+    for i in range(8):
+        toks = [words[(i + j) % len(words)] for j in range(12)]
+        rows.append((i, " ".join(toks)))
+        # near-copy: same prefix, one word changed at the end
+        rows.append((100 + i, " ".join(toks[:-1] + ["zulu"])))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_neardup(df, threshold=0.3).collect()
+    }
+    # brute force: all pairs through the same exact-jaccard verify
+    ids = df.select(F.col("doc_id").alias("doc_a"))
+    allp = ids.crossJoin(df.select(F.col("doc_id").alias("doc_b"))).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    brute = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in jaccard_verify(allp, shingle_hashes(df), threshold=0.3).collect()
+    }
+    # blocked result is a subset with identical jaccard values
+    for pair, j in got.items():
+        assert brute[pair] == j
+    # every (i, 100+i) near-copy pair shares a long common prefix ->
+    # guaranteed common fingerprint -> must be recovered
+    for i in range(8):
+        assert (i, 100 + i) in got
+
+
+def test_ngram_jaccard_bucket_cap_drops_hot_fingerprint(spark):
+    """max_bucket_size excludes over-shared fingerprints: docs that
+    are ALL identical form one hot bucket; cap 5 < 10 members -> no
+    pairs survive blocking."""
+    from scalablevectorsearch_spark.pipeline.dedup import ngram_jaccard_neardup
+
+    df = spark.createDataFrame(
+        [(i, "same exact boilerplate text repeated everywhere forever") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    capped = ngram_jaccard_neardup(df, threshold=0.5, max_bucket_size=5)
+    assert capped.count() == 0
+    uncapped = ngram_jaccard_neardup(df, threshold=0.5)
+    assert uncapped.count() == 45  # all 10-choose-2 pairs, jaccard 1.0
+
+
+# ------------------------------------------------------------ stratified_sample
+
+
+def test_stratified_sample_fractions_and_edges(documents):
+    from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+    fr = {"src0": 1.0, "src1": 0.0, "src2": 0.5}
+    out = stratified_sample(
+        documents.select("doc_id", "source"), fr, default_fraction=0.25
+    )
+    by_src = {
+        r["source"]: (r["n"], r["k"])
+        for r in out.groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.col("kept").cast("long")).alias("k"))
+        .collect()
+    }
+    n0, k0 = by_src["src0"]
+    assert k0 == n0  # frac 1.0 keeps everything
+    assert by_src["src1"][1] == 0  # frac 0.0 drops everything
+    # interior + default fractions land near target (25 docs/stratum
+    # at sf0.001 -> loose bounds; the md5 decision is uniform)
+    n2, k2 = by_src["src2"]
+    assert 0 < k2 < n2
+    others = [v for s, v in by_src.items() if s not in fr]
+    tot_n = sum(n for n, _ in others)
+    tot_k = sum(k for _, k in others)
+    assert 0.1 < tot_k / tot_n < 0.45
+
+
+def test_stratified_sample_growth_stable(spark):
+    """Adding rows never flips an existing row's decision — the
+    property rand()-based sampleBy lacks."""
+    from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+    fr = {"a": 0.5, "b": 0.3}
+    small = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(100)], ["doc_id", "source"]
+    )
+    big = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(300)], ["doc_id", "source"]
+    )
+    d_small = {r["doc_id"]: r["kept"] for r in stratified_sample(small, fr).collect()}
+    d_big = {r["doc_id"]: r["kept"] for r in stratified_sample(big, fr).collect()}
+    assert all(d_big[i] == d_small[i] for i in d_small)
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+    df = spark.createDataFrame([(0, "a")], ["doc_id", "source"])
+    with pytest.raises(ValueError):
+        stratified_sample(df, {"a": 1.5})

@@ -258,6 +258,32 @@ def main() -> int:
         "repetition_stats: no Python UDF",
         "EvalPython" not in p and "MapInArrow" not in p,
     )
+    from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+    p = plan_of(
+        stratified_sample(
+            docs.withColumn("source", F.lit("a")), {"a": 0.5}, default_fraction=0.1
+        )
+    )
+    check("stratified_sample: scan-only (no shuffle)", "Exchange" not in p)
+    check(
+        "stratified_sample: no Python UDF",
+        "EvalPython" not in p and "MapInArrow" not in p,
+    )
+
+    # 10. ngram_jaccard: blocking join must be an equi-join on the
+    # fingerprint — never a cartesian/nested-loop all-pairs plan
+    from scalablevectorsearch_spark.pipeline.dedup import ngram_jaccard_neardup
+
+    p = plan_of(ngram_jaccard_neardup(docs, threshold=0.5))
+    check(
+        "ngram_jaccard: no all-pairs join",
+        "CartesianProduct" not in p and "NestedLoop" not in p,
+    )
+    check(
+        "ngram_jaccard: fingerprint equi-join present",
+        "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p,
+    )
 
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
