@@ -94,7 +94,10 @@ def test_oracle_sql_parses_in_duckdb():
 
     con = duckdb.connect()
     con.execute("CREATE TABLE embeddings (vec_id BIGINT, embedding FLOAT[], label INT)")
-    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.execute(
+        "CREATE TABLE documents (doc_id BIGINT, text VARCHAR, lang VARCHAR, "
+        "source VARCHAR, n_chars BIGINT)"
+    )
     con.execute(
         "CREATE TABLE events (event_id BIGINT, ts TIMESTAMP, user_id BIGINT, "
         "event_type VARCHAR, value DOUBLE, props VARCHAR)"
