@@ -369,3 +369,25 @@ def test_stratified_sample_rejects_bad_fraction(spark):
     df = spark.createDataFrame([(0, "a")], ["doc_id", "source"])
     with pytest.raises(ValueError):
         stratified_sample(df, {"a": 1.5})
+
+
+def test_ngram_jaccard_xxhash_fast_path_same_pairs(spark, docs):
+    """hash_fn='xxhash64' changes fingerprint VALUES but not which
+    pairs are recovered or their jaccard (verify hashes independently)."""
+    from scalablevectorsearch_spark.pipeline.dedup import ngram_jaccard_neardup
+
+    base = docs.limit(25)
+    copies = base.select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+    both = base.unionByName(copies)
+    md5_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_neardup(both, threshold=0.5).collect()
+    }
+    xxh_pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_neardup(both, threshold=0.5, hash_fn="xxhash64").collect()
+    }
+    assert md5_pairs == xxh_pairs and len(md5_pairs) >= 25
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_neardup(both, hash_fn="sha1")

@@ -230,6 +230,55 @@ metrics["simhash_planted_recall"] = round(sh_pairs / n_sub_near, 4)
 print("simhash planted recall (50k subset):", metrics["simhash_planted_recall"], flush=True)
 assert metrics["simhash_planted_recall"] >= 0.95
 
+# ---- exact n-gram Jaccard (winnowing-blocked) on the bounded subset ----
+# Char-level fingerprinting costs ~len(text) md5s per doc, so like the
+# SimHash join this runs on the 50k subset; the corpus-scale near-dup
+# path remains banded MinHash. Same planted near-copies as simhash.
+from scalablevectorsearch_spark.pipeline.dedup import ngram_jaccard_neardup
+
+nj_pairs = timed(
+    "ngram_jaccard_50k",
+    lambda: ngram_jaccard_neardup(
+        sub.unionByName(sub_near), threshold=0.5, max_bucket_size=2000,
+        hash_fn="xxhash64",  # production fast path; md5 is the gate contract
+    )
+    .filter((F.col("doc_b") >= 2 * N) & (F.col("doc_a") == F.col("doc_b") - 2 * N))
+    .count(),
+)
+metrics["ngram_jaccard_planted_recall"] = round(nj_pairs / n_sub_near, 4)
+print(
+    "ngram_jaccard planted recall (50k subset):",
+    metrics["ngram_jaccard_planted_recall"],
+    flush=True,
+)
+assert metrics["ngram_jaccard_planted_recall"] >= 0.99
+
+# ---- stratified domain-mixing sample at full scale ----
+from scalablevectorsearch_spark.pipeline.curate import stratified_sample
+
+sourced = docs.withColumn("source", F.concat(F.lit("s"), F.pmod("doc_id", F.lit(10))))
+MIX = {"s0": 1.0, "s1": 0.5, "s2": 0.25, "s3": 0.0}
+mix_counts = timed(
+    "stratified_sample",
+    lambda: {
+        r["source"]: (r["n"], r["k"])
+        for r in stratified_sample(sourced, MIX, default_fraction=0.8)
+        .groupBy("source")
+        .agg(F.count("*").alias("n"), F.sum(F.col("kept").cast("long")).alias("k"))
+        .collect()
+    },
+)
+assert mix_counts["s0"][1] == mix_counts["s0"][0]
+assert mix_counts["s3"][1] == 0
+obs_s1 = mix_counts["s1"][1] / mix_counts["s1"][0]
+obs_def = sum(k for s, (n, k) in mix_counts.items() if s not in MIX) / sum(
+    n for s, (n, k) in mix_counts.items() if s not in MIX
+)
+metrics["mix_s1_frac"] = round(obs_s1, 4)
+metrics["mix_default_frac"] = round(obs_def, 4)
+print(f"stratified_sample: s1 {obs_s1:.4f} (want 0.5), default {obs_def:.4f} (want 0.8)", flush=True)
+assert abs(obs_s1 - 0.5) < 0.01 and abs(obs_def - 0.8) < 0.01
+
 # ---- curation ops: repetition / split / redaction / filter ----
 from scalablevectorsearch_spark.pipeline.curate import (
     dataset_split,
