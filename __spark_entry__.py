@@ -1040,6 +1040,20 @@ def _ngram_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_a", "doc_b", E4("jaccard").alias("jaccard_e4"))
 
 
+def _duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup gate: maximal duplicated-gram spans must
+    hash-equal the SQL window/cumsum replica."""
+    from scalablevectorsearch_spark.pipeline.dedup import duplicate_spans
+
+    res = duplicate_spans(_docs(spark, sf_dir), span_len=40, stride=1, min_count=2)
+    return res.select(
+        "doc_id",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_dup_grams").cast("long").alias("n_dup_grams"),
+    )
+
+
 def _quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 filter gate: the three-way metadata join + first-fail
     rule chain must hash-equal the nested-CTE SQL replica (thresholds
@@ -2035,6 +2049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-5 curation gates (never driver-sampled) ---
         "stratified_sample": _stratified_sample_query,
         "ngram_jaccard": _ngram_jaccard_query,
+        "duplicate_spans": _duplicate_spans_query,
         "repetition_stats": _repetition_stats_query,
         "dataset_split": _dataset_split_query,
         "pii_redact": _pii_redact_query,
@@ -2138,6 +2153,7 @@ def oracle_sql() -> dict[str, str]:
             SAMPLE_FRACTIONS, default_fraction=SAMPLE_DEFAULT
         ),
         "ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
+        "duplicate_spans": oracles.duplicate_spans_sql(40, 1, 2),
         "repetition_stats": oracles.repetition_stats_sql(2),
         "dataset_split": oracles.dataset_split_sql(
             SPLIT_NAMES, split_boundaries(SPLIT_WEIGHTS)

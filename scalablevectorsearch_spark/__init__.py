@@ -63,6 +63,7 @@ from scalablevectorsearch_spark.pipeline.dedup import (
     dedup_components,
     dedup_exact,
     dedup_minhash,
+    duplicate_spans,
     ngram_jaccard_neardup,
     simhash,
     simhash_neardup,

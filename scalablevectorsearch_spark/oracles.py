@@ -1636,6 +1636,38 @@ FROM ver WHERE jac >= {threshold}
 """.strip()
 
 
+def duplicate_spans_sql(
+    span_len: int = 40, stride: int = 1, min_count: int = 2
+) -> str:
+    """Exact duplicated-substring spans — mirrors pipeline/dedup.py:
+    duplicate_spans (same md5-derived gram hash, same run-merge rule;
+    the two unnest lists are equal-length so they zip in lockstep)."""
+    md5i = _MD5I_SQL.format(s=f"substr(text, i, {span_len})")
+    return f"""
+WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= {span_len}),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, length(text) - {span_len} + 2, {stride})) AS pos,
+         unnest(list_transform(range(1, length(text) - {span_len} + 2, {stride}),
+                               i -> {md5i})) AS h
+  FROM d),
+hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= {min_count}),
+dp AS (SELECT g.doc_id, g.pos FROM g JOIN hot USING (h)),
+r AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {stride}
+              THEN 0 ELSE 1 END AS brk
+  FROM dp),
+runs AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM r)
+SELECT doc_id, min(pos) AS span_start, max(pos) + {span_len} - 1 AS span_end,
+       count(*) AS n_dup_grams
+FROM runs GROUP BY doc_id, run_id
+""".strip()
+
+
 def pii_redact_sql() -> str:
     """Sequential PII scrub over documents with deterministically
     injected synthetic PII (the corpus itself is clean word-salad) —

@@ -347,6 +347,77 @@ def decontaminate(
     )
 
 
+def duplicate_spans(
+    df: DataFrame,
+    span_len: int = 40,
+    stride: int = 1,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact duplicated-substring mining — the substring-granularity
+    dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): find every maximal character span whose
+    ``span_len``-grams occur >= ``min_count`` times ACROSS THE WHOLE
+    CORPUS (including within one document), so a pipeline can strip
+    repeated boilerplate/templates instead of dropping whole documents.
+
+    Returns (doc_id, span_start, span_end, n_dup_grams): 1-based char
+    positions of maximal runs of duplicated grams (runs merge while
+    consecutive duplicated positions are <= ``stride`` apart;
+    ``span_end`` covers the last gram). Docs shorter than ``span_len``
+    cannot contain a span and are skipped.
+
+    Spark-native replacement for the reference suffix-array approach:
+    hash every ``stride``-th ``span_len``-char gram, count occurrences
+    per hash (ONE shuffle on the 64-bit hash, map-side partial
+    counts), semi-join the positions of over-occurring hashes back
+    (reuses the hash partitioning), then merge per-doc position runs
+    with a window + conditional-cumsum (shuffles on doc_id — high
+    cardinality, unskewed). No pair explosion anywhere: a boilerplate
+    gram in a million docs contributes a count, never |bucket|^2 rows.
+    ``stride`` > 1 trades positional resolution for a ~stride-fold
+    cost cut and still catches every duplicated region of length >=
+    span_len + stride - 1. ``hash_fn="xxhash64"`` is the cheaper
+    Spark-only gram hash; md5 (default) is the oracle contract."""
+    from pyspark.sql import Window
+
+    if hash_fn == "xxhash64":
+        h = f"xxhash64(substring({text_col}, i, {span_len}))"
+    elif hash_fn == "md5":
+        h = MD5I.format(s=f"substring({text_col}, i, {span_len})")
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn!r}")
+    grams = (
+        df.filter(F.length(text_col) >= span_len)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {span_len} + 1, {stride}),"
+                    f" i -> struct(i as pos, {h} as h))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
+    )
+    hot = grams.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
+    dup_pos = grams.join(hot, "h").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = dup_pos.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= stride, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__run", F.sum("__brk").over(w))
+    return runs.groupBy("doc_id", "__run").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(span_len - 1)).alias("span_end"),
+        F.count("*").alias("n_dup_grams"),
+    ).drop("__run")
+
+
 def dedup_components(
     pairs: DataFrame,
     id_a: str = "doc_a",

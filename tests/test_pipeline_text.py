@@ -391,3 +391,75 @@ def test_ngram_jaccard_xxhash_fast_path_same_pairs(spark, docs):
 
     with pytest.raises(ValueError):
         ngram_jaccard_neardup(both, hash_fn="sha1")
+
+
+# ---------------------------------------------------------------- duplicate_spans
+
+
+def _spans_bruteforce(rows, L, stride, min_count):
+    """Pure-Python replica of duplicate_spans for differential tests."""
+    import collections
+
+    counts = collections.Counter()
+    pos_by_doc = {}
+    for i, t in rows:
+        ps = list(range(0, max(len(t) - L + 1, 0), stride))
+        pos_by_doc[i] = [(p, t[p : p + L]) for p in ps]
+        for _, g in pos_by_doc[i]:
+            counts[g] += 1
+    out = set()
+    for i, _ in rows:
+        dup = [p + 1 for p, g in pos_by_doc[i] if counts[g] >= min_count]
+        run = []
+        for p in dup:
+            if run and p - run[-1] <= stride:
+                run.append(p)
+            else:
+                if run:
+                    out.add((i, run[0], run[-1] + L - 1, len(run)))
+                run = [p]
+        if run:
+            out.add((i, run[0], run[-1] + L - 1, len(run)))
+    return out
+
+
+@pytest.mark.parametrize("stride,min_count", [(1, 2), (3, 2), (1, 3)])
+def test_duplicate_spans_differential(spark, stride, min_count):
+    """Random short-alphabet docs + planted shared boilerplate vs the
+    pure-Python replica — exact span-set equality."""
+    import random
+
+    from scalablevectorsearch_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(13)
+    boiler = "SUBSCRIBE-TO-OUR-NEWSLETTER-TODAY!!"
+    rows = []
+    for i in range(40):
+        body = "".join(rng.choice("abcd") for _ in range(rng.randint(5, 120)))
+        if i % 3 == 0:  # plant the boilerplate mid-document
+            cut = rng.randint(0, len(body))
+            body = body[:cut] + boiler + body[cut:]
+        rows.append((i, body))
+    L = 20
+    got = {
+        (r["doc_id"], r["span_start"], r["span_end"], r["n_dup_grams"])
+        for r in duplicate_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            span_len=L, stride=stride, min_count=min_count,
+        ).collect()
+    }
+    assert got == _spans_bruteforce(rows, L, stride, min_count)
+    if stride == 1 and min_count == 2:
+        # every doc carrying the planted boilerplate must report a span
+        planted = {i for i, _ in rows if i % 3 == 0}
+        assert planted <= {d for d, *_ in got}
+
+
+def test_duplicate_spans_xxhash_same_spans(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import duplicate_spans
+
+    rows = [(0, "xyxyxy" + "A" * 50 + "qq"), (1, "zz" + "A" * 50), (2, "B" * 30)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = {tuple(r) for r in duplicate_spans(df, span_len=20).collect()}
+    b = {tuple(r) for r in duplicate_spans(df, span_len=20, hash_fn="xxhash64").collect()}
+    assert a == b and len(a) >= 2  # the shared A-run spans both docs

@@ -284,6 +284,18 @@ def main() -> int:
         "ngram_jaccard: fingerprint equi-join present",
         "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p,
     )
+    from scalablevectorsearch_spark.pipeline.dedup import duplicate_spans
+
+    p = plan_of(duplicate_spans(docs, span_len=40))
+    check(
+        "duplicate_spans: no all-pairs join",
+        "CartesianProduct" not in p and "NestedLoop" not in p,
+    )
+    check(
+        "duplicate_spans: map-side partial count before the hash shuffle",
+        "partial_count" in p,
+    )
+    check("duplicate_spans: no Python UDF", "EvalPython" not in p and "MapInArrow" not in p)
 
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
