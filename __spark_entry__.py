@@ -1054,6 +1054,73 @@ def _duplicate_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spans_removal_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup application gate: keep-first duplicate_spans
+    composed with remove_spans over planted boilerplate — the cleaned
+    TEXT itself must hash-equal the SQL replica."""
+    from scalablevectorsearch_spark.pipeline.dedup import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit(" " + oracles.SPAN_BOILER)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = duplicate_spans(
+        docs, span_len=40, stride=1, min_count=2, keep_first=True
+    )
+    res = remove_spans(docs, spans)
+    return res.select("doc_id", "text", F.col("n_removed_chars").cast("long").alias("n_removed_chars"))
+
+
+def _decontaminate_exact_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-word-gram decontamination gate: planted probe copies
+    must flag their source docs with exact distinct-gram counts."""
+    from scalablevectorsearch_spark.pipeline.dedup import decontaminate_exact
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    probes = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 50000).alias("doc_id"), "text"
+    )
+    res = decontaminate_exact(docs, probes, n=13, min_hits=1)
+    return res.select(
+        "probe_id", "doc_id", F.col("n_shared_grams").cast("long").alias("n_shared_grams")
+    )
+
+
+def _dedup_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line-dedup gate: re-lined docs + planted whole-doc copies;
+    the rebuilt text and removal counts must hash-equal the replica."""
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_lines
+
+    chunk = 60
+    base = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = base.filter(F.col("doc_id") < 15).select(
+        (F.col("doc_id") + 10000).alias("doc_id"), "text"
+    )
+    relined = base.unionByName(dups).select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform("
+            f"sequence(1, greatest(cast(ceil(length(text) / {chunk}.0) as bigint), 1)),"
+            f" i -> substring(text, {chunk} * (i - 1) + 1, {chunk})), chr(10))"
+        ).alias("text"),
+    )
+    res = dedup_lines(relined, min_len=1)
+    return res.select(
+        "doc_id",
+        "text",
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_removed").cast("long").alias("n_removed"),
+    )
+
+
 def _quality_filter_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher/C4 filter gate: the three-way metadata join + first-fail
     rule chain must hash-equal the nested-CTE SQL replica (thresholds
@@ -2050,6 +2117,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _stratified_sample_query,
         "ngram_jaccard": _ngram_jaccard_query,
         "duplicate_spans": _duplicate_spans_query,
+        "spans_removal": _spans_removal_query,
+        "decontaminate_exact": _decontaminate_exact_query,
+        "dedup_lines": _dedup_lines_query,
         "repetition_stats": _repetition_stats_query,
         "dataset_split": _dataset_split_query,
         "pii_redact": _pii_redact_query,
@@ -2154,6 +2224,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ngram_jaccard": oracles.ngram_jaccard_sql(3, 0.5),
         "duplicate_spans": oracles.duplicate_spans_sql(40, 1, 2),
+        "spans_removal": oracles.spans_removal_sql(40, 1, 2, boiler_mod=7),
+        "decontaminate_exact": oracles.decontaminate_exact_sql(20, 50000, n=13),
+        "dedup_lines": oracles.dedup_lines_sql(60, 15, 10000, min_len=1),
         "repetition_stats": oracles.repetition_stats_sql(2),
         "dataset_split": oracles.dataset_split_sql(
             SPLIT_NAMES, split_boundaries(SPLIT_WEIGHTS)

@@ -61,10 +61,13 @@ from scalablevectorsearch_spark.operators.multivector import (
 from scalablevectorsearch_spark.pipeline.dedup import (
     decontaminate,
     dedup_components,
+    decontaminate_exact,
     dedup_exact,
+    dedup_lines,
     dedup_minhash,
     duplicate_spans,
     ngram_jaccard_neardup,
+    remove_spans,
     simhash,
     simhash_neardup,
 )

@@ -1668,6 +1668,156 @@ FROM runs GROUP BY doc_id, run_id
 """.strip()
 
 
+#: boilerplate planted by the spans-removal gate (shared verbatim with
+#: __spark_entry__; SQL-literal-safe — no quotes)
+SPAN_BOILER = "SUBSCRIBE TO OUR NEWSLETTER TODAY FOR EXCLUSIVE DAILY UPDATES"
+
+
+def spans_removal_sql(
+    span_len: int = 40,
+    stride: int = 1,
+    min_count: int = 2,
+    boiler_mod: int = 7,
+) -> str:
+    """Substring-dedup application — duplicate_spans(keep_first=True)
+    composed with remove_spans over documents carrying planted
+    boilerplate (every ``boiler_mod``-th doc gets SPAN_BOILER appended,
+    so duplicated regions exist by construction). Keep-first exempts
+    each gram's minimal (doc_id, pos) occurrence; spans are cut as
+    their union (ends are monotone in starts, so lag(span_end) is the
+    running frontier)."""
+    md5i = _MD5I_SQL.format(s=f"substr(text, i, {span_len})")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {boiler_mod} = 0 THEN text || ' {SPAN_BOILER}'
+              ELSE text END AS text
+  FROM documents),
+dd AS (SELECT doc_id, text FROM d WHERE length(text) >= {span_len}),
+g AS (
+  SELECT doc_id,
+         unnest(range(1, length(text) - {span_len} + 2, {stride})) AS pos,
+         unnest(list_transform(range(1, length(text) - {span_len} + 2, {stride}),
+                               i -> {md5i})) AS h
+  FROM dd),
+hot AS (SELECT h FROM g GROUP BY h HAVING count(*) >= {min_count}),
+ranked AS (
+  SELECT g.doc_id, g.pos,
+         row_number() OVER (PARTITION BY g.h ORDER BY g.doc_id, g.pos) AS rn
+  FROM g JOIN hot USING (h)),
+dp AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+r AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {stride}
+              THEN 0 ELSE 1 END AS brk
+  FROM dp),
+runs AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS run_id
+  FROM r),
+spans AS (
+  SELECT doc_id, min(pos) AS span_start, max(pos) + {span_len} - 1 AS span_end
+  FROM runs GROUP BY doc_id, run_id),
+seg AS (
+  SELECT doc_id, span_start,
+         coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0)
+           AS prev
+  FROM spans),
+body AS (
+  SELECT seg.doc_id, seg.span_start AS ord,
+         substr(d.text, (seg.prev + 1)::BIGINT,
+                greatest(seg.span_start - 1 - seg.prev, 0)::BIGINT) AS piece
+  FROM seg JOIN d USING (doc_id)
+  UNION ALL
+  SELECT m.doc_id, 9223372036854775807 AS ord,
+         substr(d.text, (m.e + 1)::BIGINT) AS piece
+  FROM (SELECT doc_id, max(span_end) AS e FROM spans GROUP BY doc_id) m
+  JOIN d USING (doc_id)),
+cleaned AS (
+  SELECT doc_id, string_agg(piece, '' ORDER BY ord) AS ctext
+  FROM body GROUP BY doc_id)
+SELECT d.doc_id, coalesce(c.ctext, d.text) AS text,
+       (length(d.text) - length(coalesce(c.ctext, d.text)))::BIGINT
+         AS n_removed_chars
+FROM d LEFT JOIN cleaned c USING (doc_id)
+""".strip()
+
+
+def decontaminate_exact_sql(
+    probe_mod: int, probe_offset: int, n: int = 13, min_hits: int = 1
+) -> str:
+    """Exact word-n-gram decontamination (GPT-3 appendix-C policy):
+    probes are copies of every doc with doc_id % probe_mod = 0 (planted
+    exact contamination — each probe must flag its source doc); counts
+    are over DISTINCT shared grams. Mirrors
+    pipeline/dedup.py:decontaminate_exact (same token split, same
+    short-doc full-run fallback, same md5-derived gram hash)."""
+    md5i = _MD5I_SQL.format(
+        s=f"array_to_string(list_slice(toks, i, i + {n} - 1), ' ')"
+    )
+    grams = (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len(toks) - {n} + 1, 1) + 1), i -> {md5i}))"
+    )
+    return f"""
+WITH tc AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+tp AS (SELECT doc_id + {probe_offset} AS probe_id,
+              string_split_regex(trim(text), '\\s+') AS toks
+       FROM documents WHERE doc_id % {probe_mod} = 0),
+gc AS (SELECT doc_id, unnest({grams}) AS h FROM tc),
+gp AS (SELECT probe_id, unnest({grams}) AS h FROM tp)
+SELECT probe_id, doc_id, count(*)::BIGINT AS n_shared_grams
+FROM gc JOIN gp USING (h)
+GROUP BY probe_id, doc_id
+HAVING count(*) >= {min_hits}
+""".strip()
+
+
+def dedup_lines_sql(
+    chunk: int, n_dups: int, dup_offset: int, min_len: int = 1
+) -> str:
+    """Corpus-global line dedup (C4 rule): documents are re-lined into
+    fixed ``chunk``-char lines (the synthetic corpus is single-line)
+    and docs with doc_id < n_dups are re-inserted at +dup_offset so
+    whole documents' worth of duplicate lines exist. Keep-first =
+    row_number over the exact line ordered by (doc_id, line_no);
+    trimmed lines shorter than min_len are exempt. Mirrors
+    pipeline/dedup.py:dedup_lines (docs losing every line drop out)."""
+    relined = (
+        f"array_to_string(list_transform("
+        f"range(1, greatest(ceil(length(text) / {chunk}.0), 1)::BIGINT + 1),"
+        f" i -> substr(text, ({chunk} * (i - 1))::BIGINT + 1, {chunk})), chr(10))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {dup_offset} AS doc_id, text FROM documents
+  WHERE doc_id < {n_dups}),
+d AS (SELECT doc_id, {relined} AS text FROM base),
+l AS (
+  SELECT doc_id,
+         unnest(range(0, len(string_split(text, chr(10))))) AS line_no,
+         unnest(string_split(text, chr(10))) AS line
+  FROM d),
+f AS (
+  SELECT doc_id, line_no, line,
+         (length(trim(line)) < {min_len})
+         OR row_number() OVER (PARTITION BY md5(line) ORDER BY doc_id, line_no) = 1
+           AS keep
+  FROM l),
+stats AS (
+  SELECT doc_id, count(*)::BIGINT AS n_lines,
+         sum(CASE WHEN keep THEN 0 ELSE 1 END)::BIGINT AS n_removed
+  FROM f GROUP BY doc_id),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text
+  FROM f WHERE keep GROUP BY doc_id)
+SELECT r.doc_id, r.text, s.n_lines, s.n_removed
+FROM reb r JOIN stats s USING (doc_id)
+""".strip()
+
+
 def pii_redact_sql() -> str:
     """Sequential PII scrub over documents with deterministically
     injected synthetic PII (the corpus itself is clean word-salad) —

@@ -355,6 +355,7 @@ def duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_fn: str = "md5",
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact duplicated-substring mining — the substring-granularity
     dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -362,6 +363,12 @@ def duplicate_spans(
     ``span_len``-grams occur >= ``min_count`` times ACROSS THE WHOLE
     CORPUS (including within one document), so a pipeline can strip
     repeated boilerplate/templates instead of dropping whole documents.
+
+    ``keep_first=True`` exempts, per duplicated gram, its globally
+    first occurrence (minimal ``(doc_id, pos)``) — the Lee et al.
+    remove-all-but-one policy, so feeding the spans to
+    :func:`remove_spans` keeps exactly one copy of each duplicated
+    region in the corpus instead of deleting every copy.
 
     Returns (doc_id, span_start, span_end, n_dup_grams): 1-based char
     positions of maximal runs of duplicated grams (runs merge while
@@ -402,8 +409,33 @@ def duplicate_spans(
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
-    hot = grams.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
-    dup_pos = grams.join(hot, "h").select("doc_id", "pos")
+    if keep_first:
+        # min(struct) is a map-side-combinable agg (no window needed):
+        # the canonical occurrence is the lexicographic (doc_id, pos) min.
+        hot = (
+            grams.groupBy("h")
+            .agg(
+                F.count("*").alias("__c"),
+                F.min(F.struct("doc_id", "pos")).alias("__canon"),
+            )
+            .filter(F.col("__c") >= min_count)
+            .select("h", "__canon")
+        )
+        dup_pos = (
+            grams.join(hot, "h")
+            .filter(
+                ~(
+                    (F.col("doc_id") == F.col("__canon.doc_id"))
+                    & (F.col("pos") == F.col("__canon.pos"))
+                )
+            )
+            .select("doc_id", "pos")
+        )
+    else:
+        hot = (
+            grams.groupBy("h").count().filter(F.col("count") >= min_count).select("h")
+        )
+        dup_pos = grams.join(hot, "h").select("doc_id", "pos")
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = dup_pos.withColumn(
         "__brk",
@@ -416,6 +448,178 @@ def duplicate_spans(
         (F.max("pos") + F.lit(span_len - 1)).alias("span_end"),
         F.count("*").alias("n_dup_grams"),
     ).drop("__run")
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut character spans out of document text — the application half
+    of substring dedup (pair with ``duplicate_spans(keep_first=True)``
+    for the Lee et al. 2022 remove-all-but-one policy).
+
+    ``spans`` is (doc_id, span_start, span_end) with 1-based inclusive
+    char positions (extra columns ignored). Overlapping spans are
+    removed as their union. Returns every input row as
+    (doc_id, <text_col> cleaned, n_removed_chars); docs without spans
+    pass through untouched.
+
+    Scale shape: ONE groupBy of the span table on doc_id (tiny next to
+    the corpus — only flagged docs appear), then a single equi-join
+    back to the corpus and a per-row Catalyst ``aggregate`` fold over
+    the sorted span array — no window over the corpus, no Python UDF,
+    no explode of document text."""
+    sp = spans.groupBy(F.col("doc_id").alias("__sid")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    F.col("span_end").cast("long").alias("e"),
+                )
+            )
+        ).alias("__sp")
+    )
+    j = df.join(sp, F.col(id_col) == F.col("__sid"), "left")
+    # Fold over sorted spans: emit the gap before each span, track the
+    # running cut frontier (spans sorted by start have non-decreasing
+    # end here, so `prev = x.e` covers overlap-union too; negative gap
+    # lengths yield '' from substring).
+    clean = F.expr(
+        f"""CASE WHEN __sp IS NULL THEN {text_col} ELSE
+        aggregate(
+            __sp,
+            struct(cast(0 as bigint) as prev, '' as acc),
+            (a, x) -> struct(
+                greatest(a.prev, x.e) as prev,
+                concat(a.acc, substring({text_col}, int(a.prev) + 1,
+                                        int(x.s) - 1 - int(a.prev))) as acc),
+            a -> concat(a.acc, substring({text_col}, int(a.prev) + 1,
+                                         length({text_col}) - int(a.prev))))
+        END"""
+    )
+    out = j.withColumn("__clean", clean)
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        F.col("__clean").alias(text_col),
+        (F.length(F.coalesce(F.col(text_col), F.lit(""))) - F.length("__clean"))
+        .cast("long")
+        .alias("n_removed_chars"),
+    )
+
+
+def decontaminate_exact(
+    corpus: DataFrame,
+    probes: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+    broadcast_probes: bool = True,
+) -> DataFrame:
+    """Exact n-gram eval-set decontamination — the GPT-3 appendix-C
+    policy (Brown et al. 2020): flag every training document sharing at
+    least ``min_hits`` distinct word ``n``-grams with any evaluation
+    probe. Complements :func:`decontaminate` (banded MinHash, fuzzy):
+    exact collision is the conservative leakage test suites use.
+
+    Returns (probe_id, doc_id, n_shared_grams) for pairs with
+    ``n_shared_grams >= min_hits`` (distinct-gram counts).
+
+    Scale shape: the probe side (an eval suite) collapses to its
+    distinct gram hashes and broadcasts, so the corpus-side gram stream
+    is probed MAP-SIDE — no shuffle of corpus grams against probes, no
+    pair explosion; only colliding (doc, probe, gram) rows survive into
+    the final small groupBy. Documents shorter than ``n`` words hash
+    their full token run (same convention as :func:`shingle_hashes`)."""
+    gram = f"array_join(slice(__toks, i, {n}), chr(32))"
+    if hash_fn == "xxhash64":
+        h = f"xxhash64({gram})"
+    elif hash_fn == "md5":
+        h = MD5I.format(s=gram)
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn!r}")
+    ngrams = (
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size(__toks) - {n} + 1, 1)),"
+        f"  i -> {h}))"
+    )
+
+    def _grams(d: DataFrame, out_id: str) -> DataFrame:
+        return (
+            d.select(
+                F.col(id_col).alias(out_id),
+                F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
+            )
+            .select(out_id, F.explode(F.expr(ngrams)).alias("h"))
+        )
+
+    pg = _grams(probes, "probe_id")
+    if broadcast_probes:
+        pg = F.broadcast(pg)
+    hits = (
+        _grams(corpus, "doc_id")
+        .join(pg, "h")
+        .groupBy("probe_id", "doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+        .filter(F.col("n_shared_grams") >= min_hits)
+    )
+    return hits
+
+
+def dedup_lines(
+    df: DataFrame,
+    min_len: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-global line-level dedup — the C4 rule family (Raffel et
+    al. 2020): every exact line of text is kept only at its globally
+    first occurrence (minimal ``(doc_id, line_no)``); later occurrences
+    are dropped and the document is reassembled from its surviving
+    lines. Lines whose trimmed length is < ``min_len`` (default:
+    empty lines) are exempt and always kept.
+
+    Returns (doc_id, <text_col> rebuilt, n_lines, n_removed). A
+    document whose every line was removed disappears from the output —
+    an exact whole-document duplicate IS dropped, which is the C4
+    behavior.
+
+    Scale shape: posexplode to lines, ONE shuffle on the line hash for
+    the keep-first row_number (line content is high-cardinality and
+    unskewed after the min_len exemption removes the empty-line hot
+    key), then a groupBy doc_id reassembly. All Catalyst; no UDF."""
+    from pyspark.sql import Window
+
+    lines = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    participates = F.length(F.trim(F.col("line"))) >= min_len
+    w = Window.partitionBy(F.md5("line")).orderBy("doc_id", "line_no")
+    # A hash partition is content-homogeneous, so the participation
+    # predicate is constant within it — exempt rows never perturb the
+    # row_number of participating ones.
+    flagged = lines.withColumn(
+        "__keep",
+        (~participates) | (F.row_number().over(w) == 1),
+    )
+    kept = flagged.filter("__keep")
+    removed = flagged.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("__keep"), 0).otherwise(1)).alias("n_removed"),
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(line_no, line))),"
+            " x -> x.line), chr(10))"
+        ).alias(text_col)
+    )
+    return rebuilt.join(removed, "doc_id").select(
+        "doc_id", text_col, "n_lines", "n_removed"
+    )
 
 
 def dedup_components(

@@ -463,3 +463,181 @@ def test_duplicate_spans_xxhash_same_spans(spark):
     a = {tuple(r) for r in duplicate_spans(df, span_len=20).collect()}
     b = {tuple(r) for r in duplicate_spans(df, span_len=20, hash_fn="xxhash64").collect()}
     assert a == b and len(a) >= 2  # the shared A-run spans both docs
+
+
+# ------------------------------------------- remove_spans / keep_first
+
+
+def _spans_keepfirst_bruteforce(rows, L, stride, min_count):
+    """Pure-Python replica of duplicate_spans(keep_first=True)."""
+    import collections
+
+    occ = collections.defaultdict(list)
+    for i, t in rows:
+        for p in range(0, max(len(t) - L + 1, 0), stride):
+            occ[t[p : p + L]].append((i, p + 1))
+    flagged = collections.defaultdict(list)
+    for g, locs in occ.items():
+        if len(locs) >= min_count:
+            canon = min(locs)
+            for loc in locs:
+                if loc != canon:
+                    flagged[loc[0]].append(loc[1])
+    out = set()
+    for i, ps in flagged.items():
+        run = []
+        for p in sorted(set(ps)):
+            if run and p - run[-1] <= stride:
+                run.append(p)
+            else:
+                if run:
+                    out.add((i, run[0], run[-1] + L - 1, len(run)))
+                run = [p]
+        if run:
+            out.add((i, run[0], run[-1] + L - 1, len(run)))
+    return out
+
+
+def test_duplicate_spans_keep_first_differential(spark):
+    import random
+
+    from scalablevectorsearch_spark.pipeline.dedup import duplicate_spans
+
+    rng = random.Random(7)
+    boiler = "REPEATED-FOOTER-TEXT-SHARED-BY-MANY-DOCS"
+    rows = []
+    for i in range(30):
+        body = "".join(rng.choice("abcd") for _ in range(rng.randint(10, 90)))
+        if i % 2 == 0:
+            body = body + boiler
+        rows.append((i, body))
+    L = 25
+    got = {
+        tuple(r)
+        for r in duplicate_spans(
+            spark.createDataFrame(rows, ["doc_id", "text"]),
+            span_len=L, keep_first=True,
+        ).collect()
+    }
+    assert got == _spans_keepfirst_bruteforce(rows, L, 1, 2)
+    # the earliest boilerplate carrier (doc 0) keeps its copy
+    assert 0 not in {d for d, *_ in got}
+    # every later carrier is flagged
+    assert {i for i, _ in rows if i % 2 == 0 and i > 0} <= {d for d, *_ in got}
+
+
+def test_remove_spans_union_and_passthrough(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import remove_spans
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefghij"), (1, "0123456789"), (2, "keep me whole")],
+        ["doc_id", "text"],
+    )
+    # doc 0: overlapping spans [2,5] and [4,7] remove chars 2..7 (union);
+    # doc 1: contained span [3,4] inside [2,8] — frontier must not regress
+    spans = spark.createDataFrame(
+        [(0, 2, 5), (0, 4, 7), (1, 2, 8), (1, 3, 4)],
+        ["doc_id", "span_start", "span_end"],
+    )
+    got = {r["doc_id"]: (r["text"], r["n_removed_chars"]) for r in remove_spans(docs, spans).collect()}
+    assert got[0] == ("ahij", 6)
+    assert got[1] == ("089", 7)
+    assert got[2] == ("keep me whole", 0)
+
+
+def test_spans_removal_composition_keeps_one_copy(spark):
+    """End-to-end Lee et al. policy: after keep-first mining + removal,
+    the boilerplate survives in exactly one document."""
+    from scalablevectorsearch_spark.pipeline.dedup import (
+        duplicate_spans,
+        remove_spans,
+    )
+
+    boiler = "X" * 30
+    rows = [(i, f"doc{i:03d}-" + "ab" * i + boiler) for i in range(5)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(docs, span_len=30, keep_first=True)
+    out = remove_spans(docs, spans).collect()
+    carriers = [r for r in out if boiler in r["text"]]
+    assert len(carriers) == 1 and carriers[0]["doc_id"] == 0
+    # doc 0 keeps everything; later carriers lose at least the boiler
+    # (boundary grams shared via the common "ab" suffix may widen the cut)
+    assert all(
+        r["n_removed_chars"] == 0 if r["doc_id"] == 0 else r["n_removed_chars"] >= 30
+        for r in out
+    )
+
+
+# ------------------------------------------------- decontaminate_exact
+
+
+def test_decontaminate_exact_planted_and_counts(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "w0 w1 w2 w3 w4 w5 w6 w7"),      # shares a 5-gram run with probe
+            (1, "zz yy xx ww vv"),                # disjoint vocab
+            (2, "w2 w3 w4 w5 w6"),                # exactly one probe 5-gram
+        ],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame(
+        [(100, "w1 w2 w3 w4 w5 w6 w7 w8")], ["doc_id", "text"]
+    )
+    got = {
+        (r["probe_id"], r["doc_id"]): r["n_shared_grams"]
+        for r in decontaminate_exact(corpus, probes, n=5).collect()
+    }
+    # corpus doc 0 grams: [w0..w4, w1..w5, w2..w6, w3..w7]; probe grams
+    # [w1..w5, w2..w6, w3..w7, w4..w8] -> 3 shared
+    assert got == {(100, 0): 3, (100, 2): 1}
+
+
+def test_decontaminate_exact_short_doc_fallback_and_min_hits(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import decontaminate_exact
+
+    corpus = spark.createDataFrame(
+        [(0, "tiny probe"), (1, "a b c d e f g h i j k l m n")],
+        ["doc_id", "text"],
+    )
+    probes = spark.createDataFrame([(9, "tiny probe")], ["doc_id", "text"])
+    got = decontaminate_exact(corpus, probes, n=13).collect()
+    # both sides shorter than 13 words hash their full token run
+    assert [(r["probe_id"], r["doc_id"], r["n_shared_grams"]) for r in got] == [(9, 0, 1)]
+    assert decontaminate_exact(corpus, probes, n=13, min_hits=2).count() == 0
+
+
+# ------------------------------------------------------- dedup_lines
+
+
+def test_dedup_lines_keep_first_and_exempt(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha line\nshared line\n\ntail zero"),
+            (1, "shared line\nbeta line\n\nalpha line"),
+            (2, "alpha line\nshared line"),  # every line a dup -> drops
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert set(got) == {0, 1}
+    assert got[0]["text"] == "alpha line\nshared line\n\ntail zero"
+    assert got[0]["n_removed"] == 0 and got[0]["n_lines"] == 4
+    # doc 1 loses both dup lines but keeps its exempt empty line
+    assert got[1]["text"] == "beta line\n"
+    assert got[1]["n_removed"] == 2 and got[1]["n_lines"] == 4
+
+
+def test_dedup_lines_min_len_exemption(spark):
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "ok\nlong enough line"), (1, "ok\nlong enough line")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["text"] for r in dedup_lines(docs, min_len=5).collect()}
+    # "ok" is exempt (shorter than 5 chars) and survives in both docs
+    assert got == {0: "ok\nlong enough line", 1: "ok"}

@@ -297,6 +297,50 @@ def main() -> int:
     )
     check("duplicate_spans: no Python UDF", "EvalPython" not in p and "MapInArrow" not in p)
 
+    # 11. spans removal / exact decontamination / line dedup
+    from scalablevectorsearch_spark.pipeline.dedup import (
+        decontaminate_exact,
+        dedup_lines,
+        duplicate_spans as _ds,
+        remove_spans,
+    )
+
+    spans = _ds(docs, span_len=40, keep_first=True)
+    p = plan_of(remove_spans(docs, spans))
+    check(
+        "remove_spans: no all-pairs join",
+        "CartesianProduct" not in p and "NestedLoop" not in p,
+    )
+    check(
+        "remove_spans: Catalyst fold only (no Python UDF, no text explode window)",
+        "EvalPython" not in p and "MapInArrow" not in p,
+    )
+
+    probes = docs.filter("doc_id % 50 = 0")
+    p = plan_of(decontaminate_exact(docs, probes, n=13))
+    check(
+        "decontaminate_exact: probe grams broadcast (map-side collision probe)",
+        "BroadcastHashJoin" in p or "BroadcastExchange" in p,
+    )
+    check(
+        "decontaminate_exact: no all-pairs join",
+        "CartesianProduct" not in p and "NestedLoop" not in p,
+    )
+    check(
+        "decontaminate_exact: no Python UDF",
+        "EvalPython" not in p and "MapInArrow" not in p,
+    )
+
+    p = plan_of(dedup_lines(docs))
+    check(
+        "dedup_lines: no all-pairs join",
+        "CartesianProduct" not in p and "NestedLoop" not in p,
+    )
+    check(
+        "dedup_lines: no Python UDF",
+        "EvalPython" not in p and "MapInArrow" not in p,
+    )
+
     print(f"\n{len(failures)} violations" if failures else "\nplan audit clean")
     return 1 if failures else 0
 
