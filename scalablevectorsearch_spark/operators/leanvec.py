@@ -58,12 +58,20 @@ def _normalized(df: DataFrame, vec_col: str) -> DataFrame:
     x equals IP ranking over x/|x| for any fixed query, which is how the
     cosine LeanVec primary reduces to the ip machinery (the generic
     distance dispatch of the reference: include/svs/core/distance/
-    cosine.h:102, selector include/svs/core/distance.h:41)."""
+    cosine.h:102, selector include/svs/core/distance.h:41).
+
+    Zero-norm guard: an all-zero vector would divide 0/0 into NaN
+    components that poison the projected ranking silently; clamping the
+    norm to the smallest normal double maps it to the zero vector
+    instead (same outcome as flat_knn's cosine, where 0-similarity is
+    deterministic), and leaves every nonzero norm bit-identical — so
+    the DuckDB oracles (which carry no guard) still match."""
     nrm = F.sqrt(
         F.aggregate(
             F.col(vec_col), F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
         )
     )
+    nrm = F.greatest(nrm, F.lit(2.2250738585072014e-308))
     return df.withColumn(
         vec_col, F.transform(F.col(vec_col), lambda x: x.cast("double") / nrm)
     )

@@ -27,8 +27,11 @@ from pyspark.sql import functions as F
 #: previous stage. Patterns restrict themselves to the regex subset
 #: with identical semantics in Java regex (Spark) and RE2 (DuckDB):
 #: character classes, bounded repetition, \d, \b.
+#: Case matters: emails are case-insensitive in the wild (Bob@Gmail.com)
+#: so the classes carry A-Z explicitly — explicit ranges rather than a
+#: (?i) flag keeps the pattern in the Java-regex ∩ RE2 common subset.
 PII_PATTERNS: list[tuple[str, str, str]] = [
-    ("email", r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,6}", "<EMAIL>"),
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,6}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),

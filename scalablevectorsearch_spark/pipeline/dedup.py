@@ -356,6 +356,7 @@ def duplicate_spans(
     id_col: str = "doc_id",
     hash_fn: str = "md5",
     keep_first: bool = False,
+    sample: str = "positional",
 ) -> DataFrame:
     """Exact duplicated-substring mining — the substring-granularity
     dedup family (Lee et al. 2022, "Deduplicating Training Data Makes
@@ -372,9 +373,9 @@ def duplicate_spans(
 
     Returns (doc_id, span_start, span_end, n_dup_grams): 1-based char
     positions of maximal runs of duplicated grams (runs merge while
-    consecutive duplicated positions are <= ``stride`` apart;
-    ``span_end`` covers the last gram). Docs shorter than ``span_len``
-    cannot contain a span and are skipped.
+    consecutive duplicated positions are close — see ``sample`` below
+    for the gap rule; ``span_end`` covers the last gram). Docs shorter
+    than ``span_len`` cannot contain a span and are skipped.
 
     Spark-native replacement for the reference suffix-array approach:
     hash every ``stride``-th ``span_len``-char gram, count occurrences
@@ -384,31 +385,61 @@ def duplicate_spans(
     with a window + conditional-cumsum (shuffles on doc_id — high
     cardinality, unskewed). No pair explosion anywhere: a boilerplate
     gram in a million docs contributes a count, never |bucket|^2 rows.
-    ``stride`` > 1 trades positional resolution for a ~stride-fold
-    cost cut and still catches every duplicated region of length >=
-    span_len + stride - 1. ``hash_fn="xxhash64"`` is the cheaper
-    Spark-only gram hash; md5 (default) is the oracle contract."""
+
+    ``stride`` > 1 subsamples grams for a ~stride-fold shuffle-volume
+    cut; ``sample`` picks how:
+     - ``"positional"`` (default): keep every ``stride``-th position.
+       Two occurrences of a duplicated region only collide when their
+       start offsets are congruent mod ``stride``, so completeness
+       holds ONLY for phase-aligned occurrences (e.g. identical whole
+       documents, or spans applied/measured at the same offset);
+       phase-misaligned copies sample disjoint gram contents and can
+       be missed regardless of region length. Cheapest: skipped grams
+       are never hashed.
+     - ``"content"``: keep a gram iff ``hash % stride == 0``. The keep
+       decision depends on gram CONTENT only, so every occurrence of a
+       duplicated region samples the same relative offsets — a region
+       is either caught in ALL its occurrences or in none (expected
+       sample rate 1/stride; a region with >= 1 sampled gram is always
+       caught everywhere, no phase condition). Every gram is hashed
+       (the hash IS the sampler), so the saving is shuffle/join volume,
+       not hashing. Sampled positions are irregular, so runs merge
+       while consecutive duplicated positions are <= ``span_len``
+       apart (overlapping/abutting gram extents), not <= ``stride``.
+
+    With ``stride == 1`` both modes are identical and complete: every
+    duplicated region of length >= span_len is found at exact
+    positions. ``hash_fn="xxhash64"`` is the cheaper Spark-only gram
+    hash; md5 (default) is the oracle contract."""
     from pyspark.sql import Window
 
+    if sample not in ("positional", "content"):
+        raise ValueError(f"sample must be 'positional' or 'content': {sample!r}")
     if hash_fn == "xxhash64":
         h = f"xxhash64(substring({text_col}, i, {span_len}))"
     elif hash_fn == "md5":
         h = MD5I.format(s=f"substring({text_col}, i, {span_len})")
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn!r}")
+    # content sampling enumerates every position and filters on the
+    # gram hash; positional sampling strides the position sequence.
+    pos_stride = 1 if sample == "content" else stride
+    merge_gap = span_len if sample == "content" else stride
     grams = (
         df.filter(F.length(text_col) >= span_len)
         .select(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, length({text_col}) - {span_len} + 1, {stride}),"
+                    f"transform(sequence(1, length({text_col}) - {span_len} + 1, {pos_stride}),"
                     f" i -> struct(i as pos, {h} as h))"
                 )
             ).alias("g"),
         )
         .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"))
     )
+    if sample == "content" and stride > 1:
+        grams = grams.filter(F.pmod(F.col("h"), F.lit(stride)) == 0)
     if keep_first:
         # min(struct) is a map-side-combinable agg (no window needed):
         # the canonical occurrence is the lexicographic (doc_id, pos) min.
@@ -439,7 +470,7 @@ def duplicate_spans(
     w = Window.partitionBy("doc_id").orderBy("pos")
     runs = dup_pos.withColumn(
         "__brk",
-        F.when(F.col("pos") - F.lag("pos").over(w) <= stride, F.lit(0)).otherwise(
+        F.when(F.col("pos") - F.lag("pos").over(w) <= merge_gap, F.lit(0)).otherwise(
             F.lit(1)
         ),
     ).withColumn("__run", F.sum("__brk").over(w))
@@ -701,7 +732,14 @@ def simhash_neardup(
     Completeness holds for ``max_hamming <= n_bands - 1``; a larger
     ``max_hamming`` still returns only verified-true pairs but may miss
     pairs whose differing bits touch every band. ``max_bucket_size``
-    caps degenerate hot buckets like :func:`lsh_candidate_pairs`."""
+    caps degenerate hot buckets like :func:`lsh_candidate_pairs`.
+
+    ``n_bands >= 2`` is required: one band is the full fingerprint, so
+    the "band" equality degenerates to exact-duplicate lookup (and the
+    w == n_bits mask would overflow a BIGINT literal)."""
+    if n_bands < 2:
+        raise ValueError(f"n_bands must be >= 2 (got {n_bands}); a single band "
+                         "degenerates to exact-fingerprint equality")
     if n_bits % n_bands:
         raise ValueError(f"n_bands {n_bands} must divide n_bits {n_bits}")
     w = n_bits // n_bands

@@ -41,10 +41,17 @@ def pack_sequences(
     from ``text_col`` (the same tokenization as text_stats)."""
     if token_budget <= 0:
         raise ValueError("token_budget must be positive")
+    # NULL guards: size(split(NULL)) is -1 and a NULL count would decay
+    # to NaN in the Arrow pass — either silently skews tokens_before for
+    # every later document. NULL text counts like empty text (the
+    # text_stats convention); a NULL precomputed count is a caller bug
+    # and fails loudly in the stamping pass below.
     if tokens_col is None:
         sel = df.select(
             F.col(id_col).cast("long").alias("doc_id"),
-            F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tokens"),
+            F.size(F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"))
+            .cast("long")
+            .alias("n_tokens"),
         )
     else:
         sel = df.select(
@@ -65,10 +72,20 @@ def pack_sequences(
     # prefix sums over partitions ordered by their id range
     stats = sorted(
         parts.groupBy("__pid")
-        .agg(F.sum("n_tokens").alias("tot"), F.min("doc_id").alias("mn"))
+        .agg(
+            F.sum("n_tokens").alias("tot"),
+            F.min("doc_id").alias("mn"),
+            F.sum(F.col("n_tokens").isNull().cast("long")).alias("nn"),
+        )
         .collect(),
         key=lambda r: r["mn"],
     )
+    if any(r["nn"] for r in stats):
+        raise ValueError(
+            "pack_sequences: NULL token count — a NULL would silently "
+            "corrupt the running prefix and shift every later document's "
+            "bin_id; clean tokens_col first"
+        )
     offsets: dict[int, int] = {}
     run = 0
     for r in stats:
@@ -83,6 +100,12 @@ def pack_sequences(
         for rb in batches:
             if rb.num_rows == 0:
                 continue
+            if rb.column(1).null_count:
+                raise ValueError(
+                    "pack_sequences: NULL token count — a NULL would "
+                    "silently corrupt the running prefix and shift every "
+                    "later document's bin_id; clean tokens_col first"
+                )
             ids = rb.column(0).to_numpy(zero_copy_only=False)
             toks = rb.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
             pid = int(rb.column(2)[0].as_py())
