@@ -638,6 +638,33 @@ def _vamana_router_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
 
 
+def _vamana_routed_default_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r6 routed-default MACHINERY: probe_budget fits an epsilon
+    cutoff per query block (fit_epsilon_bp — the reference two-level
+    Inverted default, memory_based.h:508) so mean probes/query ~=
+    budget. Gated at the SAME mean probes as vamana_routed_recall's
+    fixed n_probes=3 so the two verdicts compare adaptive vs fixed at
+    equal probe cost; the bare default (router= with no probe argument)
+    resolves to probe_budget=n_shards/2 through this exact code path
+    (pinned by tests/test_vamana.py). Hash-gated floor verdict."""
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=4, shard_by="kmeans")
+    router = build_centroid_router(index.shard_model, distance="l2")
+    res = vamana_search(
+        index, q, k=K, search_window_size=VAMANA_SWS, router=router,
+        probe_budget=3.0,
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
+
+
 CALIBRATE_TARGET_E4 = 9000
 CALIBRATE_MAX_WINDOW = 64
 
@@ -2191,6 +2218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamana_recall": _vamana_recall_query,
         "vamana_routed_recall": _vamana_routed_recall_query,
         "vamana_router_recall": _vamana_router_recall_query,
+        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
         "vamana_closure_recall": _vamana_closure_recall_query,
         "calibrate_window": _calibrate_query,
         "graph_degree_stats": _graph_degree_stats_query,
@@ -2281,6 +2309,9 @@ def oracle_sql() -> dict[str, str]:
             ROUTED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "vamana_router_recall": oracles.recall_verdict_sql(
+            ROUTED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "vamana_routed_default_recall": oracles.recall_verdict_sql(
             ROUTED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "vamana_closure_recall": oracles.recall_verdict_sql(

@@ -142,8 +142,10 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
         idx.graph.cache().count()
         state["vamana_routed"] = idx
         vamana_search(
+            # r6 routed default: budget-fitted epsilon probing at the
+            # same mean probes the old fixed n_probes used
             idx, queries, k=K, search_window_size=VAMANA_SWS,
-            n_probes=VAMANA_SHARDS // 2,
+            probe_budget=VAMANA_SHARDS / 2,
         ).count()
 
     timed("vamana_routed_build_search", vam_routed)

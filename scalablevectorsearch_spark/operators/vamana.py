@@ -325,6 +325,7 @@ def vamana_search(
     n_probes: int | None = None,
     epsilon_bp: int | None = None,
     max_probes: int | None = None,
+    probe_budget: float | None = None,
     router=None,
     max_query_block: int | None = None,
     deadline: float | None = None,
@@ -354,6 +355,20 @@ def vamana_search(
     ``router`` (the full two-level design: the centroid router proposes
     candidate shards sublinearly, epsilon refines among them —
     memory_based.h:577-586 + :508).
+    ``probe_budget``: adaptive probing with the BUDGET as the invariant
+    — fits ``epsilon_bp`` per query block on the actual geometry
+    (fit_epsilon_bp) so the mean probes/query is ~probe_budget; the
+    right default when the data distribution isn't known in advance
+    (a hand-picked epsilon that is safe on clustered data degrades to
+    full fan-out on uniform data and vice versa). Mutually exclusive
+    with ``n_probes`` and ``epsilon_bp``.
+    DEFAULT ROUTING: when ``router`` is given with none of n_probes/
+    epsilon_bp/probe_budget, the search uses probe_budget = n_shards/2
+    — the epsilon-cutoff default of the reference's two-level Inverted
+    index (memory_based.h:508, refinement_epsilon_ = 10.0): at equal
+    mean probe cost, adaptive cutoff recalls strictly better than a
+    fixed per-query n_probes because boundary queries take the extra
+    probes that center queries release.
     ``router``: optional CentroidRouter (operators.router) over this
     index's shard centroids — replaces the exact O(S·d)-per-query
     centroid argmin with a sublinear graph traversal for very large
@@ -370,6 +385,19 @@ def vamana_search(
     excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
+    if probe_budget is not None:
+        if n_probes is not None or epsilon_bp is not None:
+            raise ValueError(
+                "probe_budget is mutually exclusive with n_probes/epsilon_bp"
+            )
+        if index.shard_model is None:
+            raise ValueError("probe_budget routing requires a kmeans-sharded index")
+        if probe_budget < 1:
+            raise ValueError("probe_budget must be >= 1")
+    elif router is not None and n_probes is None and epsilon_bp is None:
+        # routed default: adaptive epsilon probing at a half-fan-out
+        # budget (see docstring) instead of a fixed n_probes
+        probe_budget = max(1.0, index.n_shards / 2)
 
     if max_query_block is None:
         blocks = iter(
@@ -393,6 +421,7 @@ def vamana_search(
             index, qp, k, sws, excl, exclude_df, buffer_capacity,
             n_probes, router, maximize, scale, sc, deadline,
             epsilon_bp=epsilon_bp, max_probes=max_probes,
+            probe_budget=probe_budget,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -423,6 +452,7 @@ def _vamana_search_block(
     deadline: float | None = None,
     epsilon_bp: int | None = None,
     max_probes: int | None = None,
+    probe_budget: float | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's shard-cogroup search + merge; returns the
     ranked result and the block's broadcast (caller frees it when
@@ -432,6 +462,15 @@ def _vamana_search_block(
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     probe_of = None
+    if probe_budget is not None:
+        # budget-invariant adaptive probing: fit the epsilon cutoff on
+        # THIS block's query geometry (fit_epsilon_bp binary-searches
+        # integer basis points — deterministic given the block)
+        from scalablevectorsearch_spark.operators.ivf import fit_epsilon_bp
+
+        epsilon_bp = fit_epsilon_bp(
+            Q, index.shard_model.centroids, float(probe_budget), distance
+        )
     if epsilon_bp is not None:
         if index.shard_model is None:
             raise ValueError("epsilon_bp routing requires a kmeans-sharded index")

@@ -132,6 +132,58 @@ def test_routing_requires_kmeans_shards(base, queries, index):
         vamana_search(index, queries, k=5, n_probes=2).collect()
 
 
+def test_routed_default_is_half_budget_epsilon(base, queries):
+    """vamana_search(router=...) with no probe argument must resolve to
+    budget-fitted epsilon probing at probe_budget = n_shards/2 — the r6
+    routed default (reference two-level Inverted: memory_based.h:508).
+    Pinned by result identity with the explicit call (fit_epsilon_bp is
+    deterministic given the query block)."""
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=16, window_size=50),
+        n_shards=4, shard_by="kmeans",
+    )
+    router = build_centroid_router(idx.shard_model, distance="l2")
+    default = vamana_search(
+        idx, queries, k=10, search_window_size=30, router=router
+    ).collect()
+    explicit = vamana_search(
+        idx, queries, k=10, search_window_size=30, router=router,
+        probe_budget=idx.n_shards / 2,
+    ).collect()
+    assert sorted(map(tuple, default)) == sorted(map(tuple, explicit))
+
+
+def test_probe_budget_validation(base, queries):
+    import pytest as _pytest
+
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=16, window_size=50),
+        n_shards=4, shard_by="kmeans",
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        vamana_search(idx, queries, k=5, probe_budget=2.0, n_probes=2)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        vamana_search(idx, queries, k=5, probe_budget=2.0, epsilon_bp=100)
+    with _pytest.raises(ValueError, match=">= 1"):
+        vamana_search(idx, queries, k=5, probe_budget=0.5)
+
+
+def test_probe_budget_full_fanout_matches_unrouted(base, queries):
+    """probe_budget = n_shards must degrade to the full fan-out result
+    (epsilon grows until every shard is probed)."""
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=16, window_size=50),
+        n_shards=4, shard_by="kmeans",
+    )
+    full = vamana_search(idx, queries, k=10, search_window_size=30).collect()
+    budget = vamana_search(
+        idx, queries, k=10, search_window_size=30, probe_budget=4.0
+    ).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, budget))
+
+
 def test_vamana_build_deterministic(base):
     p = VamanaParams(graph_max_degree=8, window_size=20)
     g1 = vamana_build(base, p, n_shards=2).graph.orderBy("src").collect()

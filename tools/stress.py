@@ -200,6 +200,17 @@ recall(
     timed_df(
         "vamana_routed_search",
         lambda: vamana_search(
+            # the routed default since r6: budget-fitted epsilon probing
+            # at the SAME mean probes the fixed n_probes row used
+            vr, queries, k=K, search_window_size=30, probe_budget=ROUTED_PROBES
+        ),
+    ),
+)
+recall(
+    "vamana_routed_fixed",
+    timed_df(
+        "vamana_routed_fixed_search",
+        lambda: vamana_search(
             vr, queries, k=K, search_window_size=30, n_probes=ROUTED_PROBES
         ),
     ),
@@ -372,7 +383,11 @@ FLOORS = {
     "ivf": 0.50,
     "ivf_epsilon": 0.80,
     "vamana": 0.85,
-    "vamana_routed": 0.50,
+    # routed default (budget-fitted epsilon, r6): the adaptive cutoff
+    # must hold >= 0.90 at the same mean probes where the fixed-probe
+    # row (regression guard below) capped at ~0.80
+    "vamana_routed": 0.90,
+    "vamana_routed_fixed": 0.50,
     "vamana_closure": 0.80,
     "dynamic_tombstoned": 0.85,
     "dynamic_consolidated": 0.85,
