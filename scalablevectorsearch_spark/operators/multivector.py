@@ -18,6 +18,31 @@ from pyspark.sql import functions as F
 from scalablevectorsearch_spark.functions.distances import is_similarity
 
 
+def _presize_k_inner(labels: DataFrame, k: int, quantile: float = 0.99) -> int:
+    """Inner-candidate k from a HIGH QUANTILE of per-label multiplicity,
+    not the max: ``k * p99`` covers every query whose near field is made
+    of typical labels, while one mega-label (a crawl with 1M
+    near-identical vectors under one label) can no longer inflate every
+    query's inner k toward n_base and degenerate the ANN search into an
+    exhaustive scan. Labels above the quantile are exactly what the
+    adaptive-doubling fallback in the callers is for — it only pays on
+    the queries whose near field actually hits such a label.
+
+    EXACT percentile (sort-based, deterministic — approx_percentile's
+    result can vary with partition merge order and would leak
+    nondeterminism into hash-compared gates) over the tiny per-label
+    count table: one shuffle on #labels rows."""
+    q = (
+        labels.groupBy("label")
+        .agg(F.count("*").alias("c"))
+        .agg(F.expr(f"percentile(c, {quantile})").alias("q"))
+        .collect()[0][0]
+    )
+    import math
+
+    return max(4 * k, k * int(math.ceil(q or 1.0)))
+
+
 def multivector_knn(
     base: DataFrame,
     queries: DataFrame,
@@ -50,18 +75,15 @@ def multivector_knn(
     n_base = base.count()
     n_queries = queries.count()
     if k_inner is None:
-        # pre-size from the label multiplicity (one agg over the small
-        # (id, label) projection): among any k * max_multiplicity inner
-        # candidates each label contributes at most max_multiplicity
-        # rows, so >= k DISTINCT labels are guaranteed — the adaptive
-        # loop below then converges in ONE search on any distribution,
-        # including the skewed ones that previously forced log(n)
-        # full-search retries (each retry = a complete scan + 2 driver
-        # actions). The loop stays as a belt-and-braces fallback only.
-        max_mult = labels.groupBy("label").agg(
-            F.count("*").alias("c")
-        ).agg(F.max("c")).collect()[0][0] or 1
-        ki = max(4 * k, k * int(max_mult))
+        # pre-size from the p99 label multiplicity (one agg over the
+        # small (id, label) projection): among k * p99 inner candidates
+        # a typical near field yields >= k DISTINCT labels in ONE
+        # search; the adaptive loop below remains the completeness
+        # fallback for queries whose near field hits an above-quantile
+        # mega-label (pre-sizing from the MAX would let one such label
+        # inflate EVERY query's inner k toward n_base — see
+        # _presize_k_inner).
+        ki = _presize_k_inner(labels, k)
     else:
         ki = k_inner
     while True:
@@ -203,22 +225,34 @@ def multi_dynamic_search(m: MultiDynamicVamana, queries: DataFrame, k: int,
                          round_to: int | None = 4, **search_kw) -> DataFrame:
     """Top-k distinct labels over the live (non-tombstoned) vectors —
     the MultiBatchIterator dedup running over the mutable index
-    (multi.h:22-47 over :155). ``k_inner=None`` pre-sizes from the live
-    label multiplicity like :func:`multivector_knn`."""
+    (multi.h:22-47 over :155). ``k_inner=None`` pre-sizes from the p99
+    live label multiplicity like :func:`multivector_knn`, with the same
+    adaptive doubling as the completeness fallback when a query's near
+    field hits an above-quantile mega-label."""
     from scalablevectorsearch_spark.operators.dynamic import dynamic_search
 
     live_labels = m.labels
-    if k_inner is None:
-        max_mult = live_labels.groupBy("label").agg(
-            F.count("*").alias("c")
-        ).agg(F.max("c")).collect()[0][0] or 1
-        k_inner = max(4 * k, k * int(max_mult))
-    inner = dynamic_search(
-        m.dyn, queries, k=k_inner,
-        qid_col=qid_col, qvec_col=qvec_col, round_to=round_to, **search_kw,
-    )
+    n_live = live_labels.count()
+    n_queries = queries.count()
+    adaptive = k_inner is None
+    if adaptive:
+        k_inner = _presize_k_inner(live_labels, k)
     dist = m.dyn.index.distance
-    return dedupe_by_label(inner, live_labels, k=k, distance=dist)
+    while True:
+        k_inner = min(k_inner, n_live)
+        inner = dynamic_search(
+            m.dyn, queries, k=k_inner,
+            qid_col=qid_col, qvec_col=qvec_col, round_to=round_to, **search_kw,
+        )
+        out = dedupe_by_label(inner, live_labels, k=k, distance=dist)
+        if not adaptive or k_inner >= n_live:
+            return out
+        short = (
+            out.groupBy("qid").count().filter(F.col("count") < k).limit(1).count()
+        )
+        if short == 0 and out.select(F.countDistinct("qid")).collect()[0][0] == n_queries:
+            return out
+        k_inner *= 2
 
 
 def dedupe_by_label(

@@ -63,6 +63,44 @@ def test_presized_k_inner_single_iteration(skewed, queries):
     assert calls[0] >= 6 * 8  # k * max_multiplicity
 
 
+def test_megalabel_presize_stays_small(embeddings, queries):
+    """VERDICT r5 caveat: pre-sizing from the MAX label multiplicity
+    lets one mega-label inflate every query's inner k toward n_base,
+    degenerating the ANN search into an exhaustive scan. The p99
+    pre-size must stay small (the mega-label is above-quantile) and the
+    adaptive loop must still converge in ONE pass here, with identical
+    results to an exhaustive k_inner."""
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+    from scalablevectorsearch_spark.operators.multivector import _presize_k_inner
+
+    # one label owns ~20% of all rows; the rest carry 4 rows each
+    mega = embeddings.selectExpr(
+        "vec_id as id", "embedding as vector",
+        "cast(case when vec_id % 5 = 0 then 0 else 1 + (vec_id div 4) end as int)"
+        " as label",
+    )
+    n_base = mega.count()
+    mega_mult = mega.filter("label = 0").count()
+    assert mega_mult >= n_base // 6  # fixture sanity: a real mega-label
+
+    k = 5
+    ki = _presize_k_inner(mega.select("id", "label"), k)
+    assert ki < k * mega_mult  # the max would have blown this up
+    assert ki <= max(4 * k, 8 * k)  # p99 of the 4-row tail, not the max
+    assert ki < n_base // 4  # k_inner << n_base
+
+    calls = []
+
+    def counting_search(qdf, kk):
+        calls.append(kk)
+        return flat_knn(mega, qdf, k=kk, distance="l2", round_to=4)
+
+    out = multivector_knn(mega, queries, k=k, search_fn=counting_search)
+    assert len(calls) == 1, f"expected 1 inner search, ran {len(calls)}: {calls}"
+    exact = multivector_knn(mega, queries, k=k, k_inner=n_base)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, exact.collect()))
+
+
 def test_nearest_representative_per_label(skewed, queries):
     out = multivector_knn(skewed, queries, k=3)
     # each (qid,label) appears once, ranked 1..3
