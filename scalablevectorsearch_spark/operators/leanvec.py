@@ -174,11 +174,64 @@ def leanvec_train(
             names=["mm", "n"],
         )
 
-    parts = (
-        df.select(F.col(vec_col).alias("v"))
-        .mapInArrow(partials, "mm array<double>, n long")
-        .collect()
-    )
+    src = df.select(F.col(vec_col).alias("v"))
+    parts_df = src.mapInArrow(partials, "mm array<double>, n long")
+    n_part = src.rdd.getNumPartitions()
+    if n_part > 64:
+        # tree-merge: collecting one d x d partial PER PARTITION ships
+        # ~P * 8d^2 bytes to the driver (d=768, P=100k -> ~470 GB). A
+        # min(sqrt(P), 64)-way intermediate re-sum bounds the driver
+        # fetch at 64 partials while each reducer streams its group in
+        # ascending stage-1 partition order (hash assignment by
+        # pid % k + sortWithinPartitions) — a canonical summation
+        # order, so reruns are bit-identical.
+        k = max(1, min(int(np.sqrt(n_part)), 64))
+        staged = (
+            parts_df.withColumn("pid", F.spark_partition_id())
+            .repartition(k, F.pmod(F.col("pid"), F.lit(k)))
+            .sortWithinPartitions("pid")
+            .select("pid", "mm", "n")
+        )
+
+        def resum(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+            acc = np.zeros((d, d), dtype=np.float64)
+            cnt = 0
+            grp = None
+            for b in batches:
+                if b.num_rows == 0:
+                    continue
+                # zero-copy batch decode (the flat.py:154 pattern —
+                # never per-row as_py in a scale path): the list
+                # array's values buffer IS a (rows, d, d) stack
+                mm = b.column(1)
+                flat = mm.flatten().to_numpy(zero_copy_only=False)
+                if mm.null_count or len(flat) != b.num_rows * d * d:
+                    raise ValueError("ragged moment partial")
+                acc += (
+                    flat.reshape(b.num_rows, d, d)
+                    .astype(np.float64, copy=False)
+                    .sum(axis=0)
+                )
+                cnt += int(b.column(2).to_numpy(zero_copy_only=False).sum())
+                if grp is None:
+                    # rows arrive pid-ascending, so this is the
+                    # group's min pid — a unique, deterministic
+                    # driver-merge sort key
+                    grp = int(b.column(0)[0].as_py())
+            if grp is None:
+                return
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([acc.reshape(-1).tolist()]), pa.array([cnt]),
+                 pa.array([grp])],
+                names=["mm", "n", "g"],
+            )
+
+        parts = sorted(
+            staged.mapInArrow(resum, "mm array<double>, n long, g long").collect(),
+            key=lambda r: r["g"],
+        )
+    else:
+        parts = parts_df.collect()
     M = np.zeros((d, d), dtype=np.float64)
     n = 0
     for r in parts:

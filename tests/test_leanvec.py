@@ -44,6 +44,22 @@ def test_train_deterministic(base):
     assert m1.mean == m2.mean
 
 
+def test_train_high_partition_tree_merge(base):
+    """VERDICT r5: the moment merge used to collect one d x d partial
+    per partition to the driver (~470 GB at d=768, P=100k). Past 64
+    partitions a sqrt(P)-way tree re-sum now bounds the driver fetch;
+    the high-P path must produce the same model as the low-P path (the
+    canonical 1e-9 moment rounding absorbs summation-order jitter) and
+    be deterministic across reruns."""
+    lo = leanvec_train(base, 8)
+    hi_base = base.repartition(512)
+    hi1 = leanvec_train(hi_base, 8)
+    hi2 = leanvec_train(hi_base, 8)
+    assert np.array_equal(hi1.data_matrix, hi2.data_matrix)  # canonical order
+    assert hi1.mean == lo.mean
+    assert np.allclose(hi1.data_matrix, lo.data_matrix, atol=1e-6)
+
+
 def test_train_orthonormal(base):
     P = leanvec_train(base, 16).data_matrix
     assert np.allclose(P.T @ P, np.eye(16), atol=1e-10)
