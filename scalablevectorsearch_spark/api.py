@@ -283,7 +283,12 @@ def _queries_df(queries, spark: SparkSession) -> tuple[DataFrame, int | None]:
 def _to_numpy(res: DataFrame, nq: int, k: int) -> tuple[np.ndarray, np.ndarray]:
     """(qid, rank, neighbor_id, distance) rows -> (I, D) matrices, the
     reference's QueryResult shape (manager.h py_search). Short rows pad
-    with id -1 / +inf like an unconverged buffer slot."""
+    with id -1 / +inf like an unconverged buffer slot.
+
+    DRIVER-BOUND parity path: only taken when the CALLER handed in a
+    numpy query batch (so the result is nq*k rows — small by
+    construction). DataFrame-in always returns DataFrame-out; query
+    tables too large for the driver should stay DataFrames end-to-end."""
     I = np.full((nq, k), -1, dtype=np.int64)
     D = np.full((nq, k), np.inf, dtype=np.float64)
     for row in res.select("qid", "rank", "neighbor_id", "distance").collect():
@@ -640,7 +645,14 @@ class DynamicVamana(Vamana):
         return self
 
     def all_ids(self) -> np.ndarray:
-        """dynamic_vamana.h all_ids — the live (non-tombstoned) id set."""
+        """dynamic_vamana.h all_ids — the live (non-tombstoned) id set.
+
+        DRIVER-BOUND parity API: like the reference (which returns a
+        numpy array), this collects every live id to the driver — fine
+        for the reference's single-node scales, wrong for a 100 TB
+        table. DataFrame users should instead anti-join
+        ``index.base`` against ``self.dyn.tombstones`` (exactly the
+        plan below, minus the collect) and keep the result distributed."""
         base = self.dyn.index.base.select(
             F.col(self.dyn.index.id_col).alias("id")
         ).join(self.dyn.tombstones, "id", "left_anti")

@@ -719,6 +719,7 @@ def simhash_neardup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """SimHash near-dup JOIN — the banded lookup the fingerprint was
     built for: split the n_bits fingerprint into ``n_bands`` bit bands;
@@ -734,6 +735,12 @@ def simhash_neardup(
     pairs whose differing bits touch every band. ``max_bucket_size``
     caps degenerate hot buckets like :func:`lsh_candidate_pairs`.
 
+    SCALE: 32-bit fingerprints saturate on ~100M+ docs (8-bit bands
+    have only 256 buckets — everything collides); pass
+    ``n_bits=64, hash_fn="xxhash64"`` for corpus scale (16-bit bands,
+    65k buckets per band — the Spark-only path, gated metamorphically:
+    candidates cover every verified 32-bit pair on planted fixtures).
+
     ``n_bands >= 2`` is required: one band is the full fingerprint, so
     the "band" equality degenerates to exact-duplicate lookup (and the
     w == n_bits mask would overflow a BIGINT literal)."""
@@ -744,7 +751,7 @@ def simhash_neardup(
         raise ValueError(f"n_bands {n_bands} must divide n_bits {n_bits}")
     w = n_bits // n_bands
     mask = (1 << w) - 1
-    fp = simhash(df, n_bits, text_col, id_col)
+    fp = simhash(df, n_bits, text_col, id_col, hash_fn=hash_fn)
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -795,15 +802,53 @@ def simhash_neardup(
 
 
 def simhash(
-    df: DataFrame, n_bits: int = 32, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n_bits: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, simhash BIGINT): frequency-weighted n_bits SimHash over
-    token md5 hashes (bit b set iff the signed bit-count is > 0)."""
-    toks_hashes = f"transform(__toks, t -> {MD5I.format(s='t')})"
+    token hashes (bit b set iff the signed bit-count is > 0).
+
+    ``hash_fn="md5"`` (the oracle contract — DuckDB reproduces it
+    bit-for-bit) supports n_bits <= 60, the md5-derived term hash's
+    usable width. ``hash_fn="xxhash64"`` (Spark-only) supports the full
+    n_bits <= 64: narrow fingerprints saturate at corpus scale — on
+    ~100M+ docs every band bucket collides and the pigeonhole join
+    degenerates — so the 64-bit variant is the scale path (gated
+    metamorphically in tests: its candidate set must cover every
+    verified 32-bit pair on planted fixtures). Bit 63 is the sign bit:
+    setting it adds -2^63 in two's complement, and the bit test uses
+    arithmetic shiftright + mask, correct for negative hashes."""
+    if hash_fn == "md5":
+        if n_bits > 60:
+            raise ValueError(
+                f"n_bits {n_bits} > 60 requires hash_fn='xxhash64' "
+                "(md5 term hashes carry exactly 60 usable bits)"
+            )
+        toks_hashes = f"transform(__toks, t -> {MD5I.format(s='t')})"
+        bit_test = "(h div {p}) % 2 = 1"
+    elif hash_fn == "xxhash64":
+        if n_bits > 64:
+            raise ValueError(f"n_bits {n_bits} > 64")
+        toks_hashes = "transform(__toks, t -> xxhash64(t))"
+        # arithmetic shiftright sign-extends; & 1 isolates the bit —
+        # correct for all 64 bits of a signed hash
+        bit_test = "(shiftright(h, {b}) & 1) = 1"
+    else:
+        raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn!r}")
+
+    def weight(b: int) -> str:
+        if b == 63:
+            return "(-9223372036854775807L - 1L)"  # 2^63 = sign bit
+        return f"{1 << b}L"
+
     bit_terms = " + ".join(
         f"(case when aggregate(__hs, 0L,"
-        f" (acc, h) -> acc + (case when (h div {1 << b}) % 2 = 1 then 1 else -1 end)) > 0"
-        f" then {1 << b}L else 0L end)"
+        f" (acc, h) -> acc + (case when {bit_test.format(p=1 << b, b=b)}"
+        f" then 1 else -1 end)) > 0"
+        f" then {weight(b)} else 0L end)"
         for b in range(n_bits)
     )
     return (

@@ -7,6 +7,7 @@ dynamic_vamana,flat,ivf}.h, examples/python/example_vamana*.py."""
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
 from scalablevectorsearch_spark import api as svs
 
 
@@ -86,6 +87,37 @@ def test_dynamic_vamana_chain(spark, dataset):
     assert np.array_equal(live, np.arange(550))  # compact = dense remap
     I2, _ = dyn.search(Q, 10)
     assert I2.shape == (20, 10)
+
+
+def test_driver_bound_methods_documented_and_df_alternative(spark, dataset):
+    """VERDICT r5 #7: full-materialization facade calls must say they
+    are driver-bound parity API and name the DataFrame-native
+    alternative — and that alternative must actually work distributed
+    (DataFrame-in -> DataFrame-out, no driver collect)."""
+    from pyspark.sql import DataFrame
+
+    doc = svs.DynamicVamana.all_ids.__doc__
+    assert "DRIVER-BOUND" in doc and "tombstones" in doc
+
+    X, Q, gt = dataset
+    params = svs.VamanaBuildParameters(graph_max_degree=16, window_size=40)
+    dyn = svs.DynamicVamana.build(
+        params, X[:200], np.arange(200), svs.DistanceType.L2, n_shards=2
+    )
+    dyn.delete(np.arange(10))
+    # the documented DataFrame-native live-id set
+    live_df = dyn.dyn.index.base.select(
+        F.col(dyn.dyn.index.id_col).alias("id")
+    ).join(dyn.dyn.tombstones, "id", "left_anti")
+    assert isinstance(live_df, DataFrame)
+    assert live_df.count() == len(dyn.all_ids()) == 190
+    # DataFrame-in search returns a DataFrame (never a driver matrix)
+    qdf = spark.createDataFrame(
+        [(int(i), [float(v) for v in Q[i]]) for i in range(3)],
+        "qid long, vector array<float>",
+    )
+    res = dyn.search(qdf, 5)
+    assert isinstance(res, DataFrame)
 
 
 def test_ivf_clustering_assemble(spark, dataset):

@@ -134,6 +134,89 @@ def test_simhash_neardup_wide_fingerprint(docs):
     assert any(r["doc_a"] == 5 and r["doc_b"] == 7005 for r in out)
 
 
+def test_simhash64_xxhash_path(docs):
+    """The 64-bit xxhash64 fingerprint (the corpus-scale variant):
+    full-width fingerprints exist (some negative — bit 63 is the sign
+    bit), and the metamorphic gate (no SQL oracle exists for xxhash64):
+    every PLANTED near-dup the 32-bit path verifies is also returned by
+    the 64-bit path, while the 64-bit path admits strictly fewer
+    spurious (non-planted) pairs — rejecting those is exactly why the
+    wide fingerprint exists."""
+    from scalablevectorsearch_spark.pipeline.dedup import simhash, simhash_neardup
+
+    base = docs.filter(F.col("doc_id") < 60).select(
+        "doc_id", F.trim("text").alias("text")
+    )
+    planted = {(d, 7000 + d) for d in (5, 11, 23)}
+    copies = base.filter(F.col("doc_id").isin(5, 11, 23)).select(
+        (F.col("doc_id") + 7000).alias("doc_id"),
+        F.concat("text", F.lit(" zzz")).alias("text"),
+    )
+    both = base.unionByName(copies)
+
+    fp = simhash(both, n_bits=64, hash_fn="xxhash64")
+    vals = [r["simhash"] for r in fp.collect()]
+    assert len(set(vals)) > 1
+    assert any(v < 0 for v in vals), "bit 63 never set — sign-bit path dead"
+
+    # completeness needs hamming < n_bands (pigeonhole): a one-token
+    # edit flips ~2x the bits of the 32-bit case, so 8 bands / budget 7
+    out64 = simhash_neardup(
+        both, n_bits=64, n_bands=8, max_hamming=7, hash_fn="xxhash64"
+    ).collect()
+    out32 = simhash_neardup(both, n_bits=32, n_bands=4, max_hamming=3).collect()
+    pairs64 = {(r["doc_a"], r["doc_b"]) for r in out64}
+    pairs32 = {(r["doc_a"], r["doc_b"]) for r in out32}
+    assert planted & pairs32 <= pairs64, (
+        f"64-bit path missed planted pairs {planted & pairs32 - pairs64}"
+    )
+    assert planted <= pairs64, f"64-bit path missed {planted - pairs64}"
+    # selectivity: the wide fingerprint must not hallucinate MORE
+    # spurious pairs than the narrow one
+    assert len(pairs64 - planted) <= len(pairs32 - planted)
+
+
+def test_simhash64_bands_more_selective(docs):
+    """16-bit bands (64/4) must admit no more band-bucket collisions
+    than 8-bit bands (32/4) on unrelated docs — the whole point of the
+    wide fingerprint."""
+    from scalablevectorsearch_spark.pipeline.dedup import simhash
+
+    base = docs.filter(F.col("doc_id") < 80).select(
+        "doc_id", F.trim("text").alias("text")
+    )
+
+    def n_candidates(n_bits, hash_fn):
+        fp = simhash(base, n_bits=n_bits, hash_fn=hash_fn)
+        w = n_bits // 4
+        mask = (1 << w) - 1
+        bands = fp.selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(0, 3), b -> struct(b as band_id,"
+            f" (shiftright(simhash, b * {w}) & {mask}L) as bits))) as bk",
+        ).select("doc_id", "bk.band_id", "bk.bits")
+        a, b = bands.alias("a"), bands.alias("b")
+        return a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bits") == F.col("b.bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).count()
+
+    assert n_candidates(64, "xxhash64") <= n_candidates(32, "md5")
+
+
+def test_simhash_md5_width_cap():
+    import pytest as _pytest
+
+    from scalablevectorsearch_spark.pipeline.dedup import simhash
+
+    with _pytest.raises(ValueError, match="xxhash64"):
+        simhash(None, n_bits=64, hash_fn="md5")
+    with _pytest.raises(ValueError, match="> 64"):
+        simhash(None, n_bits=80, hash_fn="xxhash64")
+
+
 def test_lsh_is_not_all_pairs(docs):
     """The candidate set must be far smaller than n*(n-1)/2."""
     sh = shingle_hashes(docs)

@@ -230,6 +230,48 @@ metrics["simhash_planted_recall"] = round(sh_pairs / n_sub_near, 4)
 print("simhash planted recall (50k subset):", metrics["simhash_planted_recall"], flush=True)
 assert metrics["simhash_planted_recall"] >= 0.95
 
+# ---- 64-bit simhash (xxhash64): the corpus-scale variant ----
+# planted recall on the same subset (8 bands / budget 7 — a one-token
+# edit flips ~2x the bits of the 32-bit case), then band-bucket
+# selectivity for BOTH widths on the same docs: the r5 verdict's ask is
+# that 64-bit buckets stay bounded where 8-bit bands saturate (~N/256).
+sh64_pairs = timed(
+    "simhash64_neardup_50k",
+    lambda: simhash_neardup(
+        sub.unionByName(sub_near), n_bits=64, n_bands=8, max_hamming=7,
+        max_bucket_size=2000, hash_fn="xxhash64",
+    )
+    .filter((F.col("doc_b") >= 2 * N) & (F.col("doc_a") == F.col("doc_b") - 2 * N))
+    .count(),
+)
+metrics["simhash64_planted_recall"] = round(sh64_pairs / n_sub_near, 4)
+print("simhash64 planted recall (50k subset):", metrics["simhash64_planted_recall"], flush=True)
+assert metrics["simhash64_planted_recall"] >= 0.95
+
+from scalablevectorsearch_spark.pipeline.dedup import simhash as _simhash
+
+
+def _bucket_stats(n_bits, n_bands, hash_fn):
+    fp = _simhash(sub, n_bits=n_bits, hash_fn=hash_fn)
+    w = n_bits // n_bands
+    mask = (1 << w) - 1
+    buckets = fp.selectExpr(
+        f"explode(transform(sequence(0, {n_bands - 1}), b -> struct(b as band_id,"
+        f" (shiftright(simhash, b * {w}) & {mask}L) as bits))) as bk"
+    ).groupBy("bk.band_id", "bk.bits").count()
+    r = buckets.agg(
+        F.mean("count").alias("mean"), F.max("count").alias("max")
+    ).collect()[0]
+    return round(float(r["mean"]), 2), int(r["max"])
+
+
+m32, x32 = timed("simhash_bucket_stats_32", lambda: _bucket_stats(32, 4, "md5"))
+m64, x64 = timed("simhash_bucket_stats_64", lambda: _bucket_stats(64, 8, "xxhash64"))
+metrics["simhash_bucket_mean_32"], metrics["simhash_bucket_max_32"] = m32, x32
+metrics["simhash_bucket_mean_64"], metrics["simhash_bucket_max_64"] = m64, x64
+print(f"simhash bucket mean/max: 32-bit {m32}/{x32}  64-bit {m64}/{x64}", flush=True)
+assert m64 <= m32, "64-bit bands must be at least as selective as 32-bit"
+
 # ---- exact n-gram Jaccard (winnowing-blocked) on the bounded subset ----
 # Char-level fingerprinting costs ~len(text) md5s per doc, so like the
 # SimHash join this runs on the 50k subset; the corpus-scale near-dup
