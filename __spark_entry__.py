@@ -2140,55 +2140,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
-        # --- new round-5 curation gates (never driver-sampled) ---
-        "stratified_sample": _stratified_sample_query,
-        "ngram_jaccard": _ngram_jaccard_query,
-        "duplicate_spans": _duplicate_spans_query,
-        "spans_removal": _spans_removal_query,
-        "decontaminate_exact": _decontaminate_exact_query,
-        "dedup_lines": _dedup_lines_query,
-        "repetition_stats": _repetition_stats_query,
-        "dataset_split": _dataset_split_query,
-        "pii_redact": _pii_redact_query,
-        "quality_filter": _quality_filter_query,
-        # --- round 3-4 gates never sampled by the driver (VERDICT r4
-        # task 1): LVQ/LeanVec storage kinds, streaming, iterator,
-        # facade, extension surface ---
-        "lvq_roundtrip": _lvq_roundtrip_query,
-        "lvq_knn_l2": _lvq_knn_query("l2"),
-        "lvq_knn_cosine": _lvq_knn_query("cosine"),
-        "lvq4x8_knn": _lvq4x8_knn_query,
-        "lvq_vamana_knn": _lvq_vamana_knn_query,
-        "leanvec_knn": _leanvec_knn_query,
-        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
-        "leanvec_recall": _leanvec_recall_query,
-        "batch_iterator_pages": _batch_iterator_query,
-        "batch_iterator_linear": _batch_iterator_linear_query,
-        "ivf_knn_reordered": _ivf_reorder_query,
-        "streaming_knn": _streaming_knn_query,
-        "streaming_dedup": _streaming_dedup_query,
-        "streaming_window_agg": _streaming_window_query,
-        "streaming_upsert_log": _streaming_upsert_query,
-        "sq_knn_cosine": _sq_knn_cosine_query,
-        "mixed_precision_knn": _mixed_precision_query,
-        "testdata_generator": _testdata_generator_query,
-        "search_cancel": _cancel_query,
-        "custom_distance_knn": _custom_distance_query,
-        "schema_validation": _schema_validation_query,
-        "graph_loader": _graph_loader_query,
-        "query_norm_fix": _query_norm_fix_query,
-        "alpha_prune_invariants": _alpha_prune_query,
-        "api_facade_knn": _api_facade_query,
-        # --- new round-5 gates ---
-        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
-        "inverted_routed_knn": _inverted_routed_knn_query,
-        "batch_iterator_ivf": _batch_iterator_ivf_query,
-        "dynamic_multivector_knn": _dynamic_multivector_query,
-        "decontaminate": _decontaminate_query,
-        "simhash_neardup": _simhash_neardup_query,
-        "token_vocabulary": _token_vocabulary_query,
-        "pack_sequences": _pack_sequences_query,
-        # --- round-1/2 gates, driver-green since CORRECTNESS_r04 ---
+        # Registry ORDER contract (see comment above): the driver samples
+        # the FIRST ~50 entries. Round-6 rotation: the new r6 gate plus the
+        # 43 r4-vintage gates (last driver-sampled in CORRECTNESS_r04) lead;
+        # the gates driver-greened in CORRECTNESS_r05 trail.
+        # --- new round-6 gates ---
+        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
+        # --- r4-vintage gates (driver-green in CORRECTNESS_r04) ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
         "flat_knn_cosine": _knn_query("cosine"),
@@ -2218,7 +2176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vamana_recall": _vamana_recall_query,
         "vamana_routed_recall": _vamana_routed_recall_query,
         "vamana_router_recall": _vamana_router_recall_query,
-        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
         "vamana_closure_recall": _vamana_closure_recall_query,
         "calibrate_window": _calibrate_query,
         "graph_degree_stats": _graph_degree_stats_query,
@@ -2240,6 +2197,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats_query,
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
+        # --- gates driver-greened in CORRECTNESS_r05 ---
+        "stratified_sample": _stratified_sample_query,
+        "ngram_jaccard": _ngram_jaccard_query,
+        "duplicate_spans": _duplicate_spans_query,
+        "spans_removal": _spans_removal_query,
+        "decontaminate_exact": _decontaminate_exact_query,
+        "dedup_lines": _dedup_lines_query,
+        "repetition_stats": _repetition_stats_query,
+        "dataset_split": _dataset_split_query,
+        "pii_redact": _pii_redact_query,
+        "quality_filter": _quality_filter_query,
+        "lvq_roundtrip": _lvq_roundtrip_query,
+        "lvq_knn_l2": _lvq_knn_query("l2"),
+        "lvq_knn_cosine": _lvq_knn_query("cosine"),
+        "lvq4x8_knn": _lvq4x8_knn_query,
+        "lvq_vamana_knn": _lvq_vamana_knn_query,
+        "leanvec_knn": _leanvec_knn_query,
+        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
+        "leanvec_recall": _leanvec_recall_query,
+        "batch_iterator_pages": _batch_iterator_query,
+        "batch_iterator_linear": _batch_iterator_linear_query,
+        "ivf_knn_reordered": _ivf_reorder_query,
+        "streaming_knn": _streaming_knn_query,
+        "streaming_dedup": _streaming_dedup_query,
+        "streaming_window_agg": _streaming_window_query,
+        "streaming_upsert_log": _streaming_upsert_query,
+        "sq_knn_cosine": _sq_knn_cosine_query,
+        "mixed_precision_knn": _mixed_precision_query,
+        "testdata_generator": _testdata_generator_query,
+        "search_cancel": _cancel_query,
+        "custom_distance_knn": _custom_distance_query,
+        "schema_validation": _schema_validation_query,
+        "graph_loader": _graph_loader_query,
+        "query_norm_fix": _query_norm_fix_query,
+        "alpha_prune_invariants": _alpha_prune_query,
+        "api_facade_knn": _api_facade_query,
+        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
+        "inverted_routed_knn": _inverted_routed_knn_query,
+        "batch_iterator_ivf": _batch_iterator_ivf_query,
+        "dynamic_multivector_knn": _dynamic_multivector_query,
+        "decontaminate": _decontaminate_query,
+        "simhash_neardup": _simhash_neardup_query,
+        "token_vocabulary": _token_vocabulary_query,
+        "pack_sequences": _pack_sequences_query,
     }
 
 

@@ -317,10 +317,53 @@ def run_suite(spark, base, docs, queries, n) -> dict[str, float]:
             text_stats(docs), repetition_stats(docs, n=2), lang_id(docs)
         ).join(dataset_split(docs).select("doc_id", "split"), "doc_id").count()
 
+    def _pipeline_composite():
+        # the end-to-end curated-corpus path (VERDICT r5 #8): quality
+        # filter -> exact+near dedup -> cross-corpus decontamination ->
+        # sequence packing, each stage consuming the previous stage's
+        # survivors — catches regressions in operator COMPOSITION
+        # (join shapes between stages), not just single ops
+        from pyspark.sql import functions as F
+
+        from scalablevectorsearch_spark.pipeline.curate import (
+            quality_filter,
+            repetition_stats,
+        )
+        from scalablevectorsearch_spark.pipeline.dedup import (
+            decontaminate,
+            dedup_exact,
+            dedup_minhash,
+        )
+        from scalablevectorsearch_spark.pipeline.pack import pack_sequences
+        from scalablevectorsearch_spark.pipeline.text import lang_id, text_stats
+
+        decisions = quality_filter(
+            text_stats(docs), repetition_stats(docs, n=2), lang_id(docs)
+        )
+        kept = docs.join(decisions.filter("keep").select("doc_id"), "doc_id")
+        kept = kept.join(
+            dedup_exact(kept).filter("is_dup").select("doc_id"),
+            "doc_id", "left_anti",
+        )
+        near = dedup_minhash(kept, n_shingle=3, n_perm=16, n_bands=4,
+                             threshold=0.5).select(F.col("doc_b").alias("doc_id"))
+        kept = kept.join(near.distinct(), "doc_id", "left_anti")
+        probes = docs.filter(F.col("doc_id") % 29 == 0).select(
+            (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+        )
+        contaminated = decontaminate(
+            kept, probes, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5
+        ).select("doc_id")
+        kept = kept.join(contaminated.distinct(), "doc_id", "left_anti")
+        pack_sequences(kept, token_budget=4096).agg(
+            F.max("bin_id"), F.sum("n_tokens")
+        ).collect()
+
     timed("text_stats", _text_stats)
     timed("dedup_minhash", _dedup)
     timed("decontaminate", _decon)
     timed("quality_filter_split", _curate)
+    timed("pipeline_composite", _pipeline_composite)
     timed("embedding_neardup_clustered", _neardup)
 
     # drop this rep's cached build artifacts so reps don't accumulate
