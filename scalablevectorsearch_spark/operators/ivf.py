@@ -89,6 +89,7 @@ def probe_clusters_epsilon(
     epsilon_bp: int,
     max_probes: int | None = None,
     distance: str = "l2",
+    min_probes: int | None = None,
 ) -> list[np.ndarray]:
     """Two-level Inverted cluster selection (memory_based.h:407-460,
     :508 refinement_epsilon_): probe every cluster whose e4 centroid
@@ -101,6 +102,18 @@ def probe_clusters_epsilon(
     similarity keys): a pure multiplicative cutoff would shrink BELOW
     the best key there and probe nothing. The argmin cluster always
     satisfies the cutoff (slack >= 0).
+
+    ``min_probes`` is the per-query probe FLOOR: when the cutoff
+    selects fewer clusters, the selection is extended to the
+    min_probes nearest by (key, cluster_id) — the same deterministic
+    lexsort order the ``max_probes`` cap uses. Rationale (measured,
+    tools/probe_alloc_exp.py): a budget-fitted global epsilon yields a
+    long-tailed per-query probe distribution; recall is concave in
+    probes, so the under-probing tail costs more recall than the
+    over-probing tail buys. Clamping to [~3/4 budget, 2x budget]
+    matches fixed-fan-out coverage on uniform (signal-free) data and
+    beats BOTH fixed and unclamped epsilon on mixed-difficulty
+    clustered data.
     Returns one variable-length cluster-id array per query."""
     D = pairwise_distances(Q, centroids, distance)
     key = np.floor(D * 1e4 + 0.5).astype(np.int64)
@@ -114,6 +127,10 @@ def probe_clusters_epsilon(
         if max_probes is not None and len(sel) > max_probes:
             order = np.lexsort((sel, key[qi, sel]))[:max_probes]
             sel = sel[order]
+        if min_probes is not None and len(sel) < min_probes:
+            m = min(min_probes, key.shape[1])
+            allc = np.arange(key.shape[1])
+            sel = allc[np.lexsort((allc, key[qi]))[:m]]
         out.append(sel.astype(np.int32))
     return out
 
@@ -126,6 +143,7 @@ def probe_clusters_epsilon_routed(
     n_candidates: int | None = None,
     max_probes: int | None = None,
     distance: str = "l2",
+    min_probes: int | None = None,
 ) -> list[np.ndarray]:
     """Two-level probe selection, composed exactly as the reference's
     Inverted index does it (memory_based.h:577-586 route through the
@@ -160,6 +178,12 @@ def probe_clusters_epsilon_routed(
         if max_probes is not None and len(sel) > max_probes:
             order = np.lexsort((sel, skey))[:max_probes]
             sel = sel[order]
+        if min_probes is not None and len(sel) < min_probes:
+            # probe floor among the ROUTED candidates (the router's
+            # proposal set bounds what the floor can reach — same
+            # contract as the cutoff itself)
+            m = min(min_probes, len(cids))
+            sel = cids[np.lexsort((cids, key))[:m]]
         out.append(sel.astype(np.int32))
     return out
 
@@ -169,6 +193,8 @@ def fit_epsilon_bp(
     centroids: np.ndarray,
     target_mean_probes: float,
     distance: str = "l2",
+    min_probes: int | None = None,
+    max_probes: int | None = None,
 ) -> int:
     """Choose ``epsilon_bp`` so that epsilon-cutoff probing
     (:func:`probe_clusters_epsilon`) probes ~``target_mean_probes``
@@ -183,17 +209,25 @@ def fit_epsilon_bp(
 
     Driver-side over a query SAMPLE (same contract as the reference's
     numpy query batches). Binary-searches integer basis points so the
-    chosen value is exactly reproducible."""
+    chosen value is exactly reproducible.
+
+    When the probe selection will be clamped (``min_probes`` /
+    ``max_probes`` on :func:`probe_clusters_epsilon`), pass the SAME
+    clamps here so the fitted mean accounts for them — otherwise the
+    floor inflates the realized mean above the budget."""
     D = pairwise_distances(Q, centroids, distance)
     key = np.floor(D * 1e4 + 0.5).astype(np.int64)
     if is_similarity(distance):
         key = -key
     best = key.min(axis=1, keepdims=True)
     # mean probes for a given bp = mean count of key*1e4 <= best*1e4+|best|*bp
+    lo_c = min_probes if min_probes is not None else 0
+    hi_c = max_probes if max_probes is not None else key.shape[1]
     lo, hi = 0, 10_000_000
     while lo < hi:
         mid = (lo + hi) // 2
-        cnt = (key * 10000 <= best * 10000 + np.abs(best) * mid).sum(axis=1).mean()
+        raw = (key * 10000 <= best * 10000 + np.abs(best) * mid).sum(axis=1)
+        cnt = np.clip(raw, lo_c, hi_c).mean()
         if cnt < target_mean_probes:
             lo = mid + 1
         else:

@@ -35,6 +35,7 @@ pointer-chasing port):
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import numpy as np
@@ -360,8 +361,14 @@ def vamana_search(
     (fit_epsilon_bp) so the mean probes/query is ~probe_budget; the
     right default when the data distribution isn't known in advance
     (a hand-picked epsilon that is safe on clustered data degrades to
-    full fan-out on uniform data and vice versa). Mutually exclusive
-    with ``n_probes`` and ``epsilon_bp``.
+    full fan-out on uniform data and vice versa). The per-query probe
+    count is clamped to [ceil(3/4·budget), 2·budget] (fit accounts for
+    the clamp): recall is concave in probes, so the unclamped fit's
+    under-probing tail loses more recall than its over-probing tail
+    gains — measured in tools/probe_alloc_exp.py, where the clamped
+    fit matches fixed fan-out on uniform data and beats both fixed and
+    unclamped epsilon on mixed-difficulty clustered data. Mutually
+    exclusive with ``n_probes`` and ``epsilon_bp``.
     DEFAULT ROUTING: when ``router`` is given with none of n_probes/
     epsilon_bp/probe_budget, the search uses probe_budget = n_shards/2
     — the epsilon-cutoff default of the reference's two-level Inverted
@@ -462,14 +469,29 @@ def _vamana_search_block(
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     probe_of = None
+    min_probes = None
     if probe_budget is not None:
         # budget-invariant adaptive probing: fit the epsilon cutoff on
         # THIS block's query geometry (fit_epsilon_bp binary-searches
-        # integer basis points — deterministic given the block)
+        # integer basis points — deterministic given the block).
+        # The per-query probe count is CLAMPED to [ceil(3/4 budget),
+        # 2x budget] and the fit accounts for the clamp: an unclamped
+        # budget-fitted epsilon has a long-tailed probe distribution
+        # whose under-probing tail costs more recall than the
+        # over-probing tail buys (recall is concave in probes) — on
+        # signal-free uniform data it measurably UNDERPERFORMS a fixed
+        # fan-out at equal mean probes, while the clamped fit matches
+        # fixed there and beats both fixed and unclamped on
+        # mixed-difficulty clustered data (tools/probe_alloc_exp.py).
         from scalablevectorsearch_spark.operators.ivf import fit_epsilon_bp
 
+        n_sh = index.shard_model.centroids.shape[0]
+        min_probes = min(n_sh, max(1, int(math.ceil(0.75 * probe_budget))))
+        cap = min(n_sh, max(min_probes, int(math.ceil(2.0 * probe_budget))))
+        max_probes = cap if max_probes is None else min(max_probes, cap)
         epsilon_bp = fit_epsilon_bp(
-            Q, index.shard_model.centroids, float(probe_budget), distance
+            Q, index.shard_model.centroids, float(probe_budget), distance,
+            min_probes=min_probes, max_probes=max_probes,
         )
     if epsilon_bp is not None:
         if index.shard_model is None:
@@ -487,13 +509,14 @@ def _vamana_search_block(
             sel = probe_clusters_epsilon_routed(
                 Q, index.shard_model.centroids, router, epsilon_bp,
                 max_probes=max_probes, distance=distance,
+                min_probes=min_probes,
             )
         else:
             from scalablevectorsearch_spark.operators.ivf import probe_clusters_epsilon
 
             sel = probe_clusters_epsilon(
                 Q, index.shard_model.centroids, epsilon_bp, max_probes=max_probes,
-                distance=distance,
+                distance=distance, min_probes=min_probes,
             )
         acc: dict[int, list[int]] = {}
         for qi, cids in enumerate(sel):
