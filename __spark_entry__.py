@@ -665,6 +665,25 @@ def _vamana_routed_default_recall_query(spark: SparkSession, sf_dir: str) -> Dat
     return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
 
 
+def _ivf_budget_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ivf_search(probe_budget=...): budget-invariant adaptive probing
+    with the r6 clamped fit (per-query probes in [ceil(3/4·budget),
+    2·budget]; fit_epsilon_bp accounts for the clamp — see
+    operators/ivf.py probe_clusters_epsilon for the measured
+    rationale). Hash-gated floor verdict at a constrained budget so the
+    clamp actually binds (budget 3 of 8 clusters -> floor 3, cap 6)."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = ivf_build(base, n_clusters=4, n_iters=2)
+    res = ivf_search(index, q, k=K, probe_budget=3.0).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
+
+
 CALIBRATE_TARGET_E4 = 9000
 CALIBRATE_MAX_WINDOW = 64
 
@@ -2146,6 +2165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gates driver-greened in CORRECTNESS_r05 trail.
         # --- new round-6 gates ---
         "vamana_routed_default_recall": _vamana_routed_default_recall_query,
+        "ivf_budget_recall": _ivf_budget_recall_query,
         # --- r4-vintage gates (driver-green in CORRECTNESS_r04) ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_ip": _knn_query("ip"),
@@ -2313,6 +2333,9 @@ def oracle_sql() -> dict[str, str]:
             ROUTED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "vamana_routed_default_recall": oracles.recall_verdict_sql(
+            ROUTED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "ivf_budget_recall": oracles.recall_verdict_sql(
             ROUTED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "vamana_closure_recall": oracles.recall_verdict_sql(

@@ -368,6 +368,7 @@ def ivf_search(
     round_to: int | None = 4,
     epsilon_bp: int | None = None,
     max_probes: int | None = None,
+    probe_budget: float | None = None,
     k_reorder: int | None = None,
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
@@ -382,7 +383,13 @@ def ivf_search(
     Cluster selection: fixed ``n_probes`` nearest centroids (IVF,
     common.h:151-166) or, when ``epsilon_bp`` is set, every cluster
     within (1 + epsilon) of the best centroid distance (the two-level
-    Inverted index's cutoff rule, memory_based.h:407-460). Passing a
+    Inverted index's cutoff rule, memory_based.h:407-460).
+    ``probe_budget`` fits ``epsilon_bp`` per query block so the mean
+    probes/query is ~budget, with per-query counts clamped to
+    [ceil(3/4·budget), 2·budget] (same contract as
+    vamana_search(probe_budget=...); see probe_clusters_epsilon for
+    the clamp rationale). Mutually exclusive with explicit
+    ``n_probes``/``epsilon_bp``. Passing a
     ``router`` (operators.router.CentroidRouter over this index's
     centroids) replaces the exact O(C·d)-per-query centroid argmin with
     a sublinear graph traversal — the two-level Inverted "primary
@@ -407,6 +414,11 @@ def ivf_search(
     iterate hash-partitioned blocks, one probe+scan pass per block,
     each block's result materialized before the next is fetched (see
     flat_knn); incompatible with ``k_reorder``."""
+    if probe_budget is not None:
+        if epsilon_bp is not None:
+            raise ValueError("probe_budget is mutually exclusive with epsilon_bp")
+        if probe_budget < 1:
+            raise ValueError("probe_budget must be >= 1")
     qvec_col = qvec_col or index.vec_col
     if max_query_block is None:
         qp = queries.select(
@@ -427,7 +439,7 @@ def ivf_search(
         part, bc = _ivf_search_block(
             index, qp, k, n_probes, distance, round_to, epsilon_bp,
             max_probes, k_reorder, where, router, deadline,
-            router_candidates=router_candidates,
+            router_candidates=router_candidates, probe_budget=probe_budget,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -474,6 +486,7 @@ def _ivf_search_block(
     router,
     deadline: float | None = None,
     router_candidates: int | None = None,
+    probe_budget: float | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's probe + member scan + merge; returns the
     ranked candidates (inner_k deep when re-ranking) and the block's
@@ -481,6 +494,20 @@ def _ivf_search_block(
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
 
+    min_probes: int | None = None
+    if probe_budget is not None:
+        # budget-invariant adaptive probing with the clamped fit (same
+        # contract and rationale as vamana_search's probe_budget path)
+        import math as _math
+
+        n_cl = index.model.centroids.shape[0]
+        min_probes = min(n_cl, max(1, int(_math.ceil(0.75 * probe_budget))))
+        cap = min(n_cl, max(min_probes, int(_math.ceil(2.0 * probe_budget))))
+        max_probes = cap if max_probes is None else min(max_probes, cap)
+        epsilon_bp = fit_epsilon_bp(
+            Q, index.model.centroids, float(probe_budget), distance,
+            min_probes=min_probes, max_probes=max_probes,
+        )
     probe_of: dict[int, np.ndarray] = {}
     if epsilon_bp is not None:
         # epsilon probing is uncapped by default ("every cluster within
@@ -493,11 +520,12 @@ def _ivf_search_block(
             sel = probe_clusters_epsilon_routed(
                 Q, index.model.centroids, router, epsilon_bp,
                 n_candidates=router_candidates, max_probes=max_probes,
-                distance=distance,
+                distance=distance, min_probes=min_probes,
             )
         else:
             sel = probe_clusters_epsilon(
                 Q, index.model.centroids, epsilon_bp, max_probes=max_probes,
+                min_probes=min_probes,
                 distance=distance,
             )
         for qi, cids in enumerate(sel):

@@ -73,3 +73,38 @@ def test_routed_min_probes_bounded_by_candidates():
     )
     for s in sel:
         assert 6 <= len(s) <= 8
+
+
+def test_ivf_probe_budget_full_fanout_matches_flat(spark, embeddings):
+    """ivf_search(probe_budget=n_clusters) must degrade to the exact
+    flat result (the fitted epsilon expands until every cluster is
+    probed) — the same full-fan-out contract vamana_search pins."""
+    from pyspark.sql import functions as F
+
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+    idx = ivf_build(base, n_clusters=8, n_iters=2)
+    exact = flat_knn(base, queries, k=5).select("qid", "rank", "neighbor_id")
+    budget = ivf_search(idx, queries, k=5, probe_budget=8.0).select(
+        "qid", "rank", "neighbor_id"
+    )
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, budget.collect()))
+
+
+def test_ivf_probe_budget_validation(spark, embeddings):
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter(F.col("id") < 5).selectExpr("id as qid", "vector")
+    idx = ivf_build(base, n_clusters=8, n_iters=2)
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        ivf_search(idx, queries, k=5, probe_budget=4.0, epsilon_bp=100)
+    with _pytest.raises(ValueError, match=">= 1"):
+        ivf_search(idx, queries, k=5, probe_budget=0.25)
