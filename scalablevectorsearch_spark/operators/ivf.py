@@ -504,6 +504,9 @@ def _ivf_search_block(
         min_probes = min(n_cl, max(1, int(_math.ceil(0.75 * probe_budget))))
         cap = min(n_cl, max(min_probes, int(_math.ceil(2.0 * probe_budget))))
         max_probes = cap if max_probes is None else min(max_probes, cap)
+        # an explicit user cap below the floor wins (the floor is a
+        # quality default, the cap is a hard cost bound)
+        min_probes = min(min_probes, max_probes)
         epsilon_bp = fit_epsilon_bp(
             Q, index.model.centroids, float(probe_budget), distance,
             min_probes=min_probes, max_probes=max_probes,

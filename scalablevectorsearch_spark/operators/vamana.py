@@ -489,6 +489,9 @@ def _vamana_search_block(
         min_probes = min(n_sh, max(1, int(math.ceil(0.75 * probe_budget))))
         cap = min(n_sh, max(min_probes, int(math.ceil(2.0 * probe_budget))))
         max_probes = cap if max_probes is None else min(max_probes, cap)
+        # an explicit user cap below the floor wins (the floor is a
+        # quality default, the cap is a hard cost bound)
+        min_probes = min(min_probes, max_probes)
         epsilon_bp = fit_epsilon_bp(
             Q, index.shard_model.centroids, float(probe_budget), distance,
             min_probes=min_probes, max_probes=max_probes,

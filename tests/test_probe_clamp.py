@@ -108,3 +108,19 @@ def test_ivf_probe_budget_validation(spark, embeddings):
         ivf_search(idx, queries, k=5, probe_budget=4.0, epsilon_bp=100)
     with _pytest.raises(ValueError, match=">= 1"):
         ivf_search(idx, queries, k=5, probe_budget=0.25)
+
+
+def test_user_max_probes_below_floor_wins(spark, embeddings):
+    """An explicit max_probes below the clamp floor is a hard cost
+    bound: the floor must yield to it, never extend past it."""
+    from pyspark.sql import functions as F
+
+    from scalablevectorsearch_spark.operators.ivf import ivf_build, ivf_search
+
+    base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+    queries = base.filter(F.col("id") < 10).selectExpr("id as qid", "vector")
+    idx = ivf_build(base, n_clusters=8, n_iters=2)
+    capped = ivf_search(idx, queries, k=5, probe_budget=6.0, max_probes=1)
+    # probing exactly 1 cluster per query == fixed n_probes=1
+    fixed = ivf_search(idx, queries, k=5, n_probes=1)
+    assert sorted(map(tuple, capped.collect())) == sorted(map(tuple, fixed.collect()))
