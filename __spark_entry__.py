@@ -2168,8 +2168,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_budget_recall": _ivf_budget_recall_query,
         # --- r4-vintage gates (driver-green in CORRECTNESS_r04) ---
         "flat_knn_l2": _knn_query("l2"),
-        "flat_knn_ip": _knn_query("ip"),
-        "flat_knn_cosine": _knn_query("cosine"),
         "flat_knn_filtered": _knn_query("l2", where="label = 3"),
         "multivector_knn": _multivector_query,
         "multivector_graph_knn": _multivector_graph_query,
@@ -2217,6 +2215,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats_query,
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
+        # flat ip/cosine sit just past the ~50-entry driver sample
+        # window this round (52 freshness candidates, 50 slots): they
+        # share flat_knn_l2's code path modulo the distance kernel,
+        # and ip-vs-l2 semantics are pinned in-window by
+        # knn_recall_ip_vs_l2; rotate them back to the front in r7
+        "flat_knn_ip": _knn_query("ip"),
+        "flat_knn_cosine": _knn_query("cosine"),
         # --- gates driver-greened in CORRECTNESS_r05 ---
         "stratified_sample": _stratified_sample_query,
         "ngram_jaccard": _ngram_jaccard_query,
