@@ -666,11 +666,16 @@ def dedup_components(
     without an A~C pair). Only documents appearing in a pair are
     returned; singletons are trivially their own canonical.
 
-    Shape: iterative min-label propagation — per round one join of the
-    (tiny, relative to the corpus) edge table against the labels and a
-    min-aggregate, cached per round, stopping at fixpoint. Dup clusters
-    have small diameter, so rounds ~ a handful; the corpus itself is
-    never touched."""
+    Shape: iterative min-label propagation with POINTER JUMPING — per
+    round one join of the (tiny, relative to the corpus) edge table
+    against the labels, a min-aggregate, and a label <- label(label)
+    shortcut join, cached per round, stopping at fixpoint. The shortcut
+    halves the remaining label-chain depth each round, so convergence
+    is O(log diameter) rounds instead of O(diameter) — a 10M-doc corpus
+    whose natural near-dup chains stretch to diameter ~50+ still
+    converges in a handful of rounds. Raises if ``max_iter`` rounds do
+    not reach the fixpoint: un-converged labels are silently WRONG
+    canonicals, never an acceptable return value."""
     e = pairs.select(
         F.col(id_a).cast("long").alias("s"), F.col(id_b).cast("long").alias("d")
     )
@@ -685,15 +690,36 @@ def dedup_components(
         .cache()
     )
     labels.count()
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(
             labels.withColumnRenamed("node", "d"), "d"
         ).select(F.col("s").alias("node"), "label")
-        new = (
+        # localCheckpoint TRUNCATES lineage: the self-join below reads
+        # mins twice, so without the cut each round's logical plan
+        # would embed two copies of the previous round's plan —
+        # exponential plan growth that stalls Catalyst analysis long
+        # before any data is touched
+        mins = (
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .cache()
+            .localCheckpoint()
+        )
+        # pointer jump: follow one hop of the label chain (labels are
+        # node ids, so label(label) exists whenever the label node
+        # carries a smaller name already) — halves chain depth/round
+        new = (
+            mins.alias("a")
+            .join(
+                mins.select(
+                    F.col("node").alias("label"), F.col("label").alias("label2")
+                ).alias("b"),
+                "label",
+                "left",
+            )
+            .select("node", F.least("label", F.coalesce("label2", "label")).alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new.alias("n")
@@ -705,7 +731,13 @@ def dedup_components(
         labels.unpersist()
         labels = new
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_components did not converge in {max_iter} rounds — "
+            "raise max_iter (component diameter exceeds 2^rounds)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("canonical_id")
     )

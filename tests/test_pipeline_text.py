@@ -305,6 +305,35 @@ def test_dedup_components_transitive_chain(spark):
     assert got == {1: 1, 5: 1, 9: 1, 12: 1, 20: 20, 21: 20}
 
 
+def test_dedup_components_long_chain_log_rounds(spark):
+    """Pointer jumping converges in O(log diameter) rounds: a 96-node
+    path graph (diameter 95) must collapse within 10 rounds, where pure
+    min-propagation would need ~95."""
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_components
+
+    n = 96
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = dedup_components(pairs, max_iter=10).collect()
+    assert len(got) == n
+    assert all(r["canonical_id"] == 0 for r in got)
+
+
+def test_dedup_components_raises_on_nonconvergence(spark):
+    """Un-converged labels are wrong canonicals — never a silent
+    return value."""
+    import pytest as _pytest
+
+    from scalablevectorsearch_spark.pipeline.dedup import dedup_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup_components(pairs, max_iter=1)
+
+
 def test_normalize_text_strips_boilerplate(spark):
     from scalablevectorsearch_spark.pipeline.dedup import dedup_exact  # noqa: F401
     from scalablevectorsearch_spark.pipeline.text import normalize_text

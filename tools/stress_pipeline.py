@@ -189,7 +189,14 @@ n_members = comp.filter(F.col("doc_id") >= 2 * N).count()
 metrics["components_bad_canonicals"] = int(bad)
 metrics["components_chain_members"] = int(n_members)
 print(f"components: {n_members} chain members, {bad} bad canonicals", flush=True)
-assert bad == 0 and n_members >= 2 * n_near * 0.99
+# a "bad canonical" here is a {near, chain2} cluster whose near->
+# original MinHash edge was a BANDING miss (16 perms / 4 bands at
+# shingle-jaccard ~0.97-0.99 has per-pair miss probability ~1e-4 —
+# the planted-recall print above rounds to 4 decimals, so single-digit
+# misses at 10M docs show up HERE first). dedup_components itself
+# raises on non-convergence, so component bugs cannot hide in this
+# tolerance: allow banding misses at 5e-4, assert the 99.95% floor.
+assert bad <= max(1, round(2 * n_near * 5e-4)) and n_members >= 2 * n_near * 0.99
 chain_pairs.unpersist()
 comp.unpersist()
 
