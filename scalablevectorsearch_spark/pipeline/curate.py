@@ -38,13 +38,31 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
 ]
 
 
-def word_ngrams(text_col: str, n: int) -> F.Column:
-    """Array of space-joined word ``n``-grams of ``text_col`` (empty
-    when the document has fewer than ``n`` tokens — guarded, because
-    ``sequence(0, negative)`` would DESCEND, not return empty)."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+def word_ngrams_over(toks: F.Column, n: int) -> F.Column:
+    """Array of space-joined word ``n``-grams over an ALREADY-PROJECTED
+    token array column (empty when the document has fewer than ``n``
+    tokens — guarded, because ``sequence(0, negative)`` would DESCEND,
+    not return empty).
+
+    ``toks`` must be a bound attribute (a real column from a prior
+    select), NOT an inline ``split(...)`` expression: a lambda that
+    captures a non-attribute subexpression RE-EVALUATES it per element
+    — per-gram re-tokenization turned the 2-gram build into ~100
+    splits/doc, measured 11x slower end-to-end at 1M docs
+    (tools/profile_repetition.py). Grams are built with an unrolled
+    ``concat(element_at(i), ' ', ..., element_at(i+n-1))`` — O(1) array
+    lookups per gram — instead of ``array_join(slice(...))``, which
+    materializes a throwaway sub-array per gram (measured 6x slower)."""
     idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+
+    def gram(i: F.Column) -> F.Column:
+        parts: list[F.Column] = [F.element_at(toks, i)]
+        for j in range(1, n):
+            parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
+    grams = F.transform(idx, gram)
     return F.when(F.size(toks) >= n, grams).otherwise(
         F.array().cast("array<string>")
     )
@@ -94,12 +112,22 @@ def repetition_stats(
             ).alias("dup"),
         )
 
+    # n_ngrams comes from the TOKEN count (size(toks) - n + 1 when the
+    # doc has >= n tokens), not size(__ngrams): referencing __ngrams
+    # once keeps the gram array a single-use intermediate the optimizer
+    # can pipeline, instead of a twice-referenced value
     stage = df.select(
         F.col(id_col).alias("doc_id"),
-        word_ngrams(text_col, n).alias("__ngrams"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
     ).select(
         "doc_id",
-        F.size("__ngrams").cast("long").alias("n_ngrams"),
+        F.when(
+            F.size("__toks") >= n, (F.size("__toks") - (n - 1)).cast("long")
+        ).otherwise(F.lit(0).cast("long")).alias("n_ngrams"),
+        word_ngrams_over(F.col("__toks"), n).alias("__ngrams"),
+    ).select(
+        "doc_id",
+        "n_ngrams",
         F.aggregate(F.array_sort("__ngrams"), zero, step).alias("__acc"),
     )
     tot = F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
