@@ -667,11 +667,13 @@ def _vamana_routed_default_recall_query(spark: SparkSession, sf_dir: str) -> Dat
 
 def _ivf_budget_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ivf_search(probe_budget=...): budget-invariant adaptive probing
-    with the r6 clamped fit (per-query probes in [ceil(3/4·budget),
+    with the clamped fit (per-query probes in [~3/4·budget,
     2·budget]; fit_epsilon_bp accounts for the clamp — see
     operators/ivf.py probe_clusters_epsilon for the measured
     rationale). Hash-gated floor verdict at a constrained budget so the
-    clamp actually binds (budget 3 of 8 clusters -> floor 3, cap 6)."""
+    clamp actually binds (budget 3 of 4 clusters -> floor 2, cap 4;
+    the floor stays strictly below the budget — budget_probe_clamp —
+    so the fitted cutoff keeps room to adapt)."""
     base = _base(spark, sf_dir).select("id", "vector")
     q = _queries_df(spark, sf_dir)
     gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")

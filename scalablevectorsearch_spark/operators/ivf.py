@@ -188,6 +188,36 @@ def probe_clusters_epsilon_routed(
     return out
 
 
+def budget_probe_clamp(
+    probe_budget: float, n_cells: int, max_probes: int | None = None
+) -> tuple[int, int]:
+    """Per-query probe clamp ``[floor, cap]`` for budget-invariant
+    adaptive probing (``probe_budget`` on :func:`ivf_search` /
+    ``vamana_search``): floor ~ 3/4 of the budget, cap 2x the budget,
+    both bounded by the cell count and an explicit user ``max_probes``
+    (a user cap below the floor wins — the floor is a quality default,
+    the cap is a hard cost bound).
+
+    The floor is kept STRICTLY below the budget (``int(0.75*B)``,
+    additionally capped at ``ceil(B) - 1``): if floor >= budget then
+    ``clip(raw, floor, cap).mean() >= budget`` already at bp=0, the
+    binary search in :func:`fit_epsilon_bp` returns bp=1, and
+    "adaptive" probing silently collapses to fixed floor probing.
+    ``ceil(0.75*B) == B`` exactly at the small budgets (2, 3) where
+    adaptivity matters most per probe. probe_budget=1 is the one
+    unavoidable degenerate point (probes >= 1 always); there the clamp
+    is [1, 2] and only the over-probing side adapts."""
+    import math as _math
+
+    floor = max(1, min(int(0.75 * probe_budget), _math.ceil(probe_budget) - 1))
+    floor = min(n_cells, floor)
+    cap = min(n_cells, max(floor, int(_math.ceil(2.0 * probe_budget))))
+    if max_probes is not None:
+        cap = min(max_probes, cap)
+    floor = min(floor, cap)
+    return floor, cap
+
+
 def fit_epsilon_bp(
     Q: np.ndarray,
     centroids: np.ndarray,
@@ -386,7 +416,7 @@ def ivf_search(
     Inverted index's cutoff rule, memory_based.h:407-460).
     ``probe_budget`` fits ``epsilon_bp`` per query block so the mean
     probes/query is ~budget, with per-query counts clamped to
-    [ceil(3/4·budget), 2·budget] (same contract as
+    [~3/4·budget (strictly < budget), 2·budget] (same contract as
     vamana_search(probe_budget=...); see probe_clusters_epsilon for
     the clamp rationale). Mutually exclusive with explicit
     ``n_probes``/``epsilon_bp``. Passing a
@@ -497,16 +527,11 @@ def _ivf_search_block(
     min_probes: int | None = None
     if probe_budget is not None:
         # budget-invariant adaptive probing with the clamped fit (same
-        # contract and rationale as vamana_search's probe_budget path)
-        import math as _math
-
+        # contract and rationale as vamana_search's probe_budget path);
+        # the floor stays strictly below the budget so small budgets
+        # don't degenerate to fixed probing (budget_probe_clamp)
         n_cl = index.model.centroids.shape[0]
-        min_probes = min(n_cl, max(1, int(_math.ceil(0.75 * probe_budget))))
-        cap = min(n_cl, max(min_probes, int(_math.ceil(2.0 * probe_budget))))
-        max_probes = cap if max_probes is None else min(max_probes, cap)
-        # an explicit user cap below the floor wins (the floor is a
-        # quality default, the cap is a hard cost bound)
-        min_probes = min(min_probes, max_probes)
+        min_probes, max_probes = budget_probe_clamp(probe_budget, n_cl, max_probes)
         epsilon_bp = fit_epsilon_bp(
             Q, index.model.centroids, float(probe_budget), distance,
             min_probes=min_probes, max_probes=max_probes,

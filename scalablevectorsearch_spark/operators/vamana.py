@@ -362,7 +362,8 @@ def vamana_search(
     right default when the data distribution isn't known in advance
     (a hand-picked epsilon that is safe on clustered data degrades to
     full fan-out on uniform data and vice versa). The per-query probe
-    count is clamped to [ceil(3/4·budget), 2·budget] (fit accounts for
+    count is clamped to [~3/4·budget (strictly < budget), 2·budget]
+    (fit accounts for
     the clamp): recall is concave in probes, so the unclamped fit's
     under-probing tail loses more recall than its over-probing tail
     gains — measured in tools/probe_alloc_exp.py, where the clamped
@@ -401,9 +402,17 @@ def vamana_search(
             raise ValueError("probe_budget routing requires a kmeans-sharded index")
         if probe_budget < 1:
             raise ValueError("probe_budget must be >= 1")
-    elif router is not None and n_probes is None and epsilon_bp is None:
+    elif (
+        router is not None
+        and n_probes is None
+        and epsilon_bp is None
+        and index.shard_model is not None
+    ):
         # routed default: adaptive epsilon probing at a half-fan-out
-        # budget (see docstring) instead of a fixed n_probes
+        # budget (see docstring) instead of a fixed n_probes. Only when
+        # the index is kmeans-sharded — budget probing needs shard
+        # centroids; on a hash-sharded index (shard_by="hash") a router
+        # keeps the pre-r6 behavior of full fan-out.
         probe_budget = max(1.0, index.n_shards / 2)
 
     if max_query_block is None:
@@ -474,7 +483,7 @@ def _vamana_search_block(
         # budget-invariant adaptive probing: fit the epsilon cutoff on
         # THIS block's query geometry (fit_epsilon_bp binary-searches
         # integer basis points — deterministic given the block).
-        # The per-query probe count is CLAMPED to [ceil(3/4 budget),
+        # The per-query probe count is CLAMPED to [~3/4 budget,
         # 2x budget] and the fit accounts for the clamp: an unclamped
         # budget-fitted epsilon has a long-tailed probe distribution
         # whose under-probing tail costs more recall than the
@@ -483,15 +492,15 @@ def _vamana_search_block(
         # fan-out at equal mean probes, while the clamped fit matches
         # fixed there and beats both fixed and unclamped on
         # mixed-difficulty clustered data (tools/probe_alloc_exp.py).
-        from scalablevectorsearch_spark.operators.ivf import fit_epsilon_bp
+        from scalablevectorsearch_spark.operators.ivf import (
+            budget_probe_clamp,
+            fit_epsilon_bp,
+        )
 
         n_sh = index.shard_model.centroids.shape[0]
-        min_probes = min(n_sh, max(1, int(math.ceil(0.75 * probe_budget))))
-        cap = min(n_sh, max(min_probes, int(math.ceil(2.0 * probe_budget))))
-        max_probes = cap if max_probes is None else min(max_probes, cap)
-        # an explicit user cap below the floor wins (the floor is a
-        # quality default, the cap is a hard cost bound)
-        min_probes = min(min_probes, max_probes)
+        # floor strictly below the budget so small budgets keep
+        # adaptivity (budget_probe_clamp docstring); user cap wins
+        min_probes, max_probes = budget_probe_clamp(probe_budget, n_sh, max_probes)
         epsilon_bp = fit_epsilon_bp(
             Q, index.shard_model.centroids, float(probe_budget), distance,
             min_probes=min_probes, max_probes=max_probes,

@@ -445,7 +445,11 @@ def duplicate_spans(
     # content sampling enumerates every position and filters on the
     # gram hash; positional sampling strides the position sequence.
     pos_stride = 1 if sample == "content" else stride
-    merge_gap = span_len if sample == "content" else stride
+    # the span_len merge gap exists only for content SUBSAMPLING (kept
+    # positions are irregular); at stride == 1 content mode keeps every
+    # position, so the gap rule must match positional mode or distinct
+    # duplicated runs separated by 2..span_len positions would merge
+    merge_gap = span_len if (sample == "content" and stride > 1) else stride
     grams = (
         df.filter(F.length(text_col) >= span_len)
         .select(
