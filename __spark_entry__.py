@@ -686,6 +686,69 @@ def _ivf_budget_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_verdict(matched.crossJoin(nq), ROUTED_RECALL_FLOOR_E4)
 
 
+CALIBRATED_RECALL_FLOOR_E4 = 9000
+
+
+def _routed_calibrated_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: recall-TARGETED probe-budget calibration
+    (operators/calibrate.py calibrate_probe_budget — the reference's
+    calibrate.h:249 binary search against groundtruth + target recall,
+    applied to the probe-cost axis). Replaces the hand-picked
+    n_shards/2 routed default with a budget fitted to hit 0.90 on this
+    data's geometry; the verdict asserts the CALIBRATED operating
+    point actually delivers the target (floor == target, exact because
+    calibration and verdict share the query set)."""
+    from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+    from scalablevectorsearch_spark.operators.router import build_centroid_router
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4)
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=4, shard_by="kmeans")
+    router = build_centroid_router(index.shard_model, distance="l2")
+    cal = calibrate_probe_budget(
+        lambda b: vamana_search(
+            index, q, k=K, search_window_size=VAMANA_SWS, router=router,
+            probe_budget=b, round_to=4,
+        ),
+        gt, k=K, target_recall=CALIBRATED_RECALL_FLOOR_E4 / 10000.0,
+        max_budget=float(index.n_shards),
+    )
+    res = vamana_search(
+        index, q, k=K, search_window_size=VAMANA_SWS, router=router,
+        probe_budget=cal.probe_budget, round_to=4,
+    ).select("qid", "neighbor_id")
+    matched = res.join(
+        gt.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi"
+    ).agg(F.count("*").alias("matched"))
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), CALIBRATED_RECALL_FLOOR_E4)
+
+
+def _ivf_target_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: ivf_search(target_recall=...) — the probe budget is fitted
+    INTERNALLY (calibrate_probe_budget against an exact flat-scan
+    groundtruth on a deterministic qid sample; here the sample covers
+    the gate's whole query set so the floor equals the target exactly).
+    The user asks for recall, not probes — fixed n_probes=8 is
+    reference parity (common.h:151-166) but its realized recall
+    silently tracks the data distribution."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = ivf_build(base, n_clusters=8, n_iters=2)
+    res = ivf_search(
+        index, q, k=K,
+        target_recall=CALIBRATED_RECALL_FLOOR_E4 / 10000.0,
+        calibration_queries=N_QUERIES,
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), CALIBRATED_RECALL_FLOOR_E4)
+
+
 CALIBRATE_TARGET_E4 = 9000
 CALIBRATE_MAX_WINDOW = 64
 
@@ -2161,14 +2224,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
-        # Registry ORDER contract (see comment above): the driver samples
-        # the FIRST ~50 entries. Round-6 rotation: the new r6 gate plus the
-        # 43 r4-vintage gates (last driver-sampled in CORRECTNESS_r04) lead;
-        # the gates driver-greened in CORRECTNESS_r05 trail.
-        # --- new round-6 gates ---
+        # Round-7 rotation: the new r7 gates plus the 45 gates last
+        # driver-sampled in CORRECTNESS_r05 lead (r6 touched gram_expr,
+        # which feeds repetition_stats / dedup_minhash /
+        # decontaminate_exact, after their last driver sample); the 50
+        # gates driver-greened in CORRECTNESS_r06 trail.
+        # --- new round-7 gates ---
+        "routed_calibrated_recall": _routed_calibrated_recall_query,
+        "ivf_target_recall": _ivf_target_recall_query,
+        # --- r5-vintage gates (driver-green in CORRECTNESS_r05) ---
+        "flat_knn_ip": _knn_query("ip"),
+        "flat_knn_cosine": _knn_query("cosine"),
+        "stratified_sample": _stratified_sample_query,
+        "ngram_jaccard": _ngram_jaccard_query,
+        "duplicate_spans": _duplicate_spans_query,
+        "spans_removal": _spans_removal_query,
+        "decontaminate_exact": _decontaminate_exact_query,
+        "dedup_lines": _dedup_lines_query,
+        "repetition_stats": _repetition_stats_query,
+        "dataset_split": _dataset_split_query,
+        "pii_redact": _pii_redact_query,
+        "quality_filter": _quality_filter_query,
+        "lvq_roundtrip": _lvq_roundtrip_query,
+        "lvq_knn_l2": _lvq_knn_query("l2"),
+        "lvq_knn_cosine": _lvq_knn_query("cosine"),
+        "lvq4x8_knn": _lvq4x8_knn_query,
+        "lvq_vamana_knn": _lvq_vamana_knn_query,
+        "leanvec_knn": _leanvec_knn_query,
+        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
+        "leanvec_recall": _leanvec_recall_query,
+        "batch_iterator_pages": _batch_iterator_query,
+        "batch_iterator_linear": _batch_iterator_linear_query,
+        "ivf_knn_reordered": _ivf_reorder_query,
+        "streaming_knn": _streaming_knn_query,
+        "streaming_dedup": _streaming_dedup_query,
+        "streaming_window_agg": _streaming_window_query,
+        "streaming_upsert_log": _streaming_upsert_query,
+        "sq_knn_cosine": _sq_knn_cosine_query,
+        "mixed_precision_knn": _mixed_precision_query,
+        "testdata_generator": _testdata_generator_query,
+        "search_cancel": _cancel_query,
+        "custom_distance_knn": _custom_distance_query,
+        "schema_validation": _schema_validation_query,
+        "graph_loader": _graph_loader_query,
+        "query_norm_fix": _query_norm_fix_query,
+        "alpha_prune_invariants": _alpha_prune_query,
+        "api_facade_knn": _api_facade_query,
+        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
+        "inverted_routed_knn": _inverted_routed_knn_query,
+        "batch_iterator_ivf": _batch_iterator_ivf_query,
+        "dynamic_multivector_knn": _dynamic_multivector_query,
+        "decontaminate": _decontaminate_query,
+        "simhash_neardup": _simhash_neardup_query,
+        "token_vocabulary": _token_vocabulary_query,
+        "pack_sequences": _pack_sequences_query,
+        # --- gates driver-greened in CORRECTNESS_r06 ---
         "vamana_routed_default_recall": _vamana_routed_default_recall_query,
         "ivf_budget_recall": _ivf_budget_recall_query,
-        # --- r4-vintage gates (driver-green in CORRECTNESS_r04) ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_filtered": _knn_query("l2", where="label = 3"),
         "multivector_knn": _multivector_query,
@@ -2217,57 +2329,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats_query,
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
-        # flat ip/cosine sit just past the ~50-entry driver sample
-        # window this round (52 freshness candidates, 50 slots): they
-        # share flat_knn_l2's code path modulo the distance kernel,
-        # and ip-vs-l2 semantics are pinned in-window by
-        # knn_recall_ip_vs_l2; rotate them back to the front in r7
-        "flat_knn_ip": _knn_query("ip"),
-        "flat_knn_cosine": _knn_query("cosine"),
-        # --- gates driver-greened in CORRECTNESS_r05 ---
-        "stratified_sample": _stratified_sample_query,
-        "ngram_jaccard": _ngram_jaccard_query,
-        "duplicate_spans": _duplicate_spans_query,
-        "spans_removal": _spans_removal_query,
-        "decontaminate_exact": _decontaminate_exact_query,
-        "dedup_lines": _dedup_lines_query,
-        "repetition_stats": _repetition_stats_query,
-        "dataset_split": _dataset_split_query,
-        "pii_redact": _pii_redact_query,
-        "quality_filter": _quality_filter_query,
-        "lvq_roundtrip": _lvq_roundtrip_query,
-        "lvq_knn_l2": _lvq_knn_query("l2"),
-        "lvq_knn_cosine": _lvq_knn_query("cosine"),
-        "lvq4x8_knn": _lvq4x8_knn_query,
-        "lvq_vamana_knn": _lvq_vamana_knn_query,
-        "leanvec_knn": _leanvec_knn_query,
-        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
-        "leanvec_recall": _leanvec_recall_query,
-        "batch_iterator_pages": _batch_iterator_query,
-        "batch_iterator_linear": _batch_iterator_linear_query,
-        "ivf_knn_reordered": _ivf_reorder_query,
-        "streaming_knn": _streaming_knn_query,
-        "streaming_dedup": _streaming_dedup_query,
-        "streaming_window_agg": _streaming_window_query,
-        "streaming_upsert_log": _streaming_upsert_query,
-        "sq_knn_cosine": _sq_knn_cosine_query,
-        "mixed_precision_knn": _mixed_precision_query,
-        "testdata_generator": _testdata_generator_query,
-        "search_cancel": _cancel_query,
-        "custom_distance_knn": _custom_distance_query,
-        "schema_validation": _schema_validation_query,
-        "graph_loader": _graph_loader_query,
-        "query_norm_fix": _query_norm_fix_query,
-        "alpha_prune_invariants": _alpha_prune_query,
-        "api_facade_knn": _api_facade_query,
-        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
-        "inverted_routed_knn": _inverted_routed_knn_query,
-        "batch_iterator_ivf": _batch_iterator_ivf_query,
-        "dynamic_multivector_knn": _dynamic_multivector_query,
-        "decontaminate": _decontaminate_query,
-        "simhash_neardup": _simhash_neardup_query,
-        "token_vocabulary": _token_vocabulary_query,
-        "pack_sequences": _pack_sequences_query,
     }
 
 
@@ -2344,6 +2405,12 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ivf_budget_recall": oracles.recall_verdict_sql(
             ROUTED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "routed_calibrated_recall": oracles.recall_verdict_sql(
+            CALIBRATED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "ivf_target_recall": oracles.recall_verdict_sql(
+            CALIBRATED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "vamana_closure_recall": oracles.recall_verdict_sql(
             CLOSURE_RECALL_FLOOR_E4, N_QUERIES

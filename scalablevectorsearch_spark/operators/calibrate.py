@@ -81,6 +81,120 @@ def calibrate_window(
 
 
 @dataclass
+class ProbeBudgetResult:
+    probe_budget: float
+    recall: float
+    target_recall: float
+    probes: list[tuple[float, float]]  # (budget, recall) evaluations
+
+
+def calibrate_probe_budget(
+    search_fn: Callable[[float], DataFrame],
+    groundtruth: DataFrame,
+    k: int,
+    target_recall: float = 0.9,
+    min_budget: float = 1.0,
+    max_budget: float | None = None,
+    resolution: float = 0.25,
+) -> ProbeBudgetResult:
+    """Smallest probe budget in [min_budget, max_budget] whose recall
+    >= target — the reference's recall-targeted auto-tuning
+    (calibrate.h:249 optimize_search_buffer's binary search against a
+    groundtruth + target recall) applied to the routed/IVF probe-cost
+    axis instead of the window axis. Replaces hand-picked budgets
+    (e.g. the n_shards/2 routed default) with a budget fitted to the
+    actual data geometry: clustered data hits the target at a small
+    budget, signal-free data honestly reports what full fan-out buys.
+
+    ``search_fn(budget)`` runs the search at that ``probe_budget`` and
+    returns the engine's standard (qid, rank, neighbor_id, ...) frame.
+    Budgets are quantized to ``resolution`` steps and binary-searched
+    over the integer step grid, so the chosen operating point is
+    exactly reproducible (recall is monotone-ish in budget — more
+    probes never remove candidates; the same working assumption as
+    calibrate.h's window search). O(log range) search jobs.
+
+    If even ``max_budget`` misses the target, returns max_budget with
+    its achieved recall (the reference's same best-effort report)."""
+    if max_budget is None:
+        raise ValueError("max_budget is required (e.g. the shard/cluster count)")
+    if resolution <= 0:
+        raise ValueError("resolution must be > 0")
+    lo = max(1, int(round(min_budget / resolution)))
+    hi = max(lo, int(round(max_budget / resolution)))
+    probes: list[tuple[float, float]] = []
+
+    def probe(step: int) -> float:
+        b = step * resolution
+        r = _recall_of(groundtruth, search_fn(b), k)
+        probes.append((b, r))
+        return r
+
+    r_hi = probe(hi)
+    if r_hi < target_recall:
+        return ProbeBudgetResult(hi * resolution, r_hi, target_recall, probes)
+    best_s, best_r = hi, r_hi
+    while lo < hi:
+        mid = (lo + hi) // 2
+        r = probe(mid)
+        if r >= target_recall:
+            best_s, best_r = mid, r
+            hi = mid
+        else:
+            lo = mid + 1
+    return ProbeBudgetResult(best_s * resolution, best_r, target_recall, probes)
+
+
+@dataclass
+class ClosureResult:
+    amplification: float
+    recall: float
+    target_recall: float
+    probes: list[tuple[float, float]]  # (amplification, recall)
+
+
+def calibrate_closure_amplification(
+    build_search_fn: Callable[[float], DataFrame],
+    groundtruth: DataFrame,
+    k: int,
+    target_recall: float = 0.9,
+    ladder: tuple[float, ...] = (1.0, 1.25, 1.5, 2.0, 3.0),
+) -> ClosureResult:
+    """Smallest closure storage amplification on ``ladder`` whose
+    recall >= target. Closure replication (SPANN closure assignment,
+    operators/vamana.py closure_bp) is a LAYOUT property:
+    ``build_search_fn(amplification)`` must rebuild the index at that
+    target amplification (fit via ivf.fit_closure_bp) and return the
+    search result frame — each probe is a build, so the search space is
+    a small explicit ladder, binary-searched by index (recall is
+    monotone in amplification: replicas only add reachable candidates).
+    Same best-effort contract as :func:`calibrate_probe_budget`."""
+    if not ladder or list(ladder) != sorted(ladder):
+        raise ValueError("ladder must be a non-empty ascending sequence")
+    probes: list[tuple[float, float]] = []
+
+    def probe(i: int) -> float:
+        r = _recall_of(groundtruth, build_search_fn(ladder[i]), k)
+        probes.append((ladder[i], r))
+        return r
+
+    lo, hi = 0, len(ladder) - 1
+    r_hi = probe(hi)
+    if r_hi < target_recall:
+        return ClosureResult(ladder[hi], r_hi, target_recall, probes)
+    best_i, best_r = hi, r_hi
+    while lo < hi:
+        mid = (lo + hi) // 2
+        r = probe(mid)
+        if r >= target_recall:
+            best_i, best_r = mid, r
+            hi = mid
+        else:
+            lo = mid + 1
+    return ClosureResult(ladder[best_i], best_r, target_recall, probes)
+
+
+@dataclass
 class SplitBufferResult:
     search_window_size: int
     buffer_capacity: int
