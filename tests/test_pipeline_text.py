@@ -753,3 +753,34 @@ def test_dedup_lines_min_len_exemption(spark):
     got = {r["doc_id"]: r["text"] for r in dedup_lines(docs, min_len=5).collect()}
     # "ok" is exempt (shorter than 5 chars) and survives in both docs
     assert got == {0: "ok\nlong enough line", 1: "ok"}
+
+
+def test_dedup_minhash_n_passes_superset_and_identical_jaccard(docs):
+    """n_passes=2 (chain-critical second banding pass): pass 1's bands
+    are bit-identical to n_passes=1 — the candidate set can only GROW,
+    and the exact-Jaccard verify is unchanged, so every single-pass
+    pair survives with the identical jaccard value."""
+    base = docs.filter(F.col("doc_id") < 80)
+    mutated = base.filter(F.col("doc_id") < 3).select(
+        (F.col("doc_id") + 900).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    corpus = base.unionByName(mutated)
+    one = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash(corpus, threshold=0.3).collect()
+    }
+    two = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup_minhash(corpus, threshold=0.3, n_passes=2).collect()
+    }
+    assert set(one) <= set(two)
+    for pair, j in one.items():
+        assert two[pair] == j
+    for d in range(3):
+        assert (d, d + 900) in two
+
+
+def test_dedup_minhash_n_passes_validation(docs):
+    with pytest.raises(ValueError):
+        dedup_minhash(docs.limit(2), n_passes=0)

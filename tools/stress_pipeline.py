@@ -171,9 +171,14 @@ chain2 = near_src.select(
 )
 chain_pairs = timed(
     "dedup_minhash_chain",
+    # chain-critical path: n_passes=2 (second independent banding pass)
+    # squares the per-pair banding miss (~1.7e-4 -> ~3e-8 at 0.97
+    # Jaccard), so a 10M-doc chain stress expects ZERO split chains;
+    # the timed cost vs the single-pass dedup_minhash row above IS the
+    # documented price of chain integrity (2x minhash + band volume)
     lambda: dedup_minhash(
         docs.unionByName(near).unionByName(chain2),
-        n_shingle=3, n_perm=16, n_bands=4, threshold=0.5,
+        n_shingle=3, n_perm=16, n_bands=4, threshold=0.5, n_passes=2,
     ).persist(),
 )
 comp = timed("dedup_components", lambda: dedup_components(chain_pairs).persist())
@@ -190,13 +195,13 @@ metrics["components_bad_canonicals"] = int(bad)
 metrics["components_chain_members"] = int(n_members)
 print(f"components: {n_members} chain members, {bad} bad canonicals", flush=True)
 # a "bad canonical" here is a {near, chain2} cluster whose near->
-# original MinHash edge was a BANDING miss (16 perms / 4 bands at
-# shingle-jaccard ~0.97-0.99 has per-pair miss probability ~1e-4 —
-# the planted-recall print above rounds to 4 decimals, so single-digit
-# misses at 10M docs show up HERE first). dedup_components itself
-# raises on non-convergence, so component bugs cannot hide in this
-# tolerance: allow banding misses at 5e-4, assert the 99.95% floor.
-assert bad <= max(1, round(2 * n_near * 5e-4)) and n_members >= 2 * n_near * 0.99
+# original MinHash edge was a BANDING miss. Single-pass 16/4 banding
+# misses a 0.97-Jaccard pair with p ~ 1.7e-4 (the r6 10M run saw 2 in
+# 198k members); the n_passes=2 pair mining above squares that to
+# ~3e-8, so the assert is exact: ZERO bad canonicals at any N.
+# dedup_components itself raises on non-convergence, so component
+# bugs cannot hide here either.
+assert bad == 0 and n_members >= 2 * n_near * 0.9999
 chain_pairs.unpersist()
 comp.unpersist()
 
