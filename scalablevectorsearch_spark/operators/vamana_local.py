@@ -376,14 +376,18 @@ def batch_greedy_search(
         # those (rare: duplicate points) rows re-sort with the full
         # lexsort. Pad slots are (inf, -1) everywhere, tying cleanly.
         order = np.argsort(bd, axis=-1, kind="stable")
-        sd = np.take_along_axis(bd, order, axis=-1)
-        si = np.take_along_axis(bi, order, axis=-1)
+        # direct fancy gather — same values as take_along_axis without
+        # its per-call index-tuple construction (merge hot path)
+        ar = np.arange(len(sub))[:, None]
+        sd = bd[ar, order]
+        si = bi[ar, order]
         bad = ((sd[:, 1:] == sd[:, :-1]) & (si[:, 1:] < si[:, :-1])).any(axis=1)
         if bad.any():
             rows = np.nonzero(bad)[0]
             o2 = np.lexsort((bi[rows], bd[rows]), axis=-1)
-            si[rows] = np.take_along_axis(bi[rows], o2, axis=-1)
-            sd[rows] = np.take_along_axis(bd[rows], o2, axis=-1)
+            ar2 = np.arange(len(rows))[:, None]
+            si[rows] = bi[rows][ar2, o2]
+            sd[rows] = bd[rows][ar2, o2]
         si[:, cap:] = -1
         sd[:, cap:] = np.inf
         buf_ids[sub] = si
@@ -622,7 +626,10 @@ def _pool_dists(
     (pools < 0) come back +inf so they sort last."""
     V = X[np.maximum(pools, 0)]  # (m, P, d)
     Qn = X[nodes]  # (m, d)
-    QD = np.einsum("mpd,md->mp", V, Qn)
+    # batched gemv (BLAS) — c_einsum doesn't dispatch to BLAS for this
+    # contraction and is ~3x slower (same dot, same accumulation shape
+    # as _pair_d / alpha_prune_batch's kill row)
+    QD = np.matmul(V, Qn[:, :, None])[:, :, 0]
     if distance == "l2":
         v_sq = np.einsum("mpd,mpd->mp", V, V)
         q_sq = np.einsum("md,md->m", Qn, Qn)

@@ -23,6 +23,15 @@ def get_spark(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    # pin worker-side BLAS to one thread: every heavy numpy kernel runs
+    # inside a Python worker that already owns exactly one task slot, so
+    # a multi-threaded BLAS (numpy's bundled OpenBLAS spawns 2) only
+    # oversubscribes the executor cores — measured ~5-10% wall on 32-way
+    # concurrent shard builds (tools/profile_prune.py experiments).
+    # setdefault: an explicit user override wins. Must be set before the
+    # JVM forks its python workers (they inherit this environment).
+    os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
+    os.environ.setdefault("OMP_NUM_THREADS", "1")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
