@@ -71,6 +71,26 @@ def main() -> None:
     recall = res.join(gt, ["qid", "neighbor_id"], "left_semi").count() / n_gt
     print(f"router-probed (2/4 shards) recall@10={recall:.4f}")
 
+    # 6. recall-targeted probe budget: instead of hand-picking how many
+    # shards to probe, binary-search the budget against groundtruth to
+    # a target recall (the reference's calibrate.h philosophy applied
+    # to probe cost) — the returned operating point is the budget a
+    # production deployment would run
+    from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+
+    cal_b = calibrate_probe_budget(
+        lambda b: vamana_search(
+            routed, queries, k=10, search_window_size=30, router=router,
+            probe_budget=b,
+        ),
+        flat_knn(base, queries, k=10, distance="l2"), k=10,
+        target_recall=0.90, max_budget=float(routed.n_shards),
+    )
+    print(
+        f"calibrated probe budget={cal_b.probe_budget} "
+        f"recall={cal_b.recall:.4f} (target 0.90)"
+    )
+
 
 if __name__ == "__main__":
     main()
