@@ -725,6 +725,27 @@ def _routed_calibrated_recall_query(spark: SparkSession, sf_dir: str) -> DataFra
     return _recall_verdict(matched.crossJoin(nq), CALIBRATED_RECALL_FLOOR_E4)
 
 
+def _vamana_target_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r7: vamana_search(target_recall=...) — the one-argument form of
+    the routed calibration (same machinery as routed_calibrated_recall,
+    but fitted INTERNALLY like ivf_search's target_recall; calibration
+    covers the gate's whole query set so the floor equals the target)."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=4, shard_by="kmeans")
+    res = vamana_search(
+        index, q, k=K, search_window_size=VAMANA_SWS,
+        target_recall=CALIBRATED_RECALL_FLOOR_E4 / 10000.0,
+        calibration_queries=N_QUERIES,
+    ).select("qid", "neighbor_id")
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), CALIBRATED_RECALL_FLOOR_E4)
+
+
 def _ivf_target_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r7: ivf_search(target_recall=...) — the probe budget is fitted
     INTERNALLY (calibrate_probe_budget against an exact flat-scan
@@ -2232,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- new round-7 gates ---
         "routed_calibrated_recall": _routed_calibrated_recall_query,
         "ivf_target_recall": _ivf_target_recall_query,
+        "vamana_target_recall": _vamana_target_recall_query,
         # --- r5-vintage gates (driver-green in CORRECTNESS_r05) ---
         "flat_knn_ip": _knn_query("ip"),
         "flat_knn_cosine": _knn_query("cosine"),
@@ -2410,6 +2432,9 @@ def oracle_sql() -> dict[str, str]:
             CALIBRATED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "ivf_target_recall": oracles.recall_verdict_sql(
+            CALIBRATED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        "vamana_target_recall": oracles.recall_verdict_sql(
             CALIBRATED_RECALL_FLOOR_E4, N_QUERIES
         ),
         "vamana_closure_recall": oracles.recall_verdict_sql(

@@ -330,6 +330,9 @@ def vamana_search(
     router=None,
     max_query_block: int | None = None,
     deadline: float | None = None,
+    target_recall: float | None = None,
+    calibration_queries: int = 32,
+    calibration_groundtruth: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -377,6 +380,16 @@ def vamana_search(
     mean probe cost, adaptive cutoff recalls strictly better than a
     fixed per-query n_probes because boundary queries take the extra
     probes that center queries release.
+    ``target_recall``: recall-TARGETED probing — fits ``probe_budget``
+    internally with calibrate_probe_budget (calibrate.h:249's
+    binary-search-to-target applied to probe cost) against exact
+    groundtruth on the ``calibration_queries`` smallest qids (pass
+    ``calibration_groundtruth`` to skip the internal flat scan), then
+    runs the full search at the fitted budget; the user asks for
+    recall, the probe cost adapts to the data geometry. Requires a
+    kmeans-sharded index; mutually exclusive with
+    ``n_probes``/``epsilon_bp``/``probe_budget``. Same contract as
+    ivf_search(target_recall=).
     ``router``: optional CentroidRouter (operators.router) over this
     index's shard centroids — replaces the exact O(S·d)-per-query
     centroid argmin with a sublinear graph traversal for very large
@@ -393,6 +406,34 @@ def vamana_search(
     excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
+    if target_recall is not None:
+        # recall-targeted probing (same contract as ivf_search's
+        # target_recall=, see operators/calibrate.calibrate_probe_budget):
+        # fit the probe budget against exact groundtruth on the
+        # calibration_queries smallest qids, then run at the fitted
+        # budget. Requires a kmeans-sharded index (budget probing needs
+        # shard centroids). Sample-fitted: full-population recall can
+        # sit slightly below the target.
+        if n_probes is not None or epsilon_bp is not None or probe_budget is not None:
+            raise ValueError(
+                "target_recall is mutually exclusive with "
+                "n_probes/epsilon_bp/probe_budget"
+            )
+        if not 0.0 < target_recall <= 1.0:
+            raise ValueError("target_recall must be in (0, 1]")
+        if index.shard_model is None:
+            raise ValueError("target_recall requires a kmeans-sharded index")
+        budget = _fit_vamana_budget(
+            index, queries, k, sws, target_recall, qid_col, qvec_col,
+            calibration_queries, calibration_groundtruth, router,
+        )
+        return vamana_search(
+            index, queries, k, search_window_size=sws, qid_col=qid_col,
+            qvec_col=qvec_col, round_to=round_to, exclude_ids=exclude_ids,
+            exclude_df=exclude_df, buffer_capacity=buffer_capacity,
+            max_probes=max_probes, probe_budget=budget, router=router,
+            max_query_block=max_query_block, deadline=deadline,
+        )
     if probe_budget is not None:
         if n_probes is not None or epsilon_bp is not None:
             raise ValueError(
@@ -450,6 +491,46 @@ def vamana_search(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("qid", "rank", "neighbor_id", "distance")
+
+
+def _fit_vamana_budget(
+    index: VamanaIndex,
+    queries: DataFrame,
+    k: int,
+    sws: int,
+    target_recall: float,
+    qid_col: str,
+    qvec_col: str,
+    calibration_queries: int,
+    groundtruth: DataFrame | None,
+    router,
+) -> float:
+    """Fit a shard probe budget hitting ``target_recall`` on a
+    deterministic query sample (vamana_search's target_recall= path;
+    the ivf_search._fit_budget_for_target analog). Groundtruth defaults
+    to one exact flat scan of the index's base (decoded when the index
+    stores packed vectors)."""
+    from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+    from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
+        calibration_queries
+    )
+    if groundtruth is None:
+        groundtruth = flat_knn(
+            index.base, sample_q, k=k, distance=index.distance,
+            id_col=index.id_col, vec_col=index.vec_col, qid_col=qid_col,
+            qvec_col=qvec_col, round_to=4, decode=index.vec_decode,
+        )
+    cal = calibrate_probe_budget(
+        lambda b: vamana_search(
+            index, sample_q, k, search_window_size=sws, qid_col=qid_col,
+            qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
+        ),
+        groundtruth, k, target_recall=target_recall,
+        max_budget=float(index.n_shards),
+    )
+    return cal.probe_budget
 
 
 def _vamana_search_block(

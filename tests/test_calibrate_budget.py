@@ -131,3 +131,56 @@ class TestIvfTargetRecall:
             ivf_search(index, q, k=K, target_recall=0.9, epsilon_bp=100)
         with pytest.raises(ValueError):
             ivf_search(index, q, k=K, target_recall=1.5)
+
+
+class TestVamanaTargetRecall:
+    @pytest.fixture(scope="class")
+    def fixture(self, spark, embeddings):
+        from scalablevectorsearch_spark.operators.vamana import (
+            VamanaParams,
+            vamana_build,
+        )
+
+        base = embeddings.selectExpr("vec_id as id", "embedding as vector")
+        q = embeddings.selectExpr("vec_id as qid", "embedding as vector").limit(24)
+        index = vamana_build(
+            base, VamanaParams(graph_max_degree=16, window_size=32),
+            n_shards=4, shard_by="kmeans",
+        )
+        return base, q, index
+
+    def test_hits_target_on_calibration_sample(self, fixture):
+        from scalablevectorsearch_spark.operators.vamana import vamana_search
+
+        base, q, index = fixture
+        res = vamana_search(
+            index, q, k=K, search_window_size=32, target_recall=0.9,
+            calibration_queries=24,
+        )
+        gt = flat_knn(base, q, k=K, round_to=4)
+        row = k_recall_at(gt, res, K).collect()[0]
+        assert row["recall"] >= 0.9
+
+    def test_requires_kmeans_sharding(self, spark, embeddings):
+        from scalablevectorsearch_spark.operators.vamana import (
+            VamanaParams,
+            vamana_build,
+            vamana_search,
+        )
+
+        base = embeddings.selectExpr("vec_id as id", "embedding as vector").limit(300)
+        q = embeddings.selectExpr("vec_id as qid", "embedding as vector").limit(4)
+        hashed = vamana_build(
+            base, VamanaParams(graph_max_degree=16, window_size=16), n_shards=2
+        )
+        with pytest.raises(ValueError):
+            vamana_search(hashed, q, k=3, target_recall=0.9)
+
+    def test_mutually_exclusive(self, fixture):
+        from scalablevectorsearch_spark.operators.vamana import vamana_search
+
+        _, q, index = fixture
+        with pytest.raises(ValueError):
+            vamana_search(index, q, k=K, target_recall=0.9, n_probes=2)
+        with pytest.raises(ValueError):
+            vamana_search(index, q, k=K, target_recall=0.9, probe_budget=2.0)
