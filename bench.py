@@ -427,11 +427,21 @@ def main() -> None:
         reps.append(run_suite(spark, base, docs, queries, n))
     names = list(reps[0])
     queries_min = {q: round(min(r[q] for r in reps), 3) for q in names}
+    # median emitted ALONGSIDE the min for cross-round continuity: rows
+    # recorded before the r7 protocol switch used median-of-3, so any
+    # regression comparison against history must match stats (compare
+    # min rows with min rows, or use this median vs old medians) — a
+    # min-of-5 total is biased low vs a median-of-3 total on the same
+    # code, which reads as a phantom speedup
+    queries_median = {
+        q: round(sorted(r[q] for r in reps)[len(reps) // 2], 3) for q in names
+    }
     spread = {
         q: round(max(r[q] for r in reps) - min(r[q] for r in reps), 3)
         for q in names
     }
     total = round(sum(queries_min.values()), 3)
+    total_median = round(sum(queries_median.values()), 3)
     print(
         json.dumps(
             {
@@ -442,6 +452,8 @@ def main() -> None:
                 "sf": _sf(),
                 "stat": "min",
                 "reps": REPS,
+                "total_median_sec": total_median,
+                "queries_median": queries_median,
                 "spread": spread,
                 "load_avg": load_avg,
                 "calib_sec": calib_sec,
@@ -464,6 +476,8 @@ def main() -> None:
                 "sf": _sf(),
                 "stat": "min",
                 "reps": REPS,
+                "total_median_sec": total_median,
+                "queries_median": queries_median,
                 "spread": spread,
                 "load_avg": load_avg,
                 "calib_sec": calib_sec,

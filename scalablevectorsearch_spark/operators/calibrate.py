@@ -19,6 +19,7 @@ search callable."""
 
 from __future__ import annotations
 
+import math
 import time
 from collections.abc import Callable
 from dataclasses import dataclass
@@ -120,7 +121,12 @@ def calibrate_probe_budget(
         raise ValueError("max_budget is required (e.g. the shard/cluster count)")
     if resolution <= 0:
         raise ValueError("resolution must be > 0")
-    lo = max(1, int(round(min_budget / resolution)))
+    # ceil, not round: round() can place the lowest grid point BELOW
+    # min_budget (min_budget=1.0, resolution=0.3 -> step 3 = 0.9) and
+    # the search kernels reject probe_budget < 1 mid-calibration. The
+    # 1e-9 slack keeps exact divisions (1.0/0.25 -> 4) from ceiling up
+    # on float error.
+    lo = max(1, math.ceil(min_budget / resolution - 1e-9))
     hi = max(lo, int(round(max_budget / resolution)))
     probes: list[tuple[float, float]] = []
 

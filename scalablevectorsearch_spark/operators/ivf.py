@@ -198,18 +198,26 @@ def budget_probe_clamp(
     (a user cap below the floor wins — the floor is a quality default,
     the cap is a hard cost bound).
 
-    The floor is kept STRICTLY below the budget (``int(0.75*B)``,
+    The floor is kept STRICTLY below the budget (``ceil(0.75*B)``,
     additionally capped at ``ceil(B) - 1``): if floor >= budget then
     ``clip(raw, floor, cap).mean() >= budget`` already at bp=0, the
     binary search in :func:`fit_epsilon_bp` returns bp=1, and
     "adaptive" probing silently collapses to fixed floor probing.
-    ``ceil(0.75*B) == B`` exactly at the small budgets (2, 3) where
-    adaptivity matters most per probe. probe_budget=1 is the one
+    The ``ceil(B) - 1`` cap bites exactly at the small budgets (2, 3)
+    where ``ceil(0.75*B) == B``; everywhere else the floor is the r6
+    ``ceil(0.75*B)`` value — ``int()`` truncation would lower the floor
+    by 1 for EVERY fractional ``0.75*B`` (budget 5: 3 vs 4; budget 7:
+    5 vs 6), widening the under-probing tail that the clamp exists to
+    cut (recall is concave in probes; the under-probing tail costs more
+    than the over-probing tail buys). probe_budget=1 is the one
     unavoidable degenerate point (probes >= 1 always); there the clamp
     is [1, 2] and only the over-probing side adapts."""
     import math as _math
 
-    floor = max(1, min(int(0.75 * probe_budget), _math.ceil(probe_budget) - 1))
+    floor = max(
+        1,
+        min(_math.ceil(0.75 * probe_budget - 1e-9), _math.ceil(probe_budget) - 1),
+    )
     floor = min(n_cells, floor)
     cap = min(n_cells, max(floor, int(_math.ceil(2.0 * probe_budget))))
     if max_probes is not None:
@@ -325,6 +333,10 @@ def _fit_budget_for_target(
     router,
     router_candidates: int | None,
     where,
+    max_probes: int | None = None,
+    k_reorder: int | None = None,
+    rerank_base: DataFrame | None = None,
+    rerank_queries: DataFrame | None = None,
 ) -> float:
     """Fit a probe budget hitting ``target_recall`` on a deterministic
     query sample (ivf_search's target_recall= path). The sample is the
@@ -333,29 +345,64 @@ def _fit_budget_for_target(
     restricted to the sample (a bounded cost: |sample| driver-resident
     queries x one base scan, the same shape as any gated flat_knn).
     The budget search itself is O(log n_clusters/0.25) sampled
-    ivf_search jobs, each scanning ~budget/n_clusters of the base."""
+    ivf_search jobs, each scanning ~budget/n_clusters of the base.
+
+    The calibration searches run with the SAME ``max_probes`` /
+    ``k_reorder`` / rerank arguments as the final search, so the fitted
+    budget reflects the operating point the caller will actually run —
+    a user ``max_probes`` below the budget clamp's cap lowers the
+    calibration recall too, and the fit honestly widens the budget (or
+    reports best-effort at max) instead of silently handing back a
+    budget whose clamp the final search then cuts. When ``rerank_base``
+    is provided, the internal groundtruth is the exact scan of the
+    RE-RANK (full-precision) vectors, matching what the re-ranked
+    search is graded against."""
     from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
     sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
         calibration_queries
     )
+    if rerank_queries is not None:
+        # the sample searches only the smallest qids — restrict the
+        # full-precision rerank queries to the same sample so each
+        # calibration step broadcasts |sample| rows, not the full set
+        rerank_queries = rerank_queries.orderBy(
+            F.col(qid_col).cast("long")
+        ).limit(calibration_queries)
     if groundtruth is None:
-        base = index.clustered.select(
-            F.col(index.id_col), F.col(index.vec_col)
-        )
-        if where is not None:
-            base = base.filter(where)
-        groundtruth = flat_knn(
-            base, sample_q, k=k, distance=distance, qid_col=qid_col,
-            qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
-            round_to=4,
-        )
+        if rerank_base is not None:
+            base = rerank_base
+            gt_q = rerank_queries if rerank_queries is not None else sample_q
+            if where is not None:
+                # the predicate may reference metadata columns present on
+                # the clustered frame but not on rerank_base — restrict by
+                # id via semi-join instead of filtering rerank_base
+                passing = index.clustered.filter(where).select(index.id_col)
+                base = base.join(passing, on=index.id_col, how="semi")
+            groundtruth = flat_knn(
+                base, gt_q, k=k, distance=distance, qid_col=qid_col,
+                qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
+                round_to=4,
+            )
+        else:
+            base = index.clustered.select(
+                F.col(index.id_col), F.col(index.vec_col)
+            )
+            if where is not None:
+                base = base.filter(where)
+            groundtruth = flat_knn(
+                base, sample_q, k=k, distance=distance, qid_col=qid_col,
+                qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
+                round_to=4,
+            )
     cal = calibrate_probe_budget(
         lambda b: ivf_search(
             index, sample_q, k, distance=distance, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
             router_candidates=router_candidates, where=where,
+            max_probes=max_probes, k_reorder=k_reorder,
+            rerank_base=rerank_base, rerank_queries=rerank_queries,
         ),
         groundtruth, k, target_recall=target_recall,
         max_budget=float(index.n_clusters),
@@ -526,6 +573,8 @@ def ivf_search(
             index, queries, k, target_recall, distance, qid_col,
             qvec_col or index.vec_col, calibration_queries,
             calibration_groundtruth, router, router_candidates, where,
+            max_probes=max_probes, k_reorder=k_reorder,
+            rerank_base=rerank_base, rerank_queries=rerank_queries,
         )
         return ivf_search(
             index, queries, k, distance=distance, qid_col=qid_col,

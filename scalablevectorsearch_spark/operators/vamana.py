@@ -426,6 +426,8 @@ def vamana_search(
         budget = _fit_vamana_budget(
             index, queries, k, sws, target_recall, qid_col, qvec_col,
             calibration_queries, calibration_groundtruth, router,
+            max_probes=max_probes, buffer_capacity=buffer_capacity,
+            exclude_ids=exclude_ids, exclude_df=exclude_df,
         )
         return vamana_search(
             index, queries, k, search_window_size=sws, qid_col=qid_col,
@@ -504,12 +506,26 @@ def _fit_vamana_budget(
     calibration_queries: int,
     groundtruth: DataFrame | None,
     router,
+    max_probes: int | None = None,
+    buffer_capacity: int | None = None,
+    exclude_ids: list[int] | None = None,
+    exclude_df: DataFrame | None = None,
 ) -> float:
     """Fit a shard probe budget hitting ``target_recall`` on a
     deterministic query sample (vamana_search's target_recall= path;
     the ivf_search._fit_budget_for_target analog). Groundtruth defaults
     to one exact flat scan of the index's base (decoded when the index
-    stores packed vectors)."""
+    stores packed vectors), with excluded (tombstoned) ids removed —
+    they can never be returned, so grading against them would misstate
+    the achievable recall and over-widen the fitted budget.
+
+    The calibration searches run with the caller's ``max_probes`` /
+    ``buffer_capacity`` / exclusions so the fitted budget reflects the
+    operating point the final search actually runs at — a user
+    ``max_probes`` below the budget clamp's cap lowers calibration
+    recall too, and the fit widens the budget (or honestly reports
+    best-effort at max fan-out) instead of silently missing the
+    target."""
     from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
@@ -517,8 +533,23 @@ def _fit_vamana_budget(
         calibration_queries
     )
     if groundtruth is None:
+        base = index.base
+        if exclude_ids:
+            base = base.filter(
+                ~F.col(index.id_col).cast("long").isin(
+                    [int(x) for x in exclude_ids]
+                )
+            )
+        if exclude_df is not None:
+            base = base.join(
+                exclude_df.select(
+                    F.col(exclude_df.columns[0]).cast("long").alias(index.id_col)
+                ),
+                on=index.id_col,
+                how="anti",
+            )
         groundtruth = flat_knn(
-            index.base, sample_q, k=k, distance=index.distance,
+            base, sample_q, k=k, distance=index.distance,
             id_col=index.id_col, vec_col=index.vec_col, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, decode=index.vec_decode,
         )
@@ -526,6 +557,8 @@ def _fit_vamana_budget(
         lambda b: vamana_search(
             index, sample_q, k, search_window_size=sws, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
+            max_probes=max_probes, buffer_capacity=buffer_capacity,
+            exclude_ids=exclude_ids, exclude_df=exclude_df,
         ),
         groundtruth, k, target_recall=target_recall,
         max_budget=float(index.n_shards),
