@@ -524,6 +524,23 @@ def _vamana_exhaustive_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+def _vamana_knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid filtered graph search (vamana_search(where=), the graph
+    composition of flat.h:290-295's predicate semantics): at an
+    exhaustive exploration window the predicate-filtered traversal must
+    reproduce exact filtered flat k-NN — same SQL oracle as
+    flat_knn_filtered. Non-matching nodes stay traversable waypoints
+    (tombstone mechanism), so graph connectivity through filtered-out
+    regions is part of what this gate checks."""
+    base = _base(spark, sf_dir).select("id", "vector", "label")
+    index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = vamana_search(
+        index, _queries_df(spark, sf_dir), k=K, search_window_size=4096,
+        where="label = 3",
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 # Recall floors for the verdict gates: observed recalls are 0.992-0.996
 # (vamana), 0.896-0.904 (routed/router), 0.994-0.999 (dynamic) at
 # sf0.001/sf0.01 — floors sit a safety margin below while still
@@ -2245,64 +2262,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
-        # Round-7 rotation: the new r7 gates plus the 45 gates last
-        # driver-sampled in CORRECTNESS_r05 lead (r6 touched gram_expr,
-        # which feeds repetition_stats / dedup_minhash /
-        # decontaminate_exact, after their last driver sample); the 50
-        # gates driver-greened in CORRECTNESS_r06 trail.
-        # --- new round-7 gates ---
-        "routed_calibrated_recall": _routed_calibrated_recall_query,
-        "ivf_target_recall": _ivf_target_recall_query,
-        "vamana_target_recall": _vamana_target_recall_query,
-        # --- r5-vintage gates (driver-green in CORRECTNESS_r05) ---
-        "flat_knn_ip": _knn_query("ip"),
-        "flat_knn_cosine": _knn_query("cosine"),
-        "stratified_sample": _stratified_sample_query,
-        "ngram_jaccard": _ngram_jaccard_query,
-        "duplicate_spans": _duplicate_spans_query,
-        "spans_removal": _spans_removal_query,
-        "decontaminate_exact": _decontaminate_exact_query,
-        "dedup_lines": _dedup_lines_query,
-        "repetition_stats": _repetition_stats_query,
-        "dataset_split": _dataset_split_query,
-        "pii_redact": _pii_redact_query,
-        "quality_filter": _quality_filter_query,
-        "lvq_roundtrip": _lvq_roundtrip_query,
-        "lvq_knn_l2": _lvq_knn_query("l2"),
-        "lvq_knn_cosine": _lvq_knn_query("cosine"),
-        "lvq4x8_knn": _lvq4x8_knn_query,
-        "lvq_vamana_knn": _lvq_vamana_knn_query,
-        "leanvec_knn": _leanvec_knn_query,
-        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
-        "leanvec_recall": _leanvec_recall_query,
-        "batch_iterator_pages": _batch_iterator_query,
-        "batch_iterator_linear": _batch_iterator_linear_query,
-        "ivf_knn_reordered": _ivf_reorder_query,
-        "streaming_knn": _streaming_knn_query,
-        "streaming_dedup": _streaming_dedup_query,
-        "streaming_window_agg": _streaming_window_query,
-        "streaming_upsert_log": _streaming_upsert_query,
-        "sq_knn_cosine": _sq_knn_cosine_query,
-        "mixed_precision_knn": _mixed_precision_query,
-        "testdata_generator": _testdata_generator_query,
-        "search_cancel": _cancel_query,
-        "custom_distance_knn": _custom_distance_query,
-        "schema_validation": _schema_validation_query,
-        "graph_loader": _graph_loader_query,
-        "query_norm_fix": _query_norm_fix_query,
-        "alpha_prune_invariants": _alpha_prune_query,
-        "api_facade_knn": _api_facade_query,
-        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
-        "inverted_routed_knn": _inverted_routed_knn_query,
-        "batch_iterator_ivf": _batch_iterator_ivf_query,
-        "dynamic_multivector_knn": _dynamic_multivector_query,
-        "decontaminate": _decontaminate_query,
-        "simhash_neardup": _simhash_neardup_query,
-        "token_vocabulary": _token_vocabulary_query,
-        "pack_sequences": _pack_sequences_query,
-        # --- gates driver-greened in CORRECTNESS_r06 ---
-        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
-        "ivf_budget_recall": _ivf_budget_recall_query,
+        # Round-8 rotation: the new r8 gate plus the 48 gates last
+        # driver-sampled in CORRECTNESS_r06 lead (r7 touched the
+        # vamana_search/ivf_search internals behind several of them
+        # after their last driver sample); the 50 gates driver-greened
+        # in CORRECTNESS_r07 trail.
+        # --- new round-8 gate ---
+        "vamana_knn_filtered": _vamana_knn_filtered_query,
+        # --- r6-vintage gates (driver-green in CORRECTNESS_r06) ---
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_filtered": _knn_query("l2", where="label = 3"),
         "multivector_knn": _multivector_query,
@@ -2351,6 +2318,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": _media_stats_query,
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
+        # --- gates driver-greened in CORRECTNESS_r07 ---
+        "routed_calibrated_recall": _routed_calibrated_recall_query,
+        "ivf_target_recall": _ivf_target_recall_query,
+        "vamana_target_recall": _vamana_target_recall_query,
+        "flat_knn_ip": _knn_query("ip"),
+        "flat_knn_cosine": _knn_query("cosine"),
+        "stratified_sample": _stratified_sample_query,
+        "ngram_jaccard": _ngram_jaccard_query,
+        "duplicate_spans": _duplicate_spans_query,
+        "spans_removal": _spans_removal_query,
+        "decontaminate_exact": _decontaminate_exact_query,
+        "dedup_lines": _dedup_lines_query,
+        "repetition_stats": _repetition_stats_query,
+        "dataset_split": _dataset_split_query,
+        "pii_redact": _pii_redact_query,
+        "quality_filter": _quality_filter_query,
+        "lvq_roundtrip": _lvq_roundtrip_query,
+        "lvq_knn_l2": _lvq_knn_query("l2"),
+        "lvq_knn_cosine": _lvq_knn_query("cosine"),
+        "lvq4x8_knn": _lvq4x8_knn_query,
+        "lvq_vamana_knn": _lvq_vamana_knn_query,
+        "leanvec_knn": _leanvec_knn_query,
+        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
+        "leanvec_recall": _leanvec_recall_query,
+        "batch_iterator_pages": _batch_iterator_query,
+        "batch_iterator_linear": _batch_iterator_linear_query,
+        "ivf_knn_reordered": _ivf_reorder_query,
+        "streaming_knn": _streaming_knn_query,
+        "streaming_dedup": _streaming_dedup_query,
+        "streaming_window_agg": _streaming_window_query,
+        "streaming_upsert_log": _streaming_upsert_query,
+        "sq_knn_cosine": _sq_knn_cosine_query,
+        "mixed_precision_knn": _mixed_precision_query,
+        "testdata_generator": _testdata_generator_query,
+        "search_cancel": _cancel_query,
+        "custom_distance_knn": _custom_distance_query,
+        "schema_validation": _schema_validation_query,
+        "graph_loader": _graph_loader_query,
+        "query_norm_fix": _query_norm_fix_query,
+        "alpha_prune_invariants": _alpha_prune_query,
+        "api_facade_knn": _api_facade_query,
+        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
+        "inverted_routed_knn": _inverted_routed_knn_query,
+        "batch_iterator_ivf": _batch_iterator_ivf_query,
+        "dynamic_multivector_knn": _dynamic_multivector_query,
+        "decontaminate": _decontaminate_query,
+        "simhash_neardup": _simhash_neardup_query,
+        "token_vocabulary": _token_vocabulary_query,
+        "pack_sequences": _pack_sequences_query,
+        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
+        "ivf_budget_recall": _ivf_budget_recall_query,
     }
 
 
@@ -2378,6 +2396,8 @@ def oracle_sql() -> dict[str, str]:
         "flat_knn_ip": oracles.flat_knn_sql("ip", K, N_QUERIES),
         "flat_knn_cosine": oracles.flat_knn_sql("cosine", K, N_QUERIES),
         "flat_knn_filtered": oracles.flat_knn_sql("l2", K, N_QUERIES, where="label = 3"),
+        # exhaustive-window filtered graph search == exact filtered k-NN
+        "vamana_knn_filtered": oracles.flat_knn_sql("l2", K, N_QUERIES, where="label = 3"),
         "multivector_knn": oracles.multivector_knn_sql("l2", 5, 40, N_QUERIES),
         # exhaustive-window inner stage == flat scan -> same oracle
         "multivector_graph_knn": oracles.multivector_knn_sql("l2", 5, 40, N_QUERIES),

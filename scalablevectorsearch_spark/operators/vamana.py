@@ -333,9 +333,27 @@ def vamana_search(
     target_recall: float | None = None,
     calibration_queries: int = 32,
     calibration_groundtruth: DataFrame | None = None,
+    where=None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
+
+    ``where``: hybrid filtered graph search — the predicate (a Column
+    or SQL string over ``index.base``'s columns, flat.h:290-295
+    semantics like flat_knn/ivf_search's ``where=``) restricts which
+    nodes may be RETURNED; the graph is still traversed through
+    non-matching nodes (they remain waypoints — dropping them would
+    disconnect the graph), exactly the tombstone mechanism. The
+    predicate is evaluated on ``index.base`` where the metadata columns
+    live (so it pushes down to the parquet scan) and shard-stamped
+    map-side through the same deterministic ``_sharded`` assignment the
+    build used — no id join, one exchange by shard_id (the exchange the
+    per-shard kernels need anyway; the persisted metadata-free layout
+    is bypassed for the filtered scan). Recall under a selective filter
+    needs a wider exploration window: with selectivity s, size
+    ``search_window_size`` toward ~window/s so the buffer still holds k
+    matching candidates (at an exhaustive window the result is EXACTLY
+    the filtered k-NN, same as flat_knn(where=)).
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
     (dynamic_search_buffer.h skip-deleted semantics). ``exclude_df``:
@@ -427,14 +445,14 @@ def vamana_search(
             index, queries, k, sws, target_recall, qid_col, qvec_col,
             calibration_queries, calibration_groundtruth, router,
             max_probes=max_probes, buffer_capacity=buffer_capacity,
-            exclude_ids=exclude_ids, exclude_df=exclude_df,
+            exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
         )
         return vamana_search(
             index, queries, k, search_window_size=sws, qid_col=qid_col,
             qvec_col=qvec_col, round_to=round_to, exclude_ids=exclude_ids,
             exclude_df=exclude_df, buffer_capacity=buffer_capacity,
             max_probes=max_probes, probe_budget=budget, router=router,
-            max_query_block=max_query_block, deadline=deadline,
+            max_query_block=max_query_block, deadline=deadline, where=where,
         )
     if probe_budget is not None:
         if n_probes is not None or epsilon_bp is not None:
@@ -480,7 +498,7 @@ def vamana_search(
             index, qp, k, sws, excl, exclude_df, buffer_capacity,
             n_probes, router, maximize, scale, sc, deadline,
             epsilon_bp=epsilon_bp, max_probes=max_probes,
-            probe_budget=probe_budget,
+            probe_budget=probe_budget, where=where,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -510,6 +528,7 @@ def _fit_vamana_budget(
     buffer_capacity: int | None = None,
     exclude_ids: list[int] | None = None,
     exclude_df: DataFrame | None = None,
+    where=None,
 ) -> float:
     """Fit a shard probe budget hitting ``target_recall`` on a
     deterministic query sample (vamana_search's target_recall= path;
@@ -534,6 +553,8 @@ def _fit_vamana_budget(
     )
     if groundtruth is None:
         base = index.base
+        if where is not None:
+            base = base.filter(where)
         if exclude_ids:
             base = base.filter(
                 ~F.col(index.id_col).cast("long").isin(
@@ -558,7 +579,7 @@ def _fit_vamana_budget(
             index, sample_q, k, search_window_size=sws, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
             max_probes=max_probes, buffer_capacity=buffer_capacity,
-            exclude_ids=exclude_ids, exclude_df=exclude_df,
+            exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
         ),
         groundtruth, k, target_recall=target_recall,
         max_budget=float(index.n_shards),
@@ -583,6 +604,7 @@ def _vamana_search_block(
     epsilon_bp: int | None = None,
     max_probes: int | None = None,
     probe_budget: float | None = None,
+    where=None,
 ) -> tuple[DataFrame, object]:
     """One query block's shard-cogroup search + merge; returns the
     ranked result and the block's broadcast (caller frees it when
@@ -691,10 +713,18 @@ def _vamana_search_block(
                 return pd.DataFrame({"qid": [], "neighbor_id": [], "distance": []})
             mqids, mQ = mqids[qsel], mQ[qsel]
         valid = None
+        if "__keep" in vdf.columns:
+            # where= predicate flag: non-matching nodes stay traversable
+            # waypoints but are never emitted (tombstone mechanism);
+            # a NULL predicate result is NOT a match (SQL semantics)
+            keep = vdf["__keep"].to_numpy()
+            valid = np.where(pd.isna(keep), False, keep).astype(bool)
         if mexcl is not None and len(mexcl):
-            valid = ~np.isin(gids, mexcl)
-        elif del_flag is not None and del_flag.any():
-            valid = ~del_flag
+            m = ~np.isin(gids, mexcl)
+            valid = m if valid is None else (valid & m)
+        if del_flag is not None and del_flag.any():
+            m = ~del_flag
+            valid = m if valid is None else (valid & m)
         ids, ds = search_graph(
             X, graph, entry, mQ, k, sws, distance, valid=valid,
             capacity=buffer_capacity, deadline=deadline,
@@ -714,7 +744,26 @@ def _vamana_search_block(
             }
         )
 
-    if index.layout is not None:
+    if where is not None:
+        # filtered search: the predicate needs the base's metadata
+        # columns, which the persisted (id, vec)-only layout dropped —
+        # re-shard the base map-side (same deterministic assignment the
+        # build used, no id join) with the predicate evaluated as a
+        # __keep flag at the parquet scan. One exchange by shard_id,
+        # which the per-shard kernels need anyway.
+        w = F.expr(where) if isinstance(where, str) else where
+        scan = _by_shard(
+            _sharded(
+                index.base, index.n_shards, index.id_col, index.shard_model,
+                index.vec_col, index.closure_bp, index.vec_decode,
+            ).select(
+                "shard_id",
+                F.col(index.id_col).cast("long").alias("__id"),
+                F.col(index.vec_col).alias("__vec"),
+                w.cast("boolean").alias("__keep"),
+            )
+        )
+    elif index.layout is not None:
         # persisted shard-partitioned layout: no base shuffle at search
         scan = index.layout
     else:
