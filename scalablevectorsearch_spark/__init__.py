@@ -39,6 +39,7 @@ from scalablevectorsearch_spark.operators.router import (
 )
 from scalablevectorsearch_spark.operators.vamana import (
     VamanaParams,
+    closure_link_replicas,
     vamana_build,
     vamana_search,
 )

@@ -312,6 +312,123 @@ def vamana_build(
     )
 
 
+def closure_link_replicas(index: VamanaIndex, closure_bp: int) -> VamanaIndex:
+    """Incremental closure build: upgrade a plain kmeans-sharded index
+    to a SPANN-closure index by INSERT-LINKING each shard's replica
+    rows into its existing graph instead of rebuilding the shard's
+    graph over base+replicas from scratch.
+
+    ``vamana_build(closure_bp=...)`` re-links every row of the
+    base+replica union (at amplification A, that is A·n link
+    operations). The plain shard graphs already linked the n primary
+    rows — this path keeps them (including their entry points) and runs
+    only the (A-1)·n replica insertions through the reference's
+    incremental insert (dynamic_index.h:631-700: greedy search on the
+    frozen graph + alpha-prune + reverse edges, the same kernel as
+    add_points), bounding new work to the replica fraction of the union
+    build. Insert-linked graphs prune in a different order than
+    batch-built ones (vamana_build.h:280 reverse-edge timing), so the
+    resulting graph is NOT bit-identical to the batch closure build —
+    searched at an exhaustive window it is still exact, and recall
+    floors are A/B-gated in tests and the 10M stress.
+
+    The plain index's per-shard rows are exactly the closure layout's
+    primary rows (same shard_model, same deterministic nearest-centroid
+    stamp), so every plain graph row re-appears in its shard's closure
+    rows; shards that gained only replicas keep their plain entry
+    point. A closure shard with NO plain graph (possible only when the
+    plain shard was empty) falls back to a scratch build of its rows.
+
+    Cites: /root/reference/include/svs/index/vamana/dynamic_index.h:631
+    (insert path), SPANN closure assignment (vamana_build closure_bp
+    docstring)."""
+    if index.shard_model is None:
+        raise ValueError("closure_link_replicas requires a kmeans-sharded index")
+    if index.closure_bp is not None:
+        raise ValueError("index already has closure replication")
+    if closure_bp <= 0:
+        raise ValueError(f"closure_bp must be positive, got {closure_bp}")
+    from pyspark.storagelevel import StorageLevel
+
+    from scalablevectorsearch_spark.operators.vamana_local import (
+        build_graph,
+        insert_points,
+    )
+
+    params, distance, vec_decode = index.params, index.distance, index.vec_decode
+
+    def link_fn(key, vdf: pd.DataFrame, gdf: pd.DataFrame) -> pd.DataFrame:
+        if len(vdf) == 0:
+            return pd.DataFrame(
+                {"shard_id": [], "src": [], "neighbors": [], "is_entry": []}
+            )
+        vdf = vdf.sort_values("__id").reset_index(drop=True)
+        gids = vdf["__id"].to_numpy(dtype=np.int64)
+        X = np.stack(vdf["__vec"].to_numpy()).astype(np.float64)
+        if vec_decode is not None:
+            X = vec_decode(X)
+        X = X.astype(params.build_dtype, copy=False)
+        shard = int(vdf["shard_id"].iloc[0])
+        if len(gdf) == 0:
+            graph, entry = build_graph(X, params, distance)
+        else:
+            graph, entry = _decode_adjacency(gids, gdf)
+            src = gdf["src"].to_numpy(dtype=np.int64)
+            spos = np.searchsorted(gids, src)
+            sposc = np.minimum(spos, len(gids) - 1)
+            old = np.zeros(len(gids), dtype=bool)
+            old[sposc[gids[sposc] == src]] = True
+            if entry is None:
+                # defensive: a graph frame without a surviving entry row
+                from scalablevectorsearch_spark.operators.vamana_local import (
+                    medioid,
+                )
+
+                entry = int(np.nonzero(old)[0][medioid(X[old])]) if old.any() else 0
+            new_nodes = np.nonzero(~old)[0].astype(np.int64)
+            if len(new_nodes):
+                # ascending-id insertion order: deterministic graphs.
+                # Build-sized rounds (vamana_build.h:241's
+                # max(40, ceil(n/4096)) batching): the lockstep search
+                # cost is superlinear in round size (see insert_points),
+                # and 4096-node rounds measured 2.1x slower
+                nb = max(40, -(-len(new_nodes) // 4096))
+                insert_points(
+                    X, graph, entry, new_nodes, params, distance,
+                    batch_size=-(-len(new_nodes) // nb),
+                )
+        return pd.DataFrame(
+            {
+                "shard_id": shard,
+                "src": gids,
+                "neighbors": [gids[adj].tolist() for adj in graph],
+                "is_entry": [i == entry for i in range(len(gids))],
+            }
+        )
+
+    layout = _by_shard(
+        _sharded(
+            index.base, index.n_shards, index.id_col, index.shard_model,
+            index.vec_col, closure_bp, vec_decode,
+        ).select(
+            "shard_id",
+            F.col(index.id_col).cast("long").alias("__id"),
+            F.col(index.vec_col).alias("__vec"),
+        )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    graph = (
+        layout.groupBy("shard_id")
+        .cogroup(_by_shard(index.graph).groupBy("shard_id"))
+        .applyInPandas(link_fn, GRAPH_SCHEMA)
+    )
+    return VamanaIndex(
+        graph=graph, base=index.base, params=params, distance=distance,
+        n_shards=index.n_shards, id_col=index.id_col, vec_col=index.vec_col,
+        shard_model=index.shard_model, closure_bp=closure_bp, layout=layout,
+        vec_decode=vec_decode,
+    )
+
+
 def vamana_search(
     index: VamanaIndex,
     queries: DataFrame,

@@ -841,6 +841,7 @@ def insert_points(
     new_nodes: np.ndarray,
     params: VamanaParams,
     distance: str = "l2",
+    batch_size: int | None = None,
 ) -> None:
     """Incremental insertion (dynamic_index.h:631-700): link each new
     node by greedy-searching the EXISTING graph from the entry point,
@@ -850,12 +851,23 @@ def insert_points(
     O(n) of a rebuild. ``X`` holds old and new rows; ``graph`` has the
     old adjacency (empty arrays at ``new_nodes``) and is mutated in
     place; the entry point is unchanged (the reference keeps the
-    medioid of the original load until consolidation)."""
+    medioid of the original load until consolidation).
+
+    ``batch_size`` (default :data:`INSERT_BATCH`): nodes linked per
+    frozen-graph round. Measured on a 16k-row shard at amplification 2
+    (8k inserts into an 8k graph): per-round cost is SUPERLINEAR in the
+    round size — the lockstep greedy search pays for its slowest
+    straggler across the whole chunk, so 4096-node rounds cost 2.1x the
+    ~205-node (build-sized) rounds (31.8s vs 13.5s; sweep in the
+    closure_link_replicas A/B tooling). Bulk closure linking passes a
+    build-sized batch; the dynamic add_points default stays at 4096,
+    where round boundaries are also reachability semantics."""
     x_sq = np.einsum("ij,ij->i", X, X)
     new_nodes = np.asarray(new_nodes, dtype=np.int64)
-    for b0 in range(0, len(new_nodes), INSERT_BATCH):
+    bs = batch_size if batch_size is not None else INSERT_BATCH
+    for b0 in range(0, len(new_nodes), bs):
         _link_nodes(
-            X, graph, [entry], new_nodes[b0 : b0 + INSERT_BATCH],
+            X, graph, [entry], new_nodes[b0 : b0 + bs],
             params, distance, x_sq,
         )
 

@@ -304,6 +304,56 @@ recall(
 vc.graph.unpersist()
 vc.layout.unpersist()
 
+# ---- incremental closure A/B (VERDICT r7 task 2) ----
+# The batch closure build above re-links the whole base+replica union.
+# This path builds the PLAIN kmeans-sharded graphs once (same
+# shard_model, so the closure layouts are identical) and insert-links
+# only the replica rows (dynamic_index.h:631-700 insert kernel) —
+# bounding new work to the replica fraction. The A/B compares
+# vamana_closure_build vs (closure_plain_build + closure_incr_link)
+# wall time AND the searched recall at the same epsilon operating
+# point (insert-linked graphs prune in a different order, so recall
+# parity is the claim under test, not bit-identity).
+from scalablevectorsearch_spark.operators.vamana import closure_link_replicas
+
+
+def closure_plain_build():
+    vp = vamana_build(
+        data, P, n_shards=N_SHARDS, shard_by="kmeans", shard_model=model
+    )
+    vp.graph.cache().count()
+    return vp
+
+
+vp = timed("closure_plain_build", closure_plain_build)
+
+
+def closure_incr():
+    vci = closure_link_replicas(vp, CLOSURE_BP)
+    vci.graph.cache().count()
+    return vci
+
+
+vci = timed("closure_incr_link", closure_incr)
+meta["closure_incr_total"] = round(
+    timings["closure_plain_build"] + timings["closure_incr_link"], 1
+)
+meta["closure_batch_total"] = timings["vamana_closure_build"]
+print("closure A/B:", json.dumps(meta), flush=True)
+recall(
+    "vamana_closure_incr",
+    timed_df(
+        "vamana_closure_incr_search",
+        lambda: vamana_search(
+            vci, queries, k=K, search_window_size=CLOSURE_SWS, epsilon_bp=EPS_BP
+        ),
+    ),
+)
+vp.graph.unpersist()
+vp.layout.unpersist()
+vci.graph.unpersist()
+vci.layout.unpersist()
+
 # ---- dynamic large-wave cycle on the hash-sharded index ----
 # 10% deletes forced down the DataFrame-tombstone path
 # (max_driver_ids=0), then consolidate (repair), then post-cycle search
@@ -443,6 +493,9 @@ FLOORS = {
     # guard at a hand-picked point
     "vamana_routed_calibrated": 0.90,
     "vamana_closure": 0.80,
+    # incremental closure (insert-linked replicas) must hold the same
+    # floor as the batch build — recall parity is the A/B's claim
+    "vamana_closure_incr": 0.80,
     "dynamic_tombstoned": 0.85,
     "dynamic_consolidated": 0.85,
 }

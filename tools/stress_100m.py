@@ -1,0 +1,318 @@
+"""100M-row ANN stress tier (VERDICT r7 task 1) — the 100x evidence.
+
+Usage: python tools/stress_100m.py [n_rows] [stage]
+  n_rows default 100_000_000 (~26 GB of 64-dim f32)
+  stage in {gen, ivf, vamana, all} (default all)
+
+Every prior design claim extrapolated from 10M rows; this tier runs the
+scale-path operators at 1e8 on this host. SCOPE (per the r7 verdict):
+operators whose cost is linear with a small constant —
+
+ - exact flat groundtruth on a 500-query sample (inside the generator),
+ - IVF build + epsilon-probed + budget-probed + recall-TARGETED search,
+ - routed (kmeans-sharded) Vamana build + budget-routed +
+   calibrated-to-target search.
+
+Closure replication stays at the 10M tier (tools/stress.py) — its build
+is the known cost frontier and adds no new scaling argument beyond the
+routed tier's.
+
+SIZING at 1e8 — what changes vs the 10M rule and why (honestly):
+ - IVF cells: N/16384 (= 6103), NOT the N/4096 rule. Lloyd+stamp cost
+   is N·C·d per pass; the 4096-row rule's 24414 cells would cost ~4x
+   more per pass than the entire 10M build. Bigger cells trade probe
+   granularity for build cost; the 100 TB design answer to "too many
+   centroids to scan" is the hierarchical router
+   (train_hierarchical_kmeans + CentroidRouter, both gated), not a
+   bigger flat GEMM.
+ - k-means TRAINS ON A SAMPLE (ids < 1M: the counter-based generator
+   makes any id-prefix an iid sample) and stamps the full data in one
+   pass — the reference trains on a seeded fraction too
+   (ivf/kmeans.h:47-74). Full-data Lloyd at this scale buys nothing
+   but passes.
+ - Vamana shards: N/8192 (= 12207) unchanged — per-shard build cost is
+   the constant that matters; total build is linear in N (~2.2h
+   extrapolated from 796s at 10M).
+ - The clustered/base frames are NOT cached wholesale; scans re-read
+   parquet (the 100 TB posture — storage is the source of truth).
+
+Floors (asserted): ivf_epsilon >= 0.90 and vamana_routed_calibrated >=
+its 0.90 target (the r7-verdict 'done' criteria), flat groundtruth
+exact by construction.
+
+Appends one line per stage to BENCH_HISTORY.jsonl tagged
+{"stress": N, "tier": "100m-<stage>"} with 1-min load averages around
+each timed segment so host contention is visible in the record.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from scalablevectorsearch_spark.session import get_spark
+from scalablevectorsearch_spark.operators.flat import flat_knn
+from scalablevectorsearch_spark.operators.ivf import (
+    IVFIndex,
+    fit_epsilon_bp,
+    ivf_search,
+)
+from scalablevectorsearch_spark.operators.kmeans import train_kmeans, _nearest_centroid
+from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.sources.vecs import generate_test_dataset_distributed
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
+STAGE = sys.argv[2] if len(sys.argv) > 2 else "all"
+N_QUERIES, DIM, K = 500, 64, 10
+SAMPLE_TRAIN = 1_000_000
+IVF_CLUSTERS = max(16, N // 16384)
+IVF_PROBES = max(4, IVF_CLUSTERS // 8)
+N_SHARDS = max(8, N // 8192)
+P = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
+
+spark = get_spark("stress-100m")
+out = f"/root/repo/_artifacts/stress100m_{N}"
+timings: dict[str, float] = {}
+recalls: dict[str, float] = {}
+meta: dict[str, object] = {
+    "ivf_clusters": IVF_CLUSTERS, "ivf_probes": IVF_PROBES,
+    "n_shards": N_SHARDS, "sample_train": SAMPLE_TRAIN,
+}
+loads: dict[str, float] = {}
+
+
+def timed(name, fn):
+    loads[name] = round(os.getloadavg()[0], 1)
+    t0 = time.time()
+    r = fn()
+    timings[name] = round(time.time() - t0, 1)
+    print(f"{name}: {timings[name]}s (load {loads[name]})", flush=True)
+    return r
+
+
+def record(tier):
+    line = {
+        "ts": __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc
+        ).isoformat(timespec="seconds"),
+        "stress": N, "tier": f"100m-{tier}", "timings": timings,
+        "recalls": recalls, "meta": meta, "load_avg": loads,
+    }
+    with open("/root/repo/BENCH_HISTORY.jsonl", "a") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line), flush=True)
+
+
+# ---------------- gen ----------------
+if STAGE in ("gen", "all") and not os.path.exists(f"{out}/manifest.json"):
+    timed(
+        "generate_with_groundtruth",
+        lambda: generate_test_dataset_distributed(
+            spark, N, N_QUERIES, DIM, out, seed=7, k=K
+        ),
+    )
+    record("gen")
+
+data = spark.read.parquet(f"{out}/data")
+queries = spark.read.parquet(f"{out}/queries")
+gt = spark.read.parquet(f"{out}/groundtruth")
+gt_pairs = gt.select("qid", "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
+n_gt = gt_pairs.count()
+
+
+def recall(name, res):
+    m = (
+        res.select("qid", "neighbor_id")
+        .join(gt_pairs, ["qid", "neighbor_id"], "left_semi")
+        .count()
+    )
+    recalls[name] = round(m / n_gt, 4)
+    print(f"{name} recall: {recalls[name]}", flush=True)
+    try:
+        res.unpersist()
+    except Exception:
+        pass
+
+
+def timed_df(name, fn):
+    def run():
+        df = fn().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+
+    return timed(name, run)
+
+
+# ---------------- ivf ----------------
+if STAGE in ("ivf", "all"):
+    sample = data.filter(F.col("id") < SAMPLE_TRAIN)
+    model = timed(
+        "ivf_kmeans_sample_train",
+        lambda: train_kmeans(sample, IVF_CLUSTERS, 2),
+    )
+
+    if not os.path.exists(f"{out}/ivf_clustered/_SUCCESS"):
+        from scalablevectorsearch_spark.functions.arrowio import map_stamp
+
+        bc = spark.sparkContext.broadcast(model.centroids)
+
+        def stamp_write():
+            clustered = map_stamp(
+                data, "vector", "cluster_id",
+                lambda V: _nearest_centroid(V, bc.value),
+            )
+            # range-partitioned by cluster_id: probed-cluster searches
+            # prune files/row-groups via parquet min/max stats
+            clustered.repartitionByRange(256, "cluster_id").write.mode(
+                "overwrite"
+            ).parquet(f"{out}/ivf_clustered")
+
+        timed("ivf_stamp_write", stamp_write)
+
+    clustered = spark.read.parquet(f"{out}/ivf_clustered")
+    idx = IVFIndex(clustered=clustered, model=model, id_col="id", vec_col="vector")
+
+    Q = np.stack(
+        queries.orderBy("qid").toPandas()["vector"].to_numpy()
+    ).astype(np.float64)
+    EPS_BP = fit_epsilon_bp(Q, model.centroids, float(IVF_PROBES))
+    meta["ivf_eps_bp_fitted"] = EPS_BP
+    recall(
+        "ivf_epsilon",
+        timed_df(
+            "ivf_epsilon_search",
+            lambda: ivf_search(idx, queries, k=K, n_probes=0, epsilon_bp=EPS_BP),
+        ),
+    )
+    recall(
+        "ivf_budget",
+        timed_df(
+            "ivf_budget_search",
+            lambda: ivf_search(
+                idx, queries, k=K, probe_budget=float(IVF_PROBES)
+            ),
+        ),
+    )
+    cal_ivf = timed(
+        "ivf_calibrate",
+        lambda: calibrate_probe_budget(
+            lambda b: ivf_search(idx, queries, k=K, probe_budget=b),
+            gt, K, target_recall=0.90, max_budget=float(IVF_CLUSTERS),
+            resolution=max(0.25, IVF_CLUSTERS / 64),
+        ),
+    )
+    meta["ivf_calibrated_budget"] = cal_ivf.probe_budget
+    meta["ivf_calibrated_fraction"] = round(cal_ivf.probe_budget / IVF_CLUSTERS, 4)
+    meta["ivf_calibrated_evals"] = len(cal_ivf.probes)
+    recall(
+        "ivf_calibrated",
+        timed_df(
+            "ivf_calibrated_search",
+            lambda: ivf_search(
+                idx, queries, k=K, probe_budget=cal_ivf.probe_budget
+            ),
+        ),
+    )
+    record("ivf")
+
+# ---------------- vamana ----------------
+if STAGE in ("vamana", "all"):
+    sample = data.filter(F.col("id") < SAMPLE_TRAIN)
+    shard_model = timed(
+        "shard_kmeans_sample_train",
+        lambda: train_kmeans(sample, N_SHARDS, 2),
+    )
+
+    def routed_build():
+        vr = vamana_build(
+            data, P, n_shards=N_SHARDS, shard_by="kmeans",
+            shard_model=shard_model,
+        )
+        vr.graph.persist(StorageLevel.MEMORY_AND_DISK).count()
+        return vr
+
+    vr = timed("vamana_routed_build", routed_build)
+    recall(
+        "vamana_routed",
+        timed_df(
+            "vamana_routed_search",
+            lambda: vamana_search(
+                vr, queries, k=K, search_window_size=30,
+                probe_budget=float(max(4, N_SHARDS // 4)),
+            ),
+        ),
+    )
+    cal_sws = 30
+    cal = timed(
+        "vamana_routed_calibrate",
+        lambda: calibrate_probe_budget(
+            lambda b: vamana_search(
+                vr, queries, k=K, search_window_size=cal_sws, probe_budget=b
+            ),
+            gt, K, target_recall=0.90, max_budget=float(N_SHARDS),
+            resolution=max(0.25, N_SHARDS / 64),
+        ),
+    )
+    if cal.recall < 0.90:
+        # best-effort at full fan-out: the exploration window, not the
+        # probe budget, is the binding constraint (uniform data at
+        # sws=30 can cap below target) — re-calibrate on the wider
+        # window the closure tier uses (50), trading per-shard search
+        # cost for the recall the user asked for. Both attempts stay
+        # in the record.
+        meta["calibrated_sws30_best_effort"] = cal.recall
+        cal_sws = 50
+        cal = timed(
+            "vamana_routed_calibrate_sws50",
+            lambda: calibrate_probe_budget(
+                lambda b: vamana_search(
+                    vr, queries, k=K, search_window_size=cal_sws, probe_budget=b
+                ),
+                gt, K, target_recall=0.90, max_budget=float(N_SHARDS),
+                resolution=max(0.25, N_SHARDS / 64),
+            ),
+        )
+    meta["calibrated_sws"] = cal_sws
+    meta["calibrated_budget"] = cal.probe_budget
+    meta["calibrated_budget_fraction"] = round(cal.probe_budget / N_SHARDS, 4)
+    meta["calibrated_probe_evals"] = len(cal.probes)
+    print(
+        f"calibrated budget: {cal.probe_budget} "
+        f"({meta['calibrated_budget_fraction']} of {N_SHARDS} shards), "
+        f"recall at calibration {cal.recall:.4f}",
+        flush=True,
+    )
+    recall(
+        "vamana_routed_calibrated",
+        timed_df(
+            "vamana_routed_calibrated_search",
+            lambda: vamana_search(
+                vr, queries, k=K, search_window_size=cal_sws,
+                probe_budget=cal.probe_budget,
+            ),
+        ),
+    )
+    vr.graph.unpersist()
+    vr.layout.unpersist()
+    record("vamana")
+
+FLOORS = {"ivf_epsilon": 0.90, "vamana_routed_calibrated": 0.90}
+bad = {
+    k: (recalls[k], v)
+    for k, v in FLOORS.items()
+    if k in recalls and recalls[k] < v
+}
+assert not bad, f"recall floors violated: {bad}"
+print("STRESS-100M DONE", flush=True)
