@@ -26,7 +26,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("example-vamana")
     base = spark.read.parquet(f"{sf_dir}/embeddings.parquet").selectExpr(
-        "vec_id as id", "embedding as vector"
+        "vec_id as id", "embedding as vector", "label"
     )
     queries = base.filter(F.col("id") < 50).selectExpr("id as qid", "vector")
 
@@ -90,6 +90,36 @@ def main() -> None:
         f"calibrated probe budget={cal_b.probe_budget} "
         f"recall={cal_b.recall:.4f} (target 0.90)"
     )
+
+    # 7. filtered search (where=): the filtered-RAG query — predicate
+    # restricts what is RETURNED while the graph is still traversed
+    # through non-matching nodes; at an exhaustive window it is exactly
+    # the filtered k-NN (flat.h:290-295 predicate semantics composed
+    # with the graph index)
+    fres = vamana_search(
+        index, queries, k=10, search_window_size=4096, where="label = 3"
+    )
+    fgt = flat_knn(base, queries, k=10, distance="l2", where="label = 3")
+    match = (
+        fres.select("qid", "neighbor_id")
+        .join(fgt.select("qid", "neighbor_id"), ["qid", "neighbor_id"], "left_semi")
+        .count()
+    )
+    assert match == fgt.count(), "exhaustive filtered search must be exact"
+    print(f"filtered search (label=3): {match} results, exact vs filtered flat")
+
+    # 8. incremental closure: upgrade the PLAIN kmeans-sharded index to
+    # a SPANN-closure index by insert-linking only the replica rows —
+    # ~0.5x the batch closure rebuild at amplification 2
+    from scalablevectorsearch_spark.operators.vamana import closure_link_replicas
+
+    closed = closure_link_replicas(routed, closure_bp=2000)
+    amp = closed.layout.count() / base.count()
+    cres = vamana_search(
+        closed, queries, k=10, search_window_size=30, epsilon_bp=800
+    ).select("qid", "neighbor_id")
+    crecall = cres.join(gt, ["qid", "neighbor_id"], "left_semi").count() / n_gt
+    print(f"incremental closure: amplification {amp:.2f}, recall@10={crecall:.4f}")
 
 
 if __name__ == "__main__":

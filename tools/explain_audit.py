@@ -165,6 +165,49 @@ def main() -> int:
         "vamana: search cogroups off the persisted layout (no base shuffle)",
         bool(no_scan_exchange.search(p)),
     )
+    # filtered graph search (where=): the predicate must reach the
+    # parquet scan as a pushed filter-expression evaluation (a __keep
+    # projection, NOT a join against a flag/id table — joins on __id
+    # would shuffle the base twice), and the scan feeds the per-shard
+    # cogroup through exactly one shard_id exchange
+    idxf = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20), n_shards=4
+    )
+    idxf.graph.cache().count()
+    pf = plan_of(
+        vamana_search(idxf, queries, k=5, search_window_size=20, where="label = 3")
+    )
+    check(
+        "vamana filtered: predicate stamped map-side, no join in the scan",
+        ("Join" not in pf) and ("label" in pf),
+    )
+    # the scan side of the cogroup (the ':'-continued left branch under
+    # FlatMapCoGroupsInPandas) must contain exactly ONE Exchange and no
+    # Join between the leaf scan and the kernel — the predicate rides
+    # the stamp projection, it is not joined in. Structural parse of
+    # the executed tree; AQE "Initial Plan" sections of cached subtrees
+    # (which list never-run ENSURE_REQUIREMENTS exchanges) start after
+    # the left branch ends, so they are excluded by construction.
+    lines = pf.splitlines()
+    start = next(
+        (i for i, ln in enumerate(lines) if "FlatMapCoGroupsInPandas" in ln),
+        None,
+    )
+    left: list[str] = []
+    if start is not None:
+        col = lines[start].index("FlatMapCoGroupsInPandas")
+        for ln in lines[start + 1 :]:
+            if len(ln) <= col or ln[col] != ":":
+                break
+            left.append(ln)
+    n_ex = sum("Exchange (" in ln for ln in left)
+    n_join = sum("Join" in ln for ln in left)
+    check(
+        "vamana filtered: cogroup scan side has exactly one exchange, no join",
+        bool(left) and n_ex == 1 and n_join == 0,
+        detail=f"exchanges={n_ex} joins={n_join} lines={len(left)}",
+    )
+
     dyn = add_points(
         dynamic_vamana(idx),
         base.filter(F.col("id") < 2).selectExpr("id + 900000 as id", "vector"),
