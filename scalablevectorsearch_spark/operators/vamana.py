@@ -607,6 +607,18 @@ def vamana_search(
 
         blocks = query_blocks(queries, qid_col, qvec_col, max_query_block)
 
+    filtered_scan = None
+    if where is not None and max_query_block is not None:
+        # the filtered scan re-stamps the base (the metadata-free
+        # persisted layout is bypassed, see _vamana_search_block);
+        # under query-block iteration each block's job would otherwise
+        # re-run that full stamp pass — build it ONCE, persist for the
+        # duration of the block loop, release at the end
+        from pyspark.storagelevel import StorageLevel
+
+        filtered_scan = _filtered_scan(index, where).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     parts: list[DataFrame] = []
     for qp in blocks:
         if len(qp) == 0:
@@ -616,6 +628,7 @@ def vamana_search(
             n_probes, router, maximize, scale, sc, deadline,
             epsilon_bp=epsilon_bp, max_probes=max_probes,
             probe_budget=probe_budget, where=where,
+            scan_override=filtered_scan,
         )
         if max_query_block is not None:
             part = part.persist()
@@ -624,6 +637,8 @@ def vamana_search(
         parts.append(part)
     if not parts:
         raise ValueError("empty query batch")
+    if filtered_scan is not None:
+        filtered_scan.unpersist()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -704,6 +719,25 @@ def _fit_vamana_budget(
     return cal.probe_budget
 
 
+def _filtered_scan(index: VamanaIndex, where) -> DataFrame:
+    """The where= scan: base re-sharded map-side (same deterministic
+    assignment the build used, no id join) with the predicate evaluated
+    as a __keep flag at the parquet scan — the metadata-free persisted
+    layout cannot carry the predicate's columns."""
+    w = F.expr(where) if isinstance(where, str) else where
+    return _by_shard(
+        _sharded(
+            index.base, index.n_shards, index.id_col, index.shard_model,
+            index.vec_col, index.closure_bp, index.vec_decode,
+        ).select(
+            "shard_id",
+            F.col(index.id_col).cast("long").alias("__id"),
+            F.col(index.vec_col).alias("__vec"),
+            w.cast("boolean").alias("__keep"),
+        )
+    )
+
+
 def _vamana_search_block(
     index: VamanaIndex,
     qp: pd.DataFrame,
@@ -722,10 +756,12 @@ def _vamana_search_block(
     max_probes: int | None = None,
     probe_budget: float | None = None,
     where=None,
+    scan_override: DataFrame | None = None,
 ) -> tuple[DataFrame, object]:
     """One query block's shard-cogroup search + merge; returns the
     ranked result and the block's broadcast (caller frees it when
-    iterating blocks eagerly)."""
+    iterating blocks eagerly). ``scan_override``: a pre-built (usually
+    persisted) filtered scan shared across query blocks."""
     params, distance = index.params, index.distance
     vec_decode = index.vec_decode
     qids = qp["qid"].to_numpy(dtype=np.int64)
@@ -861,25 +897,15 @@ def _vamana_search_block(
             }
         )
 
-    if where is not None:
+    if scan_override is not None:
+        scan = scan_override
+    elif where is not None:
         # filtered search: the predicate needs the base's metadata
         # columns, which the persisted (id, vec)-only layout dropped —
-        # re-shard the base map-side (same deterministic assignment the
-        # build used, no id join) with the predicate evaluated as a
-        # __keep flag at the parquet scan. One exchange by shard_id,
-        # which the per-shard kernels need anyway.
-        w = F.expr(where) if isinstance(where, str) else where
-        scan = _by_shard(
-            _sharded(
-                index.base, index.n_shards, index.id_col, index.shard_model,
-                index.vec_col, index.closure_bp, index.vec_decode,
-            ).select(
-                "shard_id",
-                F.col(index.id_col).cast("long").alias("__id"),
-                F.col(index.vec_col).alias("__vec"),
-                w.cast("boolean").alias("__keep"),
-            )
-        )
+        # re-shard the base map-side with a __keep flag (_filtered_scan;
+        # one exchange by shard_id, which the per-shard kernels need
+        # anyway)
+        scan = _filtered_scan(index, where)
     elif index.layout is not None:
         # persisted shard-partitioned layout: no base shuffle at search
         scan = index.layout

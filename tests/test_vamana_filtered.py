@@ -139,6 +139,22 @@ class TestFilteredRecallAndComposition:
         # sample-fitted on the full 10-query set here, so the target binds
         assert r >= 0.9, r
 
+    def test_where_with_query_blocks_matches_single_batch(
+        self, spark, fbase, fqueries
+    ):
+        """where= + max_query_block: blocks share ONE persisted filtered
+        scan (each block's job must not re-stamp the base) and the
+        blocked result equals the single-batch result exactly."""
+        index = vamana_build(fbase, PARAMS, n_shards=4)
+        got = vamana_search(
+            index, fqueries, k=5, search_window_size=4096,
+            where="label = 3", max_query_block=4,
+        )
+        want = vamana_search(
+            index, fqueries, k=5, search_window_size=4096, where="label = 3"
+        )
+        assert _exact(got) == _exact(want)
+
     def test_null_predicate_rows_not_matched(self, spark, fbase, fqueries):
         """SQL semantics: NULL predicate result is not a match."""
         withnull = fbase.withColumn(
