@@ -77,7 +77,15 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
 STAGE = sys.argv[2] if len(sys.argv) > 2 else "all"
 N_QUERIES, DIM, K = 500, 64, 10
 SAMPLE_TRAIN = 1_000_000
-IVF_CLUSTERS = max(16, N // 16384)
+# the cell-size rule coarsens with N because the flat nearest-centroid
+# stamp is O(N*C*d) and MEASURES memory-bound (~1.9 ms/row at C=6103:
+# a 100M stamp pass would cost ~100 min of 32-way wall); 64k-row cells
+# keep the stamp ~25 min at 1e8 while epsilon/budget probing adapts to
+# the coarser cells. The 100 TB answer to "more cells without an N*C
+# stamp" is hierarchical assignment (train_hierarchical_kmeans +
+# CentroidRouter), which is gated at sf0.01 — this tier measures the
+# flat path honestly rather than silently switching designs.
+IVF_CLUSTERS = max(16, N // (65536 if N >= 50_000_000 else 16384))
 IVF_PROBES = max(4, IVF_CLUSTERS // 8)
 N_SHARDS = max(8, N // 8192)
 P = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
@@ -173,11 +181,13 @@ if STAGE in ("ivf", "all"):
                 data, "vector", "cluster_id",
                 lambda V: _nearest_centroid(V, bc.value),
             )
-            # range-partitioned by cluster_id: probed-cluster searches
-            # prune files/row-groups via parquet min/max stats
-            clustered.repartitionByRange(256, "cluster_id").write.mode(
-                "overwrite"
-            ).parquet(f"{out}/ivf_clustered")
+            # written in scan order, NOT range-partitioned by
+            # cluster_id: at 500 queries x 12.5% fan-out every cell is
+            # probed by some query, so min/max file pruning cannot cut
+            # the scan — and the range shuffle would double peak disk
+            # (25 GB shuffle temp + 25 GB output). Few-query/selective
+            # workloads are where a cluster-ordered layout pays.
+            clustered.write.mode("overwrite").parquet(f"{out}/ivf_clustered")
 
         timed("ivf_stamp_write", stamp_write)
 
@@ -196,32 +206,21 @@ if STAGE in ("ivf", "all"):
             lambda: ivf_search(idx, queries, k=K, n_probes=0, epsilon_bp=EPS_BP),
         ),
     )
-    recall(
-        "ivf_budget",
-        timed_df(
-            "ivf_budget_search",
-            lambda: ivf_search(
-                idx, queries, k=K, probe_budget=float(IVF_PROBES)
-            ),
-        ),
-    )
-    cal_ivf = timed(
-        "ivf_calibrate",
-        lambda: calibrate_probe_budget(
-            lambda b: ivf_search(idx, queries, k=K, probe_budget=b),
-            gt, K, target_recall=0.90, max_budget=float(IVF_CLUSTERS),
-            resolution=max(0.25, IVF_CLUSTERS / 64),
-        ),
-    )
-    meta["ivf_calibrated_budget"] = cal_ivf.probe_budget
-    meta["ivf_calibrated_fraction"] = round(cal_ivf.probe_budget / IVF_CLUSTERS, 4)
-    meta["ivf_calibrated_evals"] = len(cal_ivf.probes)
+    # recall-TARGETED row through the GATED ivf_search(target_recall=)
+    # convenience: the budget is fitted on the 32 smallest qids (each
+    # calibration eval searches only the sample, so the cost is one
+    # probed scan per eval, not a 500-query pass), then the full
+    # 500-query search runs at the fitted budget and is graded against
+    # the full groundtruth — exactly how a production deployment would
+    # use it at this scale
+    gt_cal = gt.filter(F.col("qid") < 32)
     recall(
         "ivf_calibrated",
         timed_df(
             "ivf_calibrated_search",
             lambda: ivf_search(
-                idx, queries, k=K, probe_budget=cal_ivf.probe_budget
+                idx, queries, k=K, target_recall=0.90,
+                calibration_queries=32, calibration_groundtruth=gt_cal,
             ),
         ),
     )
@@ -308,7 +307,13 @@ if STAGE in ("vamana", "all"):
     vr.layout.unpersist()
     record("vamana")
 
-FLOORS = {"ivf_epsilon": 0.90, "vamana_routed_calibrated": 0.90}
+FLOORS = {
+    "ivf_epsilon": 0.90,
+    # sample-fitted (32 qids): full-population recall may sit slightly
+    # below the 0.90 target (ivf_search docstring's CI caveat)
+    "ivf_calibrated": 0.88,
+    "vamana_routed_calibrated": 0.90,
+}
 bad = {
     k: (recalls[k], v)
     for k, v in FLOORS.items()
