@@ -227,8 +227,22 @@ def dedup_minhash(
     the candidate set only ever grows), squaring the per-pair miss to
     ~3e-8 at 0.97 — effectively zero at corpus scale. Cost: 2x minhash
     compute and 2x band-shuffle volume; the exact-Jaccard verify grows
-    only by the extra candidates. Use for chain-critical dedup (pair
-    tables feeding dedup_components)."""
+    only by the extra candidates.
+
+    Zero-miss operating point (tools/dedup_ab.py, 2M-doc planted-chain
+    A/B, r8): ``n_perm=32, n_bands=8, n_passes=1`` and the default
+    ``n_perm=16, n_bands=4, n_passes=2`` are COST-EQUIVALENT — same
+    32-hash signature, same 8-band shuffle volume, same (1 - s^4)^8
+    miss (~3e-8 at 0.97), and they mined the IDENTICAL 59,406 pairs
+    with 0 bad canonicals. A first naive A/B showed a 3.9x gap, which
+    an order-reversed re-run flipped: whichever config runs FIRST pays
+    the corpus warm-up (~53-60s vs ~17s second), so single-run config
+    comparisons on a fresh corpus measure the cache, not the config.
+    Pick ``n_passes=2`` when a 16-perm signature base already exists
+    (its pass-1 bands are bit-identical to ``n_passes=1``, candidates
+    only grow against prior runs), ``32/8/1`` otherwise; an r=3
+    ``18/6/1`` config also zero-missed (miss ~4.4e-7) with a ~44%
+    shorter signature if minhash compute ever dominates."""
     from pyspark.storagelevel import StorageLevel
 
     if n_passes < 1:
