@@ -451,6 +451,7 @@ def vamana_search(
     calibration_queries: int = 32,
     calibration_groundtruth: DataFrame | None = None,
     where=None,
+    scan_override: DataFrame | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -471,6 +472,10 @@ def vamana_search(
     ``search_window_size`` toward ~window/s so the buffer still holds k
     matching candidates (at an exhaustive window the result is EXACTLY
     the filtered k-NN, same as flat_knn(where=)).
+    ``scan_override``: a pre-built (usually persisted) filtered scan
+    (from ``_filtered_scan``) to reuse instead of re-stamping the base —
+    callers that search the same ``where=`` repeatedly (the calibration
+    fit loop, block iteration) share one; the caller owns its lifecycle.
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
     (dynamic_search_buffer.h skip-deleted semantics). ``exclude_df``:
@@ -607,8 +612,9 @@ def vamana_search(
 
         blocks = query_blocks(queries, qid_col, qvec_col, max_query_block)
 
-    filtered_scan = None
-    if where is not None and max_query_block is not None:
+    filtered_scan = scan_override
+    own_scan = False
+    if filtered_scan is None and where is not None and max_query_block is not None:
         # the filtered scan re-stamps the base (the metadata-free
         # persisted layout is bypassed, see _vamana_search_block);
         # under query-block iteration each block's job would otherwise
@@ -619,26 +625,32 @@ def vamana_search(
         filtered_scan = _filtered_scan(index, where).persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        own_scan = True
     parts: list[DataFrame] = []
-    for qp in blocks:
-        if len(qp) == 0:
-            continue
-        part, bc = _vamana_search_block(
-            index, qp, k, sws, excl, exclude_df, buffer_capacity,
-            n_probes, router, maximize, scale, sc, deadline,
-            epsilon_bp=epsilon_bp, max_probes=max_probes,
-            probe_budget=probe_budget, where=where,
-            scan_override=filtered_scan,
-        )
-        if max_query_block is not None:
-            part = part.persist()
-            part.count()
-            bc.unpersist()
-        parts.append(part)
-    if not parts:
-        raise ValueError("empty query batch")
-    if filtered_scan is not None:
-        filtered_scan.unpersist()
+    try:
+        for qp in blocks:
+            if len(qp) == 0:
+                continue
+            part, bc = _vamana_search_block(
+                index, qp, k, sws, excl, exclude_df, buffer_capacity,
+                n_probes, router, maximize, scale, sc, deadline,
+                epsilon_bp=epsilon_bp, max_probes=max_probes,
+                probe_budget=probe_budget, where=where,
+                scan_override=filtered_scan,
+            )
+            if max_query_block is not None:
+                part = part.persist()
+                part.count()
+                bc.unpersist()
+            parts.append(part)
+        if not parts:
+            raise ValueError("empty query batch")
+    finally:
+        # release even when the loop raises (a caller-owned override is
+        # the caller's to release); blocks are materialized eagerly
+        # under max_query_block, so nothing downstream re-reads it
+        if own_scan:
+            filtered_scan.unpersist()
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -683,6 +695,17 @@ def _fit_vamana_budget(
     sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
         calibration_queries
     )
+    # one persisted filtered scan shared across EVERY probe-budget
+    # evaluation of the fit loop — without it each calibration step
+    # re-stamps the full base (O(log n_shards) extra full-base passes),
+    # the same sharing vamana_search's block loop does
+    scan_override = None
+    if where is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        scan_override = _filtered_scan(index, where).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     if groundtruth is None:
         base = index.base
         if where is not None:
@@ -706,16 +729,21 @@ def _fit_vamana_budget(
             id_col=index.id_col, vec_col=index.vec_col, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, decode=index.vec_decode,
         )
-    cal = calibrate_probe_budget(
-        lambda b: vamana_search(
-            index, sample_q, k, search_window_size=sws, qid_col=qid_col,
-            qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
-            max_probes=max_probes, buffer_capacity=buffer_capacity,
-            exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
-        ),
-        groundtruth, k, target_recall=target_recall,
-        max_budget=float(index.n_shards),
-    )
+    try:
+        cal = calibrate_probe_budget(
+            lambda b: vamana_search(
+                index, sample_q, k, search_window_size=sws, qid_col=qid_col,
+                qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
+                max_probes=max_probes, buffer_capacity=buffer_capacity,
+                exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
+                scan_override=scan_override,
+            ),
+            groundtruth, k, target_recall=target_recall,
+            max_budget=float(index.n_shards),
+        )
+    finally:
+        if scan_override is not None:
+            scan_override.unpersist()
     return cal.probe_budget
 
 
