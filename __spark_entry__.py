@@ -194,6 +194,18 @@ def _kmeans_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(base, model)
 
 
+def _hier_stamp_assign_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped triangle-inequality-pruned nearest-centroid stamp
+    (kmeans.group_centroids — the r9 replacement for the O(N*C) flat
+    stamp that walled the ≥5e7 builds) forced on via
+    stamp_via="hierarchical": assignments hash-match the SAME exact
+    argmin DuckDB oracle as kmeans_assign, proving the pruned stamp is
+    exact, not approximate."""
+    base = _base(spark, sf_dir)
+    model = train_kmeans(base, N_CLUSTERS, KM_ITERS)
+    return assign_clusters(base, model, stamp_via="hierarchical")
+
+
 def _ivf_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = _base(spark, sf_dir)
     index = ivf_build(base, N_CLUSTERS, KM_ITERS)
@@ -518,6 +530,25 @@ def _vamana_exhaustive_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness check (graph connectivity, local remap, buffer, merge)."""
     base = _base(spark, sf_dir).select("id", "vector")
     index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
+    res = vamana_search(
+        index, _queries_df(spark, sf_dir), k=K, search_window_size=4096
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
+def _vamana_hier_stamp_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-time hierarchical stamp end-to-end: a kmeans-sharded
+    CLOSURE index whose shard assignment AND replica expansion run the
+    grouped triangle-pruned pass (stamp_via="hierarchical", the r9
+    answer to the O(N*S) stamp wall), searched at an exhaustive window
+    with full fan-out — results hash-match the exact flat k-NN oracle,
+    so the grouped stamp provably changes neither assignments nor the
+    closure replica sets."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    index = vamana_build(
+        base, VAMANA_PARAMS, n_shards=4, shard_by="kmeans",
+        closure_bp=VAMANA_CLOSURE_BP, stamp_via="hierarchical",
+    )
     res = vamana_search(
         index, _queries_df(spark, sf_dir), k=K, search_window_size=4096
     )
@@ -2262,64 +2293,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
-        # Round-8 rotation: the new r8 gate plus the 48 gates last
-        # driver-sampled in CORRECTNESS_r06 lead (r7 touched the
-        # vamana_search/ivf_search internals behind several of them
-        # after their last driver sample); the 50 gates driver-greened
-        # in CORRECTNESS_r07 trail.
-        # --- new round-8 gate ---
-        "vamana_knn_filtered": _vamana_knn_filtered_query,
-        # --- r6-vintage gates (driver-green in CORRECTNESS_r06) ---
-        "flat_knn_l2": _knn_query("l2"),
-        "flat_knn_filtered": _knn_query("l2", where="label = 3"),
-        "multivector_knn": _multivector_query,
-        "multivector_graph_knn": _multivector_graph_query,
-        "knn_recall_ip_vs_l2": _recall_query,
-        "recall_at_k": _recall_at_query,
-        "medioid": _medioid_query,
-        "reconstruct": _reconstruct_query,
-        "kmeans_assign": _kmeans_assign_query,
-        "hierarchical_kmeans_assign": _hier_kmeans_query,
-        "ivf_knn": _ivf_knn_query,
-        "ivf_knn_filtered": _ivf_knn_filtered_query,
-        "ivf_recall": _ivf_recall_query,
-        "inverted_knn": _inverted_knn_query,
-        "sq_minmax": _sq_minmax_query,
-        "sq_roundtrip": _sq_roundtrip_query,
-        "sq_knn_l2": _sq_knn_query("l2"),
-        "sq_knn_ip": _sq_knn_query("ip"),
-        "sq_vamana_knn_l2": _sq_vamana_knn_query("l2"),
-        "sq_vamana_knn_ip": _sq_vamana_knn_query("ip"),
-        "sq_vamana_knn_cosine": _sq_vamana_knn_query("cosine"),
-        "vamana_saveload_knn": _vamana_saveload_knn_query,
-        "vamana_knn": _vamana_knn_query,
-        "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
-        "vamana_recall": _vamana_recall_query,
-        "vamana_routed_recall": _vamana_routed_recall_query,
-        "vamana_router_recall": _vamana_router_recall_query,
-        "vamana_closure_recall": _vamana_closure_recall_query,
-        "calibrate_window": _calibrate_query,
-        "graph_degree_stats": _graph_degree_stats_query,
-        "dynamic_flat_knn": _dynamic_flat_query,
-        "dynamic_ivf_knn": _dynamic_ivf_query,
-        "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
-        "dynamic_vamana_recall": _dynamic_vamana_recall_query,
-        "compact_remap_knn": _compact_remap_query,
-        "text_stats": _text_stats_query,
-        "normalize_text": _normalize_text_query,
-        "lang_id": _lang_id_query,
-        "doc_fingerprints": _doc_fingerprints_query,
-        "dedup_exact": _dedup_exact_query,
-        "dedup_minhash": _dedup_minhash_query,
-        "dedup_components": _dedup_components_query,
-        "simhash": _simhash_query,
-        "embedding_neardup": _neardup_query,
-        "embedding_neardup_clustered": _neardup_clustered_query,
-        "media_stats": _media_stats_query,
-        "media_features": _media_features_query,
-        "vecs_roundtrip": _vecs_roundtrip_query,
-        # --- gates driver-greened in CORRECTNESS_r07 ---
-        "routed_calibrated_recall": _routed_calibrated_recall_query,
+        # --- new round-9 gates (hierarchical build-time stamp) ---
+        "hierarchical_stamp_assign": _hier_stamp_assign_query,
+        "vamana_hier_stamp_knn": _vamana_hier_stamp_knn_query,
+        # --- r7-vintage gates, unsampled in r8 (lead the r9 window) ---
         "ivf_target_recall": _ivf_target_recall_query,
         "vamana_target_recall": _vamana_target_recall_query,
         "flat_knn_ip": _knn_query("ip"),
@@ -2369,6 +2346,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _pack_sequences_query,
         "vamana_routed_default_recall": _vamana_routed_default_recall_query,
         "ivf_budget_recall": _ivf_budget_recall_query,
+        # --- r8-sampled gates (driver-green in CORRECTNESS_r08) ---
+        "vamana_knn_filtered": _vamana_knn_filtered_query,
+        "flat_knn_l2": _knn_query("l2"),
+        "flat_knn_filtered": _knn_query("l2", where="label = 3"),
+        "multivector_knn": _multivector_query,
+        "multivector_graph_knn": _multivector_graph_query,
+        "knn_recall_ip_vs_l2": _recall_query,
+        "recall_at_k": _recall_at_query,
+        "medioid": _medioid_query,
+        "reconstruct": _reconstruct_query,
+        "kmeans_assign": _kmeans_assign_query,
+        "hierarchical_kmeans_assign": _hier_kmeans_query,
+        "ivf_knn": _ivf_knn_query,
+        "ivf_knn_filtered": _ivf_knn_filtered_query,
+        "ivf_recall": _ivf_recall_query,
+        "inverted_knn": _inverted_knn_query,
+        "sq_minmax": _sq_minmax_query,
+        "sq_roundtrip": _sq_roundtrip_query,
+        "sq_knn_l2": _sq_knn_query("l2"),
+        "sq_knn_ip": _sq_knn_query("ip"),
+        "sq_vamana_knn_l2": _sq_vamana_knn_query("l2"),
+        "sq_vamana_knn_ip": _sq_vamana_knn_query("ip"),
+        "sq_vamana_knn_cosine": _sq_vamana_knn_query("cosine"),
+        "vamana_saveload_knn": _vamana_saveload_knn_query,
+        "vamana_knn": _vamana_knn_query,
+        "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
+        "vamana_recall": _vamana_recall_query,
+        "vamana_routed_recall": _vamana_routed_recall_query,
+        "vamana_router_recall": _vamana_router_recall_query,
+        "vamana_closure_recall": _vamana_closure_recall_query,
+        "calibrate_window": _calibrate_query,
+        "graph_degree_stats": _graph_degree_stats_query,
+        "dynamic_flat_knn": _dynamic_flat_query,
+        "dynamic_ivf_knn": _dynamic_ivf_query,
+        "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
+        "dynamic_vamana_recall": _dynamic_vamana_recall_query,
+        "compact_remap_knn": _compact_remap_query,
+        "text_stats": _text_stats_query,
+        "normalize_text": _normalize_text_query,
+        "lang_id": _lang_id_query,
+        "doc_fingerprints": _doc_fingerprints_query,
+        "dedup_exact": _dedup_exact_query,
+        "dedup_minhash": _dedup_minhash_query,
+        "dedup_components": _dedup_components_query,
+        "simhash": _simhash_query,
+        "embedding_neardup": _neardup_query,
+        "embedding_neardup_clustered": _neardup_clustered_query,
+        "media_stats": _media_stats_query,
+        "media_features": _media_features_query,
+        "vecs_roundtrip": _vecs_roundtrip_query,
+        "routed_calibrated_recall": _routed_calibrated_recall_query,
     }
 
 
@@ -2405,6 +2433,9 @@ def oracle_sql() -> dict[str, str]:
         "recall_at_k": oracles.recall_at_sql(5, 10, N_QUERIES),
         "medioid": oracles.medioid_sql(),
         "reconstruct": oracles.reconstruct_sql(50),
+        # the hierarchical stamp is EXACT: same oracles as the flat paths
+        "hierarchical_stamp_assign": oracles.kmeans_assign_sql(N_CLUSTERS, KM_ITERS),
+        "vamana_hier_stamp_knn": oracles.flat_knn_sql("l2", K, N_QUERIES),
         "kmeans_assign": oracles.kmeans_assign_sql(N_CLUSTERS, KM_ITERS),
         "hierarchical_kmeans_assign": oracles.hierarchical_kmeans_assign_sql(
             HIER_PARENTS, HIER_CHILDREN, KM_ITERS

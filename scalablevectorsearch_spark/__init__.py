@@ -28,6 +28,8 @@ from scalablevectorsearch_spark.operators.topk import topk_per_group
 from scalablevectorsearch_spark.operators.recall import k_recall_at
 from scalablevectorsearch_spark.operators.kmeans import (
     assign_clusters,
+    group_centroids,
+    nearest_centroid_grouped,
     stamp_clusters,
     train_hierarchical_kmeans,
     train_kmeans,

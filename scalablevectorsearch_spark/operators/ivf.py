@@ -68,17 +68,33 @@ def ivf_build(
     n_iters: int = 2,
     id_col: str = "id",
     vec_col: str = "vector",
+    stamp_via: str = "auto",
+    model: KMeansModel | None = None,
 ) -> IVFIndex:
     """Train k-means and stamp each row with its cluster id (one extra
-    scan, no shuffle — the stamp is computed in the map side)."""
-    from scalablevectorsearch_spark.functions.arrowio import map_stamp
-    from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
+    scan, no shuffle — the stamp is computed in the map side).
 
-    model = train_kmeans(base, n_clusters, n_iters, id_col, vec_col)
+    ``stamp_via``: ``"flat"`` = one BLAS argmin over all C centroids
+    per row (O(N*C) — the measured wall that forced the r8 1e8 tier
+    down to 64k-row cells), ``"hierarchical"`` = grouped
+    triangle-pruned stamp (~O(N*sqrt(C)), EXACT same assignments, see
+    kmeans.group_centroids), ``"auto"`` = hierarchical at >=
+    kmeans.HIERARCHICAL_STAMP_THRESHOLD centroids. ``model``: skip the
+    (deterministic) retrain with a pre-trained KMeansModel — e.g. a
+    prefix-sample-trained model at the 1e8 tier."""
+    from scalablevectorsearch_spark.functions.arrowio import map_stamp
+    from scalablevectorsearch_spark.operators.kmeans import make_stamp_fn
+
+    if model is None:
+        model = train_kmeans(base, n_clusters, n_iters, id_col, vec_col)
+    elif model.centroids.shape[0] != n_clusters:
+        raise ValueError(
+            f"model has {model.centroids.shape[0]} centroids, "
+            f"expected n_clusters={n_clusters}"
+        )
     sc = base.sparkSession.sparkContext
-    bc = sc.broadcast(model.centroids)
     clustered = map_stamp(
-        base, vec_col, "cluster_id", lambda V: _nearest_centroid(V, bc.value)
+        base, vec_col, "cluster_id", make_stamp_fn(sc, model.centroids, stamp_via)
     )
     return IVFIndex(clustered=clustered, model=model, id_col=id_col, vec_col=vec_col)
 

@@ -190,14 +190,48 @@ def train_kmeans(
     return KMeansModel(centroids=C, n_iters=n_iters, round_decimals=round_decimals)
 
 
+def _resolve_stamp_via(stamp_via: str, n_centroids: int) -> bool:
+    """True = grouped (triangle-pruned) stamp. ``auto`` switches at
+    HIERARCHICAL_STAMP_THRESHOLD centroids; the result is the same
+    either way (the grouped stamp is exact) — only the per-row cost
+    changes from O(S) to ~O(sqrt(S))."""
+    if stamp_via == "flat":
+        return False
+    if stamp_via == "hierarchical":
+        return True
+    if stamp_via == "auto":
+        return n_centroids >= HIERARCHICAL_STAMP_THRESHOLD
+    raise ValueError(
+        f"stamp_via must be 'auto', 'flat' or 'hierarchical', got {stamp_via!r}"
+    )
+
+
+def make_stamp_fn(sc, centroids: np.ndarray, stamp_via: str = "auto"):
+    """Broadcast-backed ``V -> cluster_id`` stamp closure, flat or
+    grouped per ``stamp_via`` (see _resolve_stamp_via)."""
+    if _resolve_stamp_via(stamp_via, centroids.shape[0]):
+        bc = sc.broadcast(group_centroids(centroids))
+        return lambda V: nearest_centroid_grouped(V, bc.value)
+    bc = sc.broadcast(centroids)
+    return lambda V: _nearest_centroid(V, bc.value)
+
+
 def assign_clusters(
     base: DataFrame,
     model: KMeansModel,
     id_col: str = "id",
     vec_col: str = "vector",
+    stamp_via: str = "auto",
 ) -> DataFrame:
     """(id, cluster_id) under the model's (final, rounded) centroids."""
     sc = base.sparkSession.sparkContext
+    if _resolve_stamp_via(stamp_via, model.centroids.shape[0]):
+        from scalablevectorsearch_spark.functions.arrowio import map_stamp
+
+        fn = make_stamp_fn(sc, model.centroids, stamp_via)
+        return map_stamp(
+            _scan(base, id_col, vec_col), "__vec", "cluster_id", fn
+        ).select(F.col("__id").alias("id"), "cluster_id")
     bc = sc.broadcast(model.centroids)
     return _scan(base, id_col, vec_col).mapInArrow(_assign_fn(bc), ASSIGN_SCHEMA)
 
@@ -206,6 +240,7 @@ def stamp_clusters(
     base: DataFrame,
     model: KMeansModel,
     vec_col: str = "vector",
+    stamp_via: str = "auto",
 ) -> DataFrame:
     """``base`` + a ``cluster_id`` column, stamped map-side against the
     broadcast centroids — no join back on id (the assign-then-join shape
@@ -213,9 +248,8 @@ def stamp_clusters(
     from scalablevectorsearch_spark.functions.arrowio import map_stamp
 
     sc = base.sparkSession.sparkContext
-    bc = sc.broadcast(model.centroids)
     return map_stamp(
-        base, vec_col, "cluster_id", lambda V: _nearest_centroid(V, bc.value)
+        base, vec_col, "cluster_id", make_stamp_fn(sc, model.centroids, stamp_via)
     )
 
 
@@ -358,3 +392,183 @@ def assign_hierarchical(
 def cluster_sizes(assignments: DataFrame) -> DataFrame:
     """Per-cluster membership counts (ivf/kmeans.h:94-123 group step)."""
     return assignments.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+
+
+#: centroid count at/above which ``stamp_via="auto"`` switches the
+#: nearest-centroid stamp from the flat O(N*S) argmin to the grouped
+#: triangle-inequality-pruned one. Measured crossover (64d, 20k rows):
+#: grouped is ~1.0x flat at S=256 on UNIFORM centroids (its worst
+#: case — nothing prunes) and 4-6x on clustered ones; below 256 the
+#: flat BLAS pass wins on loop overhead. Small-S gates stay
+#: byte-identical on the flat path.
+HIERARCHICAL_STAMP_THRESHOLD = 256
+
+
+@dataclass
+class GroupedCentroids:
+    """Two-level view of a flat (S, d) centroid matrix for EXACT
+    pruned nearest-centroid stamping at large S.
+
+    The flat stamp is O(N*S) and measured memory-bound (~1.9 ms/row at
+    S=6103) — superlinear in N whenever S grows with N, the measured
+    wall that capped the r8 routed-Vamana build at 5e7 rows. This is
+    the build-time analog of the reference's two-level clustering
+    (/root/reference/include/svs/index/ivf/hierarchical_kmeans.h:61-68):
+    the S centroids are themselves Lloyd-clustered into ~sqrt(S) groups;
+    a stamp then computes distances to the ~sqrt(S) group centers and
+    visits only groups whose TRIANGLE-INEQUALITY lower bound
+    ``max(0, |v - g| - radius_g)^2`` can beat the best member distance
+    found so far — every pruned group provably contains no nearer
+    centroid, so the assignment equals the flat argmin (unlike a
+    probe-limited approximate router). Per-row distance work drops from
+    S to ~2*sqrt(S) on clusterable centroid sets.
+
+    ``member_cids`` are ascending within each group, so the per-group
+    argmin's first-index tie-break reproduces the flat stamp's
+    smallest-cluster-id-wins rule."""
+
+    centers: np.ndarray  # (P, d) group centers (non-empty groups only)
+    radius: np.ndarray  # (P,) max true-L2 distance center -> member
+    member_cids: list  # per group: ascending (int64) centroid ids
+    member_vecs: list  # per group: (m_g, d) member centroid rows
+    n_centroids: int
+
+
+def group_centroids(
+    C: np.ndarray, n_groups: int | None = None, n_iters: int = 4
+) -> GroupedCentroids:
+    """Cluster the centroid matrix itself into ``n_groups`` (default
+    ceil(sqrt(S))) groups via the deterministic local Lloyd; driver-side
+    (S rows — small even at S=100k)."""
+    C = np.asarray(C, dtype=np.float64)
+    S = C.shape[0]
+    P = min(int(n_groups) if n_groups else max(1, int(np.ceil(np.sqrt(S)))), S)
+    G = _local_lloyd(C, P, n_iters)
+    a = _nearest_centroid(C, G)
+    centers, radius, mc, mv = [], [], [], []
+    for g in range(G.shape[0]):
+        rows = np.nonzero(a == g)[0]
+        if len(rows) == 0:
+            continue
+        M = C[rows]
+        diff = M - G[g][None, :]
+        r = float(np.sqrt(np.maximum(np.einsum("ij,ij->i", diff, diff), 0.0)).max())
+        centers.append(G[g])
+        radius.append(r)
+        mc.append(rows.astype(np.int64))
+        mv.append(M)
+    return GroupedCentroids(
+        centers=np.stack(centers),
+        radius=np.asarray(radius, dtype=np.float64),
+        member_cids=mc,
+        member_vecs=mv,
+        n_centroids=S,
+    )
+
+
+def _sq_dists(V: np.ndarray, M: np.ndarray) -> np.ndarray:
+    """Unclamped squared L2 — the exact expression _nearest_centroid
+    argmins over, so grouped and flat stamps compare like with like."""
+    return (
+        np.einsum("ij,ij->i", V, V)[:, None]
+        + np.einsum("ij,ij->i", M, M)[None, :]
+        - 2.0 * (V @ M.T)
+    )
+
+
+def _group_bounds(V: np.ndarray, gc: GroupedCentroids):
+    """(squared dists to group centers, squared triangle lower bound per
+    (row, group)): lb = max(0, |v-g| - radius_g)^2 <= d2(v, any member)."""
+    D2g = _sq_dists(V, gc.centers)
+    Dg = np.sqrt(np.maximum(D2g, 0.0))
+    lb = np.maximum(Dg - gc.radius[None, :], 0.0)
+    return D2g, lb * lb
+
+
+def nearest_centroid_grouped(V: np.ndarray, gc: GroupedCentroids) -> np.ndarray:
+    """Exact nearest-centroid assignment via group pruning — same
+    result as ``_nearest_centroid(V, C)`` (argmin winner and
+    smallest-cid tie-break), at ~2*sqrt(S) distance rows per input row.
+    A tiny relative margin keeps the candidate set a superset under
+    float rounding of the bound itself."""
+    V = np.asarray(V, dtype=np.float64)
+    n = V.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int32)
+    D2g, lb2 = _group_bounds(V, gc)
+    g0 = np.argmin(D2g, axis=1)
+    best = np.full(n, np.inf)
+    bcid = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    for g in np.unique(g0):
+        rows = np.nonzero(g0 == g)[0]
+        d2 = _sq_dists(V[rows], gc.member_vecs[g])
+        j = np.argmin(d2, axis=1)  # first index = smallest cid (sorted)
+        best[rows] = d2[np.arange(len(rows)), j]
+        bcid[rows] = gc.member_cids[g][j]
+    cand = lb2 <= (best + 1e-9 * (1.0 + np.abs(best)))[:, None]
+    cand[np.arange(n), g0] = False
+    for g in np.nonzero(cand.any(axis=0))[0]:
+        rows = np.nonzero(cand[:, g])[0]
+        d2 = _sq_dists(V[rows], gc.member_vecs[g])
+        j = np.argmin(d2, axis=1)
+        d = d2[np.arange(len(rows)), j]
+        c = gc.member_cids[g][j]
+        upd = (d < best[rows]) | ((d == best[rows]) & (c < bcid[rows]))
+        r = rows[upd]
+        best[r] = d[upd]
+        bcid[r] = c[upd]
+    return bcid.astype(np.int32)
+
+
+def centroids_within_grouped(
+    V: np.ndarray, gc: GroupedCentroids, closure_bp: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Grouped SPANN closure expansion: all (row, cid) pairs whose e4
+    squared-distance key satisfies ``key*10000 <= key_best*10000 +
+    |key_best|*closure_bp`` — the exact integer cutoff of the flat
+    ``stamp_closure`` (vamana._sharded), reproduced with group pruning:
+    a group is visited only if its lower-bound key could pass the cut.
+    Keys quantize d2 at 1e-4, far above gemm float noise, so grouped
+    and flat emit identical replica sets. Pairs return row-major
+    (row asc, cid asc within row), matching flat np.nonzero order."""
+    V = np.asarray(V, dtype=np.float64)
+    n = V.shape[0]
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    D2g, lb2 = _group_bounds(V, gc)
+    g0 = np.argmin(D2g, axis=1)
+    # exact best (clamped — stamp_closure keys clamp at 0) via pruning
+    best = np.full(n, np.inf)
+    for g in np.unique(g0):
+        rows = np.nonzero(g0 == g)[0]
+        d2 = np.maximum(_sq_dists(V[rows], gc.member_vecs[g]), 0.0)
+        best[rows] = d2.min(axis=1)
+    cand = lb2 <= (best + 1e-9 * (1.0 + best))[:, None]
+    cand[np.arange(n), g0] = False
+    for g in np.nonzero(cand.any(axis=0))[0]:
+        rows = np.nonzero(cand[:, g])[0]
+        d2 = np.maximum(_sq_dists(V[rows], gc.member_vecs[g]), 0.0)
+        best[rows] = np.minimum(best[rows], d2.min(axis=1))
+    key_best = np.floor(best * 1e4 + 0.5).astype(np.int64)
+    cut = key_best * 10000 + np.abs(key_best) * int(closure_bp)
+    # a member with key k qualifies iff k*10000 <= cut, i.e. its d2 is
+    # below T2 = (floor(cut/10000) + 0.5)/1e4; prune groups whose lb2
+    # cannot reach T2 (small slack absorbs the bound's own rounding)
+    T2 = (np.floor_divide(cut, 10000).astype(np.float64) + 0.5) / 1e4
+    keep = lb2 <= (T2 + 1e-9 * (1.0 + T2))[:, None]
+    rows_out: list[np.ndarray] = []
+    cids_out: list[np.ndarray] = []
+    for g in np.nonzero(keep.any(axis=0))[0]:
+        rows = np.nonzero(keep[:, g])[0]
+        d2 = np.maximum(_sq_dists(V[rows], gc.member_vecs[g]), 0.0)
+        key = np.floor(d2 * 1e4 + 0.5).astype(np.int64)
+        ri, mi = np.nonzero(key * 10000 <= cut[rows, None])
+        if len(ri):
+            rows_out.append(rows[ri])
+            cids_out.append(gc.member_cids[g][mi])
+    if not rows_out:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    rows_all = np.concatenate(rows_out)
+    cids_all = np.concatenate(cids_out)
+    order = np.lexsort((cids_all, rows_all))
+    return rows_all[order], cids_all[order]

@@ -146,6 +146,11 @@ class VamanaIndex:
     #: (extensions/vamana/*.h). Ships in task closures; persisted
     #: indexes rebuild it from their compression params at load.
     vec_decode: object | None = None
+    #: True when the build stamped shards via the grouped
+    #: (triangle-pruned) nearest-centroid pass — recorded so every later
+    #: re-stamp of the base (filtered scans, layout rebuilds) runs the
+    #: SAME code path and stays deterministic wrt the build's assignment
+    stamp_hierarchical: bool = False
 
 
 def _sharded(
@@ -156,6 +161,7 @@ def _sharded(
     vec_col: str = "vector",
     closure_bp: int | None = None,
     vec_decode=None,
+    stamp_hierarchical: bool = False,
 ) -> DataFrame:
     if shard_model is None:
         return base.withColumn(
@@ -174,24 +180,45 @@ def _sharded(
     )
 
     sc = base.sparkSession.sparkContext
-    bc = sc.broadcast(shard_model.centroids)
-
-    def stamp(V: np.ndarray) -> np.ndarray:
-        from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
-
-        return _nearest_centroid(V, bc.value)
-
-    def stamp_closure(V: np.ndarray):
-        from scalablevectorsearch_spark.functions.distances import (
-            pairwise_distances,
+    if stamp_hierarchical:
+        # grouped triangle-pruned stamp: same assignments / replica sets
+        # as the flat pass (kmeans.GroupedCentroids invariant), at
+        # ~2*sqrt(S) distance rows per input row instead of S — the
+        # O(N*S) flat stamp is the measured ≥5e7 build wall (r8:
+        # 7105.8s at 5e7 rows / 6103 shards, ~1.9 ms/row)
+        from scalablevectorsearch_spark.operators.kmeans import (
+            centroids_within_grouped,
+            group_centroids,
+            nearest_centroid_grouped,
         )
 
-        key = np.floor(pairwise_distances(V, bc.value, "l2") * 1e4 + 0.5).astype(
-            np.int64
-        )
-        best = key.min(axis=1)
-        cut = best * 10000 + np.abs(best) * closure_bp
-        return np.nonzero(key * 10000 <= cut[:, None])
+        bcg = sc.broadcast(group_centroids(shard_model.centroids))
+
+        def stamp(V: np.ndarray) -> np.ndarray:
+            return nearest_centroid_grouped(V, bcg.value)
+
+        def stamp_closure(V: np.ndarray):
+            return centroids_within_grouped(V, bcg.value, closure_bp)
+
+    else:
+        bc = sc.broadcast(shard_model.centroids)
+
+        def stamp(V: np.ndarray) -> np.ndarray:
+            from scalablevectorsearch_spark.operators.kmeans import _nearest_centroid
+
+            return _nearest_centroid(V, bc.value)
+
+        def stamp_closure(V: np.ndarray):
+            from scalablevectorsearch_spark.functions.distances import (
+                pairwise_distances,
+            )
+
+            key = np.floor(
+                pairwise_distances(V, bc.value, "l2") * 1e4 + 0.5
+            ).astype(np.int64)
+            best = key.min(axis=1)
+            cut = best * 10000 + np.abs(best) * closure_bp
+            return np.nonzero(key * 10000 <= cut[:, None])
 
     # dispatch on 'is not None' (the same test the search path uses) so a
     # zero/None mix can never pick different code paths; vamana_build
@@ -215,6 +242,7 @@ def vamana_build(
     closure_bp: int | None = None,
     shard_model=None,
     vec_decode=None,
+    stamp_via: str = "auto",
 ) -> VamanaIndex:
     """Build one Vamana graph per shard (deterministic: per-shard rows
     processed in ascending id order).
@@ -242,7 +270,17 @@ def vamana_build(
     layout then holds the COMPRESSED rows (the point of a compressed
     index at 100 TB). kmeans sharding requires an explicit
     ``shard_model`` in this mode (centroids live in the decoded
-    geometry)."""
+    geometry).
+    ``stamp_via`` (kmeans sharding): how rows are assigned to their
+    nearest shard centroid — ``"flat"`` = one BLAS argmin over all S
+    centroids (O(N*S), the measured wall when S grows with N: 7105.8s
+    at 5e7 rows/6103 shards), ``"hierarchical"`` = grouped
+    triangle-inequality-pruned stamp (~O(N*sqrt(S)), EXACT — same
+    assignments and closure replica sets, see kmeans.group_centroids),
+    ``"auto"`` = hierarchical at >= kmeans.HIERARCHICAL_STAMP_THRESHOLD
+    centroids, flat below (small-S builds byte-identical to pre-r9).
+    The decision is recorded on the index so filtered scans re-stamp
+    through the same code path."""
     params = params or VamanaParams()
     if shard_by == "kmeans":
         if shard_model is None:
@@ -292,12 +330,18 @@ def vamana_build(
 
     from pyspark.storagelevel import StorageLevel
 
+    from scalablevectorsearch_spark.operators.kmeans import _resolve_stamp_via
+
+    stamp_hier = shard_model is not None and _resolve_stamp_via(
+        stamp_via, shard_model.centroids.shape[0]
+    )
     # the index's data layout: stamp + one co-locating shuffle, persisted
     # so build AND every later search read the shard-partitioned copy
     # instead of re-shuffling the base (index.h's materialized data_)
     layout = _by_shard(
         _sharded(
-            base, n_shards, id_col, shard_model, vec_col, closure_bp, vec_decode
+            base, n_shards, id_col, shard_model, vec_col, closure_bp,
+            vec_decode, stamp_hierarchical=stamp_hier,
         ).select(
             "shard_id",
             F.col(id_col).cast("long").alias("__id"),
@@ -309,6 +353,7 @@ def vamana_build(
         graph=graph, base=base, params=params, distance=distance,
         n_shards=n_shards, id_col=id_col, vec_col=vec_col, shard_model=shard_model,
         closure_bp=closure_bp, layout=layout, vec_decode=vec_decode,
+        stamp_hierarchical=stamp_hier,
     )
 
 
@@ -410,6 +455,7 @@ def closure_link_replicas(index: VamanaIndex, closure_bp: int) -> VamanaIndex:
         _sharded(
             index.base, index.n_shards, index.id_col, index.shard_model,
             index.vec_col, closure_bp, vec_decode,
+            stamp_hierarchical=index.stamp_hierarchical,
         ).select(
             "shard_id",
             F.col(index.id_col).cast("long").alias("__id"),
@@ -425,7 +471,7 @@ def closure_link_replicas(index: VamanaIndex, closure_bp: int) -> VamanaIndex:
         graph=graph, base=index.base, params=params, distance=distance,
         n_shards=index.n_shards, id_col=index.id_col, vec_col=index.vec_col,
         shard_model=index.shard_model, closure_bp=closure_bp, layout=layout,
-        vec_decode=vec_decode,
+        vec_decode=vec_decode, stamp_hierarchical=index.stamp_hierarchical,
     )
 
 
@@ -757,6 +803,7 @@ def _filtered_scan(index: VamanaIndex, where) -> DataFrame:
         _sharded(
             index.base, index.n_shards, index.id_col, index.shard_model,
             index.vec_col, index.closure_bp, index.vec_decode,
+            stamp_hierarchical=index.stamp_hierarchical,
         ).select(
             "shard_id",
             F.col(index.id_col).cast("long").alias("__id"),
@@ -942,6 +989,7 @@ def _vamana_search_block(
             _sharded(
                 index.base, index.n_shards, index.id_col, index.shard_model,
                 index.vec_col, index.closure_bp, index.vec_decode,
+                stamp_hierarchical=index.stamp_hierarchical,
             ).select(
                 "shard_id",
                 F.col(index.id_col).cast("long").alias("__id"),
