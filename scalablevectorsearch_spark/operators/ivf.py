@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import math
 from collections.abc import Iterator
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -56,6 +56,13 @@ class IVFIndex:
     model: KMeansModel
     id_col: str = "id"
     vec_col: str = "vector"
+    #: calibration-sample groundtruth cache (the index analog of a gt
+    #: file beside the manifest): keyed by everything the exact scan
+    #: depends on, so a re-calibration on the same index (new target,
+    #: new budget grid) skips the one full-base flat scan — at 1e8 rows
+    #: that scan dominated calibration cost (r8: 1355.6s total vs 92.0s
+    #: plain search)
+    cal_cache: dict = field(default_factory=dict)
 
     @property
     def n_clusters(self) -> int:
@@ -353,6 +360,7 @@ def _fit_budget_for_target(
     k_reorder: int | None = None,
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
+    stats: dict | None = None,
 ) -> float:
     """Fit a probe budget hitting ``target_recall`` on a deterministic
     query sample (ivf_search's target_recall= path). The sample is the
@@ -376,6 +384,10 @@ def _fit_budget_for_target(
     from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
+    import time as _time
+
+    if stats is None:
+        stats = {}
     sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
         calibration_queries
     )
@@ -386,6 +398,21 @@ def _fit_budget_for_target(
         rerank_queries = rerank_queries.orderBy(
             F.col(qid_col).cast("long")
         ).limit(calibration_queries)
+    t_gt = _time.perf_counter()
+    stats["gt_cached"] = False
+    gt_key = None
+    if groundtruth is None and rerank_base is None:
+        # cache the sample groundtruth ON the index (the gt-beside-the-
+        # manifest analog): the exact scan is the dominant one-time
+        # cost at scale, and it depends only on this key
+        qids = tuple(
+            int(r[0]) for r in sample_q.select(qid_col).collect()
+        )
+        gt_key = ("gt", k, distance, qids, str(where))
+        cached = index.cal_cache.get(gt_key)
+        if cached is not None:
+            groundtruth = index.clustered.sparkSession.createDataFrame(cached)
+            stats["gt_cached"] = True
     if groundtruth is None:
         if rerank_base is not None:
             base = rerank_base
@@ -412,6 +439,15 @@ def _fit_budget_for_target(
                 qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
                 round_to=4,
             )
+        if gt_key is not None:
+            # materialize once (|sample| x k rows — driver-small), so
+            # gt_sec is an honest split from the fit evals and the
+            # cached copy never re-runs the scan
+            pdf = groundtruth.toPandas()
+            index.cal_cache[gt_key] = pdf
+            groundtruth = index.clustered.sparkSession.createDataFrame(pdf)
+    stats["gt_sec"] = _time.perf_counter() - t_gt
+    t_fit = _time.perf_counter()
     cal = calibrate_probe_budget(
         lambda b: ivf_search(
             index, sample_q, k, distance=distance, qid_col=qid_col,
@@ -423,6 +459,10 @@ def _fit_budget_for_target(
         groundtruth, k, target_recall=target_recall,
         max_budget=float(index.n_clusters),
     )
+    stats["fit_sec"] = _time.perf_counter() - t_fit
+    stats["fit_evals"] = len(cal.probes)
+    stats["fitted_budget"] = cal.probe_budget
+    stats["fit_recall"] = cal.recall
     return cal.probe_budget
 
 
@@ -524,6 +564,7 @@ def ivf_search(
     target_recall: float | None = None,
     calibration_queries: int = 32,
     calibration_groundtruth: DataFrame | None = None,
+    calibration_stats: dict | None = None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -577,7 +618,13 @@ def ivf_search(
     epsilon probing bought 0.964 at comparable cost). Sample-fitted:
     full-population recall can sit slightly below the target (the
     sample's confidence interval). Mutually exclusive with explicit
-    ``epsilon_bp``/``probe_budget``; ignores ``n_probes``."""
+    ``epsilon_bp``/``probe_budget``; ignores ``n_probes``.
+    ``calibration_stats``: pass a dict to receive the calibration cost
+    split — {gt_sec, gt_cached, fit_sec, fit_evals, fitted_budget,
+    fit_recall} — so one-time groundtruth+fit cost is never conflated
+    with per-query serve cost. The sample groundtruth is cached on the
+    index (``index.cal_cache``); a second target_recall search on the
+    same index skips the exact scan (gt_cached=True)."""
     if target_recall is not None:
         if epsilon_bp is not None or probe_budget is not None:
             raise ValueError(
@@ -591,6 +638,7 @@ def ivf_search(
             calibration_groundtruth, router, router_candidates, where,
             max_probes=max_probes, k_reorder=k_reorder,
             rerank_base=rerank_base, rerank_queries=rerank_queries,
+            stats=calibration_stats,
         )
         return ivf_search(
             index, queries, k, distance=distance, qid_col=qid_col,

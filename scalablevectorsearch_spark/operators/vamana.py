@@ -36,7 +36,7 @@ pointer-chasing port):
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
 import pandas as pd
@@ -151,6 +151,9 @@ class VamanaIndex:
     #: re-stamp of the base (filtered scans, layout rebuilds) runs the
     #: SAME code path and stays deterministic wrt the build's assignment
     stamp_hierarchical: bool = False
+    #: calibration-sample groundtruth cache (see IVFIndex.cal_cache):
+    #: re-calibration on the same index skips the exact flat scan
+    cal_cache: dict = field(default_factory=dict)
 
 
 def _sharded(
@@ -498,6 +501,7 @@ def vamana_search(
     calibration_groundtruth: DataFrame | None = None,
     where=None,
     scan_override: DataFrame | None = None,
+    calibration_stats: dict | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -522,6 +526,10 @@ def vamana_search(
     (from ``_filtered_scan``) to reuse instead of re-stamping the base —
     callers that search the same ``where=`` repeatedly (the calibration
     fit loop, block iteration) share one; the caller owns its lifecycle.
+    ``calibration_stats``: with ``target_recall``, pass a dict to
+    receive the cost split {gt_sec, gt_cached, fit_sec, fit_evals,
+    fitted_budget, fit_recall}; the sample groundtruth is cached on
+    ``index.cal_cache`` so re-calibration skips the exact scan.
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
     (dynamic_search_buffer.h skip-deleted semantics). ``exclude_df``:
@@ -614,6 +622,7 @@ def vamana_search(
             calibration_queries, calibration_groundtruth, router,
             max_probes=max_probes, buffer_capacity=buffer_capacity,
             exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
+            stats=calibration_stats,
         )
         return vamana_search(
             index, queries, k, search_window_size=sws, qid_col=qid_col,
@@ -719,6 +728,7 @@ def _fit_vamana_budget(
     exclude_ids: list[int] | None = None,
     exclude_df: DataFrame | None = None,
     where=None,
+    stats: dict | None = None,
 ) -> float:
     """Fit a shard probe budget hitting ``target_recall`` on a
     deterministic query sample (vamana_search's target_recall= path;
@@ -735,12 +745,32 @@ def _fit_vamana_budget(
     recall too, and the fit widens the budget (or honestly reports
     best-effort at max fan-out) instead of silently missing the
     target."""
+    import time as _time
+
     from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
+    if stats is None:
+        stats = {}
     sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
         calibration_queries
     )
+    t_gt = _time.perf_counter()
+    stats["gt_cached"] = False
+    gt_key = None
+    if groundtruth is None and exclude_df is None:
+        # gt-beside-the-manifest analog: the one-time exact scan is
+        # keyed by everything it depends on and cached on the index,
+        # so re-calibration (new target / budget grid) skips it
+        qids = tuple(int(r[0]) for r in sample_q.select(qid_col).collect())
+        gt_key = (
+            "gt", k, index.distance, qids, str(where),
+            tuple(sorted(int(x) for x in exclude_ids)) if exclude_ids else (),
+        )
+        cached = index.cal_cache.get(gt_key)
+        if cached is not None:
+            groundtruth = index.base.sparkSession.createDataFrame(cached)
+            stats["gt_cached"] = True
     # one persisted filtered scan shared across EVERY probe-budget
     # evaluation of the fit loop — without it each calibration step
     # re-stamps the full base (O(log n_shards) extra full-base passes),
@@ -775,6 +805,12 @@ def _fit_vamana_budget(
             id_col=index.id_col, vec_col=index.vec_col, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, decode=index.vec_decode,
         )
+        if gt_key is not None:
+            pdf = groundtruth.toPandas()
+            index.cal_cache[gt_key] = pdf
+            groundtruth = index.base.sparkSession.createDataFrame(pdf)
+    stats["gt_sec"] = _time.perf_counter() - t_gt
+    t_fit = _time.perf_counter()
     try:
         cal = calibrate_probe_budget(
             lambda b: vamana_search(
@@ -790,6 +826,10 @@ def _fit_vamana_budget(
     finally:
         if scan_override is not None:
             scan_override.unpersist()
+    stats["fit_sec"] = _time.perf_counter() - t_fit
+    stats["fit_evals"] = len(cal.probes)
+    stats["fitted_budget"] = cal.probe_budget
+    stats["fit_recall"] = cal.recall
     return cal.probe_budget
 
 
