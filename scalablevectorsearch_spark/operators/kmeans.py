@@ -85,14 +85,12 @@ def _scan(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
-def _partial_sums_fn(bc):
+def _partial_sums_fn(stamp_fn, k: int, d: int):
     def fn(batches) -> Iterator:
         import pyarrow as pa
 
         from scalablevectorsearch_spark.functions.arrowio import batch_matrix
 
-        C = bc.value
-        k, d = C.shape
         cnt = np.zeros(k, dtype=np.int64)
         sums = np.zeros((k, d), dtype=np.float64)
         seen = False
@@ -101,7 +99,7 @@ def _partial_sums_fn(bc):
                 continue
             seen = True
             V = batch_matrix(rb.column(1))
-            a = _nearest_centroid(V, C)
+            a = stamp_fn(V)
             cnt += np.bincount(a, minlength=k)
             np.add.at(sums, a, V)
         if not seen:
@@ -167,15 +165,25 @@ def train_kmeans(
     id_col: str = "id",
     vec_col: str = "vector",
     round_decimals: int = 6,
+    stamp_via: str = "auto",
 ) -> KMeansModel:
-    """Lloyd iterations; one base scan per iteration, centroids broadcast."""
+    """Lloyd iterations; one base scan per iteration, centroids broadcast.
+
+    ``stamp_via``: each iteration's per-row nearest-centroid assignment
+    is the SAME O(N*C) pass as the build stamp — at large C the grouped
+    triangle-pruned assign (see group_centroids) cuts it to
+    ~O(N*sqrt(C)) with identical assignments, so partial sums and the
+    resulting centroids are unchanged; the centroid grouping is redone
+    driver-side each iteration (O(C*sqrt(C)*d), trivial)."""
     sc = base.sparkSession.sparkContext
     scan = _scan(base, id_col, vec_col)
     C = _round_half_up(init_centroids(base, n_clusters, id_col, vec_col), round_decimals)
+    d = C.shape[1]
     for _ in range(n_iters):
-        bc = sc.broadcast(C)
-        part = scan.mapInArrow(_partial_sums_fn(bc), PARTIAL_SCHEMA).toPandas()
-        bc.unpersist()
+        fn = make_stamp_fn(sc, C, stamp_via)
+        part = scan.mapInArrow(
+            _partial_sums_fn(fn, n_clusters, d), PARTIAL_SCHEMA
+        ).toPandas()
         cnt = np.zeros(n_clusters, dtype=np.int64)
         sums = np.zeros_like(C)
         # merge partials in sorted order for a stable summation order

@@ -169,6 +169,18 @@ def test_ivf_build_hierarchical_same_results(hbase, embeddings):
     assert sorted(map(tuple, ra)) == sorted(map(tuple, rb))
 
 
+def test_train_kmeans_hierarchical_bit_identical(hbase):
+    """Lloyd training through the grouped per-iteration assign produces
+    BIT-identical centroids (same assignments -> same partial sums ->
+    same rounded means). C=300 >= the auto threshold, so 'auto' takes
+    the grouped path here too."""
+    m_flat = train_kmeans(hbase, 300, 2, stamp_via="flat")
+    m_hier = train_kmeans(hbase, 300, 2, stamp_via="hierarchical")
+    m_auto = train_kmeans(hbase, 300, 2)
+    assert (m_flat.centroids == m_hier.centroids).all()
+    assert (m_flat.centroids == m_auto.centroids).all()
+
+
 def test_ivf_build_pretrained_model(hbase):
     model = train_kmeans(hbase, 12, 2)
     idx = ivf_build(hbase, 12, model=model, stamp_via="hierarchical")
