@@ -246,6 +246,7 @@ def vamana_build(
     shard_model=None,
     vec_decode=None,
     stamp_via: str = "auto",
+    layout_storage=None,
 ) -> VamanaIndex:
     """Build one Vamana graph per shard (deterministic: per-shard rows
     processed in ascending id order).
@@ -283,7 +284,13 @@ def vamana_build(
     ``"auto"`` = hierarchical at >= kmeans.HIERARCHICAL_STAMP_THRESHOLD
     centroids, flat below (small-S builds byte-identical to pre-r9).
     The decision is recorded on the index so filtered scans re-stamp
-    through the same code path."""
+    through the same code path.
+    ``layout_storage``: StorageLevel for the persisted shard layout
+    (default MEMORY_AND_DISK). At >=5e7 rows pass
+    ``StorageLevel.DISK_ONLY``: the serialized blocks are ~data-sized
+    on disk with no heap pressure, where a deserialized in-memory
+    layout (2-3x the data) evicts into spill alongside the build
+    shuffle — the r8 50M search died on exactly that disk peak."""
     params = params or VamanaParams()
     if shard_by == "kmeans":
         if shard_model is None:
@@ -350,7 +357,7 @@ def vamana_build(
             F.col(id_col).cast("long").alias("__id"),
             F.col(vec_col).alias("__vec"),
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).persist(layout_storage or StorageLevel.MEMORY_AND_DISK)
     graph = layout.groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
     return VamanaIndex(
         graph=graph, base=base, params=params, distance=distance,
@@ -502,6 +509,7 @@ def vamana_search(
     where=None,
     scan_override: DataFrame | None = None,
     calibration_stats: dict | None = None,
+    fallback_below: int | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -530,6 +538,17 @@ def vamana_search(
     receive the cost split {gt_sec, gt_cached, fit_sec, fit_evals,
     fitted_budget, fit_recall}; the sample groundtruth is cached on
     ``index.cal_cache`` so re-calibration skips the exact scan.
+    ``fallback_below``: with ``where``, count the matching pool once
+    (a pushed-down parquet count) and, when it holds at most this many
+    rows, serve the EXACT filtered flat k-NN over the pool instead of
+    traversing the graph. At ~1% selectivity the waypoint traversal
+    must expand ~window/s nodes per probed shard to keep k matching
+    candidates, while the exact scan touches only the pool — measured
+    at 10M rows/1% the flat path wins by an order of magnitude (see
+    tools/stress_filtered.py). Exact results satisfy every recall
+    floor, so this composes with target_recall (the calibration is
+    skipped). Not applied when exclusions are set. Default None: never
+    fall back (gates exercise the graph path).
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
     (dynamic_search_buffer.h skip-deleted semantics). ``exclude_df``:
@@ -600,6 +619,25 @@ def vamana_search(
     excl = np.asarray(sorted(set(exclude_ids)), dtype=np.int64) if exclude_ids else None
     maximize = is_similarity(distance)
     scale = None if round_to is None else float(10**round_to)
+    if (
+        fallback_below is not None
+        and where is not None
+        and exclude_ids is None
+        and exclude_df is None
+    ):
+        # tiny-pool exact fallback: one pushed-down count decides; see
+        # the fallback_below docstring for the measured rationale
+        w = F.expr(where) if isinstance(where, str) else where
+        if index.base.filter(w).limit(fallback_below + 1).count() <= fallback_below:
+            from scalablevectorsearch_spark.operators.flat import flat_knn
+
+            return flat_knn(
+                index.base, queries, k=k, distance=index.distance,
+                id_col=index.id_col, vec_col=index.vec_col, qid_col=qid_col,
+                qvec_col=qvec_col, where=where, round_to=round_to,
+                max_query_block=max_query_block, deadline=deadline,
+                decode=index.vec_decode,
+            )
     if target_recall is not None:
         # recall-targeted probing (same contract as ivf_search's
         # target_recall=, see operators/calibrate.calibrate_probe_budget):

@@ -13,6 +13,7 @@ import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
+from scalablevectorsearch_spark.operators import flat as flat_mod
 from scalablevectorsearch_spark.operators.flat import flat_knn
 from scalablevectorsearch_spark.operators.recall import k_recall_at
 from scalablevectorsearch_spark.operators.vamana import (
@@ -168,3 +169,74 @@ class TestFilteredRecallAndComposition:
             F.col("id").alias("neighbor_id")
         )
         assert got.join(bad, "neighbor_id", "semi").count() == 0
+
+
+class TestFallbackBelow:
+    """fallback_below: tiny filtered pools serve the exact flat scan
+    instead of traversing the graph (measured an order of magnitude
+    cheaper at ~1% selectivity, tools/stress_filtered.py)."""
+
+    def _count_flat(self, monkeypatch):
+        calls = {"n": 0}
+        orig = flat_mod.flat_knn
+
+        def wrapper(*a, **kw):
+            calls["n"] += 1
+            return orig(*a, **kw)
+
+        monkeypatch.setattr(flat_mod, "flat_knn", wrapper)
+        return calls
+
+    def test_fallback_triggers_and_is_exact(self, fbase, fqueries, monkeypatch):
+        calls = self._count_flat(monkeypatch)
+        index = vamana_build(fbase, PARAMS, n_shards=4)
+        got = vamana_search(
+            index, fqueries, k=5, search_window_size=8,
+            where="label = 3", fallback_below=10_000,
+        )
+        want = flat_mod.flat_knn(
+            fbase, fqueries, k=5, distance="l2", round_to=4, where="label = 3"
+        )
+        assert calls["n"] >= 1
+        # exact even at the tiny window the graph path was given
+        assert _exact(got) == _exact(want)
+
+    def test_no_fallback_above_threshold(self, fbase, fqueries, monkeypatch):
+        calls = self._count_flat(monkeypatch)
+        index = vamana_build(fbase, PARAMS, n_shards=4)
+        got = vamana_search(
+            index, fqueries, k=5, search_window_size=4096,
+            where="label = 3", fallback_below=1,
+        )
+        assert calls["n"] == 0  # pool > 1 -> graph path
+        want = flat_mod.flat_knn(
+            fbase, fqueries, k=5, distance="l2", round_to=4, where="label = 3"
+        )
+        assert _exact(got) == _exact(want)  # exhaustive window == exact
+
+    def test_no_fallback_with_exclusions(self, fbase, fqueries, monkeypatch):
+        calls = self._count_flat(monkeypatch)
+        index = vamana_build(fbase, PARAMS, n_shards=4)
+        excl = [int(r["id"]) for r in fbase.filter("label = 3").limit(2).collect()]
+        got = vamana_search(
+            index, fqueries, k=5, search_window_size=4096,
+            where="label = 3", fallback_below=10_000, exclude_ids=excl,
+        )
+        assert calls["n"] == 0  # exclusions -> graph path only
+        assert got.filter(F.col("neighbor_id").isin(excl)).count() == 0
+
+    def test_fallback_with_target_recall_skips_calibration(
+        self, fbase, fqueries, monkeypatch
+    ):
+        index = vamana_build(fbase, PARAMS, n_shards=4, shard_by="kmeans")
+        stats: dict = {}
+        got = vamana_search(
+            index, fqueries, k=5, search_window_size=8, where="label = 3",
+            fallback_below=10_000, target_recall=0.95, calibration_stats=stats,
+        )
+        assert stats == {}  # exact fallback served before any fit
+        want = flat_mod.flat_knn(
+            fbase, fqueries, k=5, distance="l2", round_to=4, where="label = 3"
+        )
+        assert _exact(got) == _exact(want)
+        index.layout.unpersist()

@@ -40,6 +40,17 @@ Floors (asserted): ivf_epsilon >= 0.90 and vamana_routed_calibrated >=
 its 0.90 target (the r7-verdict 'done' criteria), flat groundtruth
 exact by construction.
 
+r9 changes: (1) the grouped triangle-pruned stamp (kmeans.
+group_centroids) replaces the flat O(N*C) pass in train + stamp-write +
+the vamana layout — full N/16384 cell counts are restored at every N,
+with an in-run 2M flat-vs-grouped A/B recording the same-host ratio;
+(2) disk budgeting — DISK_ONLY layout at >=5e7, stage-deletes of the
+clustered copy, and a sampler records the min-free-disk high-water mark
+in every row (the r8 50M search died on disk-full); (3) the calibrated
+row records the {gt_sec, fit_sec, fit_evals} split and the derived
+serve_sec; (4) layout materialization is timed separately from the
+graph kernels so the stamp wall is attributable.
+
 Appends one line per stage to BENCH_HISTORY.jsonl tagged
 {"stress": N, "tier": "100m-<stage>"} with 1-min load averages around
 each timed segment so host contention is visible in the record.
@@ -64,7 +75,7 @@ from scalablevectorsearch_spark.operators.ivf import (
     fit_epsilon_bp,
     ivf_search,
 )
-from scalablevectorsearch_spark.operators.kmeans import train_kmeans, _nearest_centroid
+from scalablevectorsearch_spark.operators.kmeans import train_kmeans
 from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
 from scalablevectorsearch_spark.operators.vamana import (
     VamanaParams,
@@ -77,18 +88,18 @@ N = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000_000
 STAGE = sys.argv[2] if len(sys.argv) > 2 else "all"
 N_QUERIES, DIM, K = 500, 64, 10
 SAMPLE_TRAIN = 1_000_000
-# the cell-size rule coarsens with N because the flat nearest-centroid
-# stamp is O(N*C*d) and MEASURES memory-bound (~1.9 ms/row at C=6103:
-# a 100M stamp pass would cost ~100 min of 32-way wall); 64k-row cells
-# keep the stamp ~25 min at 1e8 while epsilon/budget probing adapts to
-# the coarser cells. The 100 TB answer to "more cells without an N*C
-# stamp" is hierarchical assignment (train_hierarchical_kmeans +
-# CentroidRouter), which is gated at sf0.01 — this tier measures the
-# flat path honestly rather than silently switching designs.
-IVF_CLUSTERS = max(16, N // (65536 if N >= 50_000_000 else 16384))
+# r9: full N/16384 cell counts are RESTORED at every N. The r8 tier
+# coarsened >=5e7 rows to 64k-row cells because the flat nearest-
+# centroid stamp is O(N*C*d), measured ~1.9 ms/row at C=6103; the
+# grouped triangle-pruned stamp (kmeans.group_centroids, auto at
+# C>=256) cuts that to ~O(N*sqrt(C)) with EXACT assignments, so cell
+# granularity is once again set by probe economics, not stamp cost. An
+# in-run 2M-row flat-vs-grouped stamp A/B records the same-host ratio.
+IVF_CLUSTERS = max(16, N // 16384)
 IVF_PROBES = max(4, IVF_CLUSTERS // 8)
 N_SHARDS = max(8, N // 8192)
 P = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
+STAMP_AB_ROWS = 2_000_000
 
 spark = get_spark("stress-100m")
 out = f"/root/repo/_artifacts/stress100m_{N}"
@@ -100,17 +111,41 @@ meta: dict[str, object] = {
 }
 loads: dict[str, float] = {}
 
+# ---- disk budgeting (the r8 50M search died on host disk-full):
+# a sampler thread tracks MIN free space so every BENCH_HISTORY row
+# records the true peak-disk high-water mark of its stage ----
+import shutil as _shutil
+import threading as _threading
+
+_disk = {"min_free_gb": round(_shutil.disk_usage("/").free / 1e9, 1)}
+
+
+def _disk_sampler():
+    while True:
+        free = round(_shutil.disk_usage("/").free / 1e9, 1)
+        if free < _disk["min_free_gb"]:
+            _disk["min_free_gb"] = free
+        time.sleep(5)
+
+
+_threading.Thread(target=_disk_sampler, daemon=True).start()
+
 
 def timed(name, fn):
     loads[name] = round(os.getloadavg()[0], 1)
     t0 = time.time()
     r = fn()
     timings[name] = round(time.time() - t0, 1)
-    print(f"{name}: {timings[name]}s (load {loads[name]})", flush=True)
+    print(
+        f"{name}: {timings[name]}s (load {loads[name]}, "
+        f"min free {_disk['min_free_gb']}G)",
+        flush=True,
+    )
     return r
 
 
 def record(tier):
+    meta["min_free_disk_gb"] = _disk["min_free_gb"]
     line = {
         "ts": __import__("datetime").datetime.now(
             __import__("datetime").timezone.utc
@@ -171,16 +206,34 @@ if STAGE in ("ivf", "all"):
         lambda: train_kmeans(sample, IVF_CLUSTERS, 2),
     )
 
-    if not os.path.exists(f"{out}/ivf_clustered/_SUCCESS"):
-        from scalablevectorsearch_spark.functions.arrowio import map_stamp
+    # in-run stamp A/B on a 2M slice: the same-host flat-vs-grouped
+    # ratio, so the full-scale grouped wall time below has a measured
+    # flat counterfactual without paying the O(N*C) pass at full N
+    from scalablevectorsearch_spark.operators.kmeans import make_stamp_fn
 
-        bc = spark.sparkContext.broadcast(model.centroids)
+    ab = data.filter(F.col("id") < STAMP_AB_ROWS)
+    flat_fn = make_stamp_fn(spark.sparkContext, model.centroids, "flat")
+    grp_fn = make_stamp_fn(spark.sparkContext, model.centroids, "hierarchical")
+    from scalablevectorsearch_spark.functions.arrowio import map_stamp
+
+    timed(
+        "stamp_ab_flat_2m",
+        lambda: map_stamp(ab, "vector", "cluster_id", flat_fn)
+        .agg(F.sum("cluster_id")).collect(),
+    )
+    timed(
+        "stamp_ab_grouped_2m",
+        lambda: map_stamp(ab, "vector", "cluster_id", grp_fn)
+        .agg(F.sum("cluster_id")).collect(),
+    )
+    meta["stamp_ab_speedup_2m"] = round(
+        timings["stamp_ab_flat_2m"] / max(timings["stamp_ab_grouped_2m"], 0.1), 2
+    )
+
+    if not os.path.exists(f"{out}/ivf_clustered/_SUCCESS"):
 
         def stamp_write():
-            clustered = map_stamp(
-                data, "vector", "cluster_id",
-                lambda V: _nearest_centroid(V, bc.value),
-            )
+            clustered = map_stamp(data, "vector", "cluster_id", grp_fn)
             # written in scan order, NOT range-partitioned by
             # cluster_id: at 500 queries x 12.5% fan-out every cell is
             # probed by some query, so min/max file pruning cannot cut
@@ -214,6 +267,7 @@ if STAGE in ("ivf", "all"):
     # the full groundtruth — exactly how a production deployment would
     # use it at this scale
     gt_cal = gt.filter(F.col("qid") < 32)
+    cal_stats: dict = {}
     recall(
         "ivf_calibrated",
         timed_df(
@@ -221,10 +275,29 @@ if STAGE in ("ivf", "all"):
             lambda: ivf_search(
                 idx, queries, k=K, target_recall=0.90,
                 calibration_queries=32, calibration_groundtruth=gt_cal,
+                calibration_stats=cal_stats,
             ),
         ),
     )
+    # the r9 cost split: one-time gt + fit vs the serve pass (the r8
+    # record conflated them — 1355.6s read as if it were serve cost)
+    meta["ivf_calibration_split"] = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in cal_stats.items()
+    }
+    meta["ivf_serve_sec"] = round(
+        timings["ivf_calibrated_search"]
+        - cal_stats.get("gt_sec", 0.0) - cal_stats.get("fit_sec", 0.0), 1,
+    )
     record("ivf")
+    if N >= 50_000_000:
+        # stage-delete discipline: the clustered copy is data-sized;
+        # keeping it through the vamana stage is what overflowed the r8
+        # host (data + clustered + layout + spill)
+        timed(
+            "ivf_clustered_delete",
+            lambda: _shutil.rmtree(f"{out}/ivf_clustered", ignore_errors=True),
+        )
 
 # ---------------- vamana ----------------
 if STAGE in ("vamana", "all"):
@@ -234,15 +307,29 @@ if STAGE in ("vamana", "all"):
         lambda: train_kmeans(sample, N_SHARDS, 2),
     )
 
-    def routed_build():
-        vr = vamana_build(
-            data, P, n_shards=N_SHARDS, shard_by="kmeans",
-            shard_model=shard_model,
-        )
-        vr.graph.persist(StorageLevel.MEMORY_AND_DISK).count()
-        return vr
-
-    vr = timed("vamana_routed_build", routed_build)
+    # DISK_ONLY layout at this scale: serialized blocks are ~data-sized
+    # with no heap pressure; the r8 50M run's MEMORY_AND_DISK layout +
+    # build shuffle + base data overflowed the host's disk
+    lay_storage = StorageLevel.DISK_ONLY if N >= 50_000_000 else None
+    vr = vamana_build(
+        data, P, n_shards=N_SHARDS, shard_by="kmeans",
+        shard_model=shard_model, layout_storage=lay_storage,
+    )
+    meta["stamp_hierarchical"] = vr.stamp_hierarchical
+    # materialize the LAYOUT first (grouped stamp + one co-locating
+    # shuffle), then the graph kernels — so the stamp wall and the
+    # build kernels are separately attributable in the record
+    timed("vamana_layout_stamp_shuffle", lambda: vr.layout.count())
+    meta["stamp_us_per_row"] = round(
+        timings["vamana_layout_stamp_shuffle"] / N * 1e6, 2
+    )
+    timed(
+        "vamana_graph_build",
+        lambda: vr.graph.persist(StorageLevel.MEMORY_AND_DISK).count(),
+    )
+    timings["vamana_routed_build"] = round(
+        timings["vamana_layout_stamp_shuffle"] + timings["vamana_graph_build"], 1
+    )
     recall(
         "vamana_routed",
         timed_df(

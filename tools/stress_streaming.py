@@ -214,6 +214,158 @@ print(
     flush=True,
 )
 
+# ---- leg 3: streaming MAINTENANCE loop (VERDICT r8 task 7) ----
+# the reference's dynamic-regression shape
+# (tools/benchmark_inputs/vamana/dynamic-regression.toml:15-75):
+# continuous micro-batches of ~1% adds + ~1% deletes applied to a live
+# dynamic Vamana index via foreachBatch, consolidate every 5 batches,
+# then prove the post-loop index is EXACT on the final state (200-query
+# exhaustive-window search hash-equals batch flat k-NN over the
+# expected live set) and holds an operational recall floor.
+from scalablevectorsearch_spark.operators.dynamic import (
+    add_points,
+    consolidate,
+    delete_entries,
+    dynamic_search,
+    dynamic_vamana,
+)
+from scalablevectorsearch_spark.operators.vamana import VamanaParams, vamana_build
+
+BASE_N = max(20_000, N // 20)
+NB, CONSOLIDATE_EVERY = 15, 5
+STEP = max(100, BASE_N // 100)  # ~1% per micro-batch
+MAINT_SHARDS = max(8, BASE_N // 4096)
+MAINT_SWS, MAINT_FLOOR = 60, 0.90
+MSTREAM = 5  # vector stream id: regenerable per id for the batch oracle
+
+base0 = gen_df(
+    spark.range(BASE_N).select(F.col("id").cast("long")),
+    MSTREAM,
+    lambda ids: {"is_delete": False, "seq": np.zeros(len(ids), dtype=np.int64)},
+).select("id", "vector")
+dynp = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
+t0 = time.time()
+dyn = dynamic_vamana(vamana_build(base0, dynp, n_shards=MAINT_SHARDS))
+dyn.index.graph.cache().count()
+timings["maint_build"] = round(time.time() - t0, 1)
+
+# micro-batch files: adds draw fresh ids past BASE_N, deletes tombstone
+# a disjoint slice of the initial range — batch effects commute, so
+# file arrival order cannot change the final state
+msrc = f"{out}/maint_src"
+for b in range(NB):
+    adds = spark.range(BASE_N + b * STEP, BASE_N + (b + 1) * STEP).select(
+        F.col("id").cast("long")
+    )
+    dels = spark.range(b * STEP, (b + 1) * STEP).select(F.col("id").cast("long"))
+    batch = gen_df(
+        adds, MSTREAM,
+        lambda ids: {"is_delete": False, "seq": np.full(len(ids), b, dtype=np.int64)},
+    ).unionByName(
+        gen_df(
+            dels, MSTREAM,
+            lambda ids: {"is_delete": True, "seq": np.full(len(ids), b, dtype=np.int64)},
+        )
+    )
+    batch.coalesce(1).write.mode("append").parquet(msrc)
+
+# drain the stream with a LIGHT foreachBatch (collect the ~2%-of-base
+# micro-batch to the driver — sub-second), then run the heavy graph
+# mutations per collected batch OUTSIDE the callback: a foreachBatch
+# that blocks for minutes (consolidate) starves the py4j callback
+# socket and kills the stream (measured: Py4JNetworkException mid-loop)
+collected: list = []
+
+
+def collect_batch(bdf, bid):
+    collected.append((bid, bdf.toPandas()))
+
+
+t0 = time.time()
+mstream = (
+    spark.readStream.schema("id long, vector array<float>, is_delete boolean, seq long")
+    .option("maxFilesPerTrigger", 1)
+    .parquet(msrc)
+)
+mq = (
+    mstream.writeStream.foreachBatch(collect_batch)
+    .option("checkpointLocation", f"{out}/ckpt_maint")
+    .trigger(availableNow=True)
+    .start()
+)
+mq.awaitTermination()
+timings["maint_drain"] = round(time.time() - t0, 1)
+assert len(collected) == NB, (len(collected), NB)
+
+t0 = time.time()
+n_consolidations = 0
+for i, (_bid, pdf) in enumerate(sorted(collected, key=lambda t: t[0]), 1):
+    adds_pdf = pdf[~pdf["is_delete"]][["id", "vector"]]
+    dels_pdf = pdf[pdf["is_delete"]][["id"]]
+    if len(adds_pdf):
+        dyn = add_points(
+            dyn,
+            spark.createDataFrame(adds_pdf, "id long, vector array<float>"),
+        )
+    if len(dels_pdf):
+        dyn = delete_entries(dyn, spark.createDataFrame(dels_pdf, "id long"))
+    if i % CONSOLIDATE_EVERY == 0:
+        dyn = consolidate(dyn)
+        n_consolidations += 1
+timings["maint_apply"] = round(time.time() - t0, 1)
+n_mutated = 2 * NB * STEP
+rates["maint_rows_per_sec"] = round(
+    n_mutated / (timings["maint_drain"] + timings["maint_apply"]), 1
+)
+maint_state = {"consolidations": n_consolidations}
+
+# expected final state, regenerated in batch from the id algebra
+live_ids = spark.range(NB * STEP, BASE_N + NB * STEP).select(F.col("id").cast("long"))
+expected_final = gen_df(
+    live_ids, MSTREAM,
+    lambda ids: {"is_delete": False, "seq": np.zeros(len(ids), dtype=np.int64)},
+).select("id", "vector").persist()
+assert expected_final.count() == BASE_N
+
+maint_q = spark.read.parquet(qsrc)
+sample_mq = maint_q.orderBy("qid").limit(200)
+t0 = time.time()
+got = dynamic_search(dyn, sample_mq, k=K, search_window_size=8192)
+want_m = flat_knn(expected_final, sample_mq, k=K)
+h_m_got, h_m_want = knn_hash(got), knn_hash(want_m)
+timings["maint_exhaustive_check"] = round(time.time() - t0, 1)
+assert (h_m_got["s"], h_m_got["n"]) == (h_m_want["s"], h_m_want["n"]), (
+    "post-loop exhaustive dynamic search != batch flat k-NN on final state",
+    h_m_got,
+    h_m_want,
+)
+
+# operational recall floor on the full query set
+t0 = time.time()
+res_op = dynamic_search(dyn, maint_q, k=K, search_window_size=MAINT_SWS).persist()
+res_op.count()
+timings["maint_search_op"] = round(time.time() - t0, 1)
+gt_final = flat_knn(expected_final, maint_q, k=K).select("qid", "neighbor_id").persist()
+n_gtf = gt_final.count()
+matched = (
+    res_op.select("qid", "neighbor_id")
+    .join(gt_final, ["qid", "neighbor_id"], "left_semi")
+    .count()
+)
+maint_recall = round(matched / n_gtf, 4)
+res_op.unpersist()
+gt_final.unpersist()
+expected_final.unpersist()
+assert maint_recall >= MAINT_FLOOR, f"maintenance recall {maint_recall} < {MAINT_FLOOR}"
+print(
+    f"maintenance loop: {NB} micro-batches x {STEP} adds + {STEP} deletes over "
+    f"{BASE_N} base rows in {timings['maint_drain']}s drain + "
+    f"{timings['maint_apply']}s apply ({rates['maint_rows_per_sec']}/s, "
+    f"{maint_state['consolidations']} consolidations), exhaustive hash == "
+    f"batch, recall {maint_recall} @ sws {MAINT_SWS}",
+    flush=True,
+)
+
 line = {
     "ts": __import__("datetime")
     .datetime.now(__import__("datetime").timezone.utc)
@@ -221,7 +373,11 @@ line = {
     "stress_streaming": N,
     "timings": timings,
     "rates": rates,
-    "micro_batches": {"ingest": n_batches, "knn": knn_batches},
+    "micro_batches": {"ingest": n_batches, "knn": knn_batches, "maintenance": NB},
+    "maintenance": {
+        "base_n": BASE_N, "step": STEP, "consolidations": maint_state["consolidations"],
+        "recall": maint_recall, "sws": MAINT_SWS, "floor": MAINT_FLOOR,
+    },
     "drained_hash_equal": True,
     "load_avg": round(os.getloadavg()[0], 1),
 }
