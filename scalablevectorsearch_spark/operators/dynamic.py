@@ -267,14 +267,27 @@ def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
 def _cache_graph(graph: DataFrame) -> DataFrame:
     """Materialize a mutated graph hash-partitioned on shard_id — the
     Spark analog of the reference's in-place ``graph_.replace_node``:
-    without the cache every downstream search re-runs the shard rebuild,
-    and partitioning by shard keeps the cached layout aligned with the
-    search cogroup (no partition-count creep across mutation cycles)."""
+    without it every downstream search re-runs the shard rebuild, and
+    partitioning by shard keeps the materialized layout aligned with
+    the search cogroup (no partition-count creep across mutation
+    cycles).
+
+    localCheckpoint, not cache: every mutation embeds the PREVIOUS
+    graph's plan at least twice (untouched-shards filter + the cogroup
+    side), so a cache-only chain doubles the logical plan per mutation
+    — measured blowing past Catalyst's 2^31-char plan-string cap (and
+    minutes of analysis) ~15 batches into a streaming maintenance
+    loop. The eager local checkpoint stores the same blocks AND cuts
+    the lineage to a leaf, keeping plan size constant per mutation
+    (same fix as dedup's pointer-jumping loop). Dataset.checkpoint
+    preserves the physical output partitioning in the LogicalRDD, so
+    the downstream cogroup still reuses the shard exchange. On a real
+    cluster, executor loss invalidates local checkpoints — a
+    maintenance service there should periodically persist the graph
+    to storage (index save/load) instead of chaining forever."""
     from scalablevectorsearch_spark.operators.vamana import _by_shard
 
-    g = _by_shard(graph).cache()
-    g.count()
-    return g
+    return _by_shard(graph).localCheckpoint(eager=True)
 
 
 def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
@@ -436,14 +449,13 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     graph = _cache_graph(
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked)
     )
-    from pyspark.storagelevel import StorageLevel
-
+    # localCheckpoint for the same lineage-cut reason as _cache_graph:
+    # the previous layout appears on both union sides across mutations
     layout = _by_shard(
         _without_ids(idx.layout, "__id", revived).unionByName(
             new_layout.select("shard_id", "__id", "__vec")
         )
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    layout.count()
+    ).localCheckpoint(eager=True)
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout),
         tomb_ids=tomb,
@@ -625,16 +637,14 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     graph = _cache_graph(
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired)
     )
-    from pyspark.storagelevel import StorageLevel
-
     if large:
         new_layout = idx.layout.join(
             dyn.tomb_df.withColumnRenamed("id", "__id"), "__id", "left_anti"
         )
     else:
         new_layout = _without_ids(idx.layout, "__id", dyn.tomb_ids)
-    layout = _by_shard(new_layout).persist(StorageLevel.MEMORY_AND_DISK)
-    layout.count()
+    # lineage cut (see _cache_graph): constant plan size per mutation
+    layout = _by_shard(new_layout).localCheckpoint(eager=True)
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=()
     )
