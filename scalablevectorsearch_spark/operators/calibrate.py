@@ -89,6 +89,47 @@ class ProbeBudgetResult:
     probes: list[tuple[float, float]]  # (budget, recall) evaluations
 
 
+def margined_target(
+    target_recall: float,
+    margin: float | str | None,
+    k: int,
+    n_calibration: int,
+    z: float = 1.6449,
+    cap: float = 0.999,
+) -> float:
+    """Sampling-aware calibration target.
+
+    A budget fitted to hit ``target_recall`` exactly on an n-query
+    calibration sample is an unbiased but NOISY estimate of the
+    population operating point: the sample recall is a mean of
+    ``n_calibration * k`` Bernoulli trials, so its standard error is
+    sqrt(t(1-t) / (n*k)) — ~1.7pp at t=0.90 with the default 32-query,
+    k=10 sample. A 1-2 sigma unlucky sample then under-delivers on the
+    full population by the same amount (measured: the 1e8-row IVF tier
+    fitted exactly 0.90 on 32 qids and served 0.8712 on the 500-query
+    population; the 5e7 tier's sample landed on 0.9016).
+
+    ``margin="ci"`` fits at the one-sided upper confidence bound
+    (default z=1.6449, ~95%), so the population recall clears the
+    user's target with that confidence instead of a coin flip; a float
+    adds that fixed margin; ``None`` keeps the exact-fit behavior.
+    The widened target is capped at ``cap`` so a high user target
+    still admits a feasible budget."""
+    if margin is None:
+        return target_recall
+    if margin == "ci":
+        n_trials = max(1, int(n_calibration) * int(k))
+        sigma = math.sqrt(target_recall * (1.0 - target_recall) / n_trials)
+        return min(cap, target_recall + z * sigma)
+    if isinstance(margin, (int, float)) and not isinstance(margin, bool):
+        if margin < 0:
+            raise ValueError("calibration_margin must be >= 0")
+        return min(cap, target_recall + float(margin))
+    raise ValueError(
+        "calibration_margin must be None, 'ci', or a non-negative float"
+    )
+
+
 def calibrate_probe_budget(
     search_fn: Callable[[float], DataFrame],
     groundtruth: DataFrame,

@@ -361,6 +361,7 @@ def _fit_budget_for_target(
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
     stats: dict | None = None,
+    calibration_margin: float | str | None = None,
 ) -> float:
     """Fit a probe budget hitting ``target_recall`` on a deterministic
     query sample (ivf_search's target_recall= path). The sample is the
@@ -447,6 +448,12 @@ def _fit_budget_for_target(
             index.cal_cache[gt_key] = pdf
             groundtruth = index.clustered.sparkSession.createDataFrame(pdf)
     stats["gt_sec"] = _time.perf_counter() - t_gt
+    from scalablevectorsearch_spark.operators.calibrate import margined_target
+
+    fit_target = margined_target(
+        target_recall, calibration_margin, k, calibration_queries
+    )
+    stats["fit_target"] = fit_target
     t_fit = _time.perf_counter()
     cal = calibrate_probe_budget(
         lambda b: ivf_search(
@@ -456,7 +463,7 @@ def _fit_budget_for_target(
             max_probes=max_probes, k_reorder=k_reorder,
             rerank_base=rerank_base, rerank_queries=rerank_queries,
         ),
-        groundtruth, k, target_recall=target_recall,
+        groundtruth, k, target_recall=fit_target,
         max_budget=float(index.n_clusters),
     )
     stats["fit_sec"] = _time.perf_counter() - t_fit
@@ -565,6 +572,7 @@ def ivf_search(
     calibration_queries: int = 32,
     calibration_groundtruth: DataFrame | None = None,
     calibration_stats: dict | None = None,
+    calibration_margin: float | str | None = None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -624,7 +632,13 @@ def ivf_search(
     fit_recall} — so one-time groundtruth+fit cost is never conflated
     with per-query serve cost. The sample groundtruth is cached on the
     index (``index.cal_cache``); a second target_recall search on the
-    same index skips the exact scan (gt_cached=True)."""
+    same index skips the exact scan (gt_cached=True).
+    ``calibration_margin``: sampling-aware fit target — ``"ci"`` fits
+    at the one-sided 95% upper confidence bound of the sample recall
+    (see calibrate.margined_target: a 32-query/k=10 exact fit is a
+    coin flip on whether the POPULATION clears the target; measured
+    0.8712 at 1e8 rows), a float adds a fixed margin, None (default)
+    keeps the exact fit."""
     if target_recall is not None:
         if epsilon_bp is not None or probe_budget is not None:
             raise ValueError(
@@ -638,7 +652,7 @@ def ivf_search(
             calibration_groundtruth, router, router_candidates, where,
             max_probes=max_probes, k_reorder=k_reorder,
             rerank_base=rerank_base, rerank_queries=rerank_queries,
-            stats=calibration_stats,
+            stats=calibration_stats, calibration_margin=calibration_margin,
         )
         return ivf_search(
             index, queries, k, distance=distance, qid_col=qid_col,

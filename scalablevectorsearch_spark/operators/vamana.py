@@ -510,6 +510,7 @@ def vamana_search(
     scan_override: DataFrame | None = None,
     calibration_stats: dict | None = None,
     fallback_below: int | None = None,
+    calibration_margin: float | str | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -538,6 +539,9 @@ def vamana_search(
     receive the cost split {gt_sec, gt_cached, fit_sec, fit_evals,
     fitted_budget, fit_recall}; the sample groundtruth is cached on
     ``index.cal_cache`` so re-calibration skips the exact scan.
+    ``calibration_margin``: sampling-aware fit target ("ci" = one-sided
+    95% upper confidence bound of the sample recall, float = fixed
+    margin, None = exact fit; see calibrate.margined_target).
     ``fallback_below``: with ``where``, count the matching pool once
     (a pushed-down parquet count) and, when it holds at most this many
     rows, serve the EXACT filtered flat k-NN over the pool instead of
@@ -660,7 +664,7 @@ def vamana_search(
             calibration_queries, calibration_groundtruth, router,
             max_probes=max_probes, buffer_capacity=buffer_capacity,
             exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
-            stats=calibration_stats,
+            stats=calibration_stats, calibration_margin=calibration_margin,
         )
         return vamana_search(
             index, queries, k, search_window_size=sws, qid_col=qid_col,
@@ -767,6 +771,7 @@ def _fit_vamana_budget(
     exclude_df: DataFrame | None = None,
     where=None,
     stats: dict | None = None,
+    calibration_margin: float | str | None = None,
 ) -> float:
     """Fit a shard probe budget hitting ``target_recall`` on a
     deterministic query sample (vamana_search's target_recall= path;
@@ -848,6 +853,12 @@ def _fit_vamana_budget(
             index.cal_cache[gt_key] = pdf
             groundtruth = index.base.sparkSession.createDataFrame(pdf)
     stats["gt_sec"] = _time.perf_counter() - t_gt
+    from scalablevectorsearch_spark.operators.calibrate import margined_target
+
+    fit_target = margined_target(
+        target_recall, calibration_margin, k, calibration_queries
+    )
+    stats["fit_target"] = fit_target
     t_fit = _time.perf_counter()
     try:
         cal = calibrate_probe_budget(
@@ -858,7 +869,7 @@ def _fit_vamana_budget(
                 exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
                 scan_override=scan_override,
             ),
-            groundtruth, k, target_recall=target_recall,
+            groundtruth, k, target_recall=fit_target,
             max_budget=float(index.n_shards),
         )
     finally:

@@ -158,3 +158,78 @@ def test_vamana_where_cached(cbase, cqueries, monkeypatch):
     assert calls["n"] == 1
     assert s1["gt_cached"] is False and s2["gt_cached"] is True
     index.layout.unpersist()
+
+
+# ---- calibration_margin: sampling-aware fit targets ----
+# An exact sample fit is a coin flip on whether the POPULATION clears
+# the target (measured: 0.90 fitted on 32 qids served 0.8712 on 500 at
+# 1e8 rows). margined_target widens the fit target by the sample CI.
+
+
+def test_margined_target_formula():
+    import math
+
+    from scalablevectorsearch_spark.operators.calibrate import margined_target
+
+    assert margined_target(0.9, None, 10, 32) == 0.9
+    want = 0.9 + 1.6449 * math.sqrt(0.9 * 0.1 / 320)
+    assert abs(margined_target(0.9, "ci", 10, 32) - want) < 1e-12
+    assert margined_target(0.9, 0.05, 10, 32) == pytest.approx(0.95)
+    # capped so a high target still admits a feasible budget
+    assert margined_target(0.999, "ci", 10, 32) == 0.999
+    assert margined_target(0.99, 0.5, 10, 32) == 0.999
+    with pytest.raises(ValueError):
+        margined_target(0.9, -0.01, 10, 32)
+    with pytest.raises(ValueError):
+        margined_target(0.9, "bogus", 10, 32)
+    with pytest.raises(ValueError):
+        margined_target(0.9, True, 10, 32)
+
+
+def test_ivf_margin_widens_fit_target(cbase, cqueries):
+    index = ivf_build(cbase, 8, 2)
+    s_plain, s_ci, s_fix = {}, {}, {}
+    ivf_search(
+        index, cqueries, k=5, target_recall=0.8, calibration_queries=8,
+        calibration_stats=s_plain,
+    ).collect()
+    ivf_search(
+        index, cqueries, k=5, target_recall=0.8, calibration_queries=8,
+        calibration_stats=s_ci, calibration_margin="ci",
+    ).collect()
+    ivf_search(
+        index, cqueries, k=5, target_recall=0.8, calibration_queries=8,
+        calibration_stats=s_fix, calibration_margin=0.1,
+    ).collect()
+    assert s_plain["fit_target"] == 0.8
+    import math
+
+    assert s_ci["fit_target"] == pytest.approx(
+        0.8 + 1.6449 * math.sqrt(0.8 * 0.2 / 40)
+    )
+    assert s_fix["fit_target"] == pytest.approx(0.9)
+    # a wider target never fits a smaller budget (monotone grid search)
+    assert s_ci["fitted_budget"] >= s_plain["fitted_budget"]
+    assert s_fix["fitted_budget"] >= s_plain["fitted_budget"]
+    # the second/third calls reuse the cached sample groundtruth — the
+    # margin changes only the fit loop, not the gt key
+    assert s_ci["gt_cached"] is True and s_fix["gt_cached"] is True
+
+
+def test_vamana_margin_widens_fit_target(cbase, cqueries):
+    base = cbase.select("id", "vector")
+    index = vamana_build(base, PARAMS, n_shards=4, shard_by="kmeans")
+    s_plain, s_ci = {}, {}
+    vamana_search(
+        index, cqueries, k=5, search_window_size=64, target_recall=0.75,
+        calibration_queries=8, calibration_stats=s_plain,
+    ).collect()
+    vamana_search(
+        index, cqueries, k=5, search_window_size=64, target_recall=0.75,
+        calibration_queries=8, calibration_stats=s_ci,
+        calibration_margin="ci",
+    ).collect()
+    assert s_plain["fit_target"] == 0.75
+    assert s_ci["fit_target"] > 0.75
+    assert s_ci["fitted_budget"] >= s_plain["fitted_budget"]
+    index.layout.unpersist()

@@ -199,7 +199,10 @@ def timed_df(name, fn):
 
 
 # ---------------- ivf ----------------
-if STAGE in ("ivf", "all"):
+if STAGE in ("ivf", "ivf_cal", "all"):
+    # "ivf_cal": lean re-run of ONLY the calibrated leg (train + stamp
+    # if missing + target_recall search) — skips the stamp A/B and the
+    # epsilon row, for iterating on the calibration itself at full N
     sample = data.filter(F.col("id") < SAMPLE_TRAIN)
     model = timed(
         "ivf_kmeans_sample_train",
@@ -216,19 +219,21 @@ if STAGE in ("ivf", "all"):
     grp_fn = make_stamp_fn(spark.sparkContext, model.centroids, "hierarchical")
     from scalablevectorsearch_spark.functions.arrowio import map_stamp
 
-    timed(
-        "stamp_ab_flat_2m",
-        lambda: map_stamp(ab, "vector", "cluster_id", flat_fn)
-        .agg(F.sum("cluster_id")).collect(),
-    )
-    timed(
-        "stamp_ab_grouped_2m",
-        lambda: map_stamp(ab, "vector", "cluster_id", grp_fn)
-        .agg(F.sum("cluster_id")).collect(),
-    )
-    meta["stamp_ab_speedup_2m"] = round(
-        timings["stamp_ab_flat_2m"] / max(timings["stamp_ab_grouped_2m"], 0.1), 2
-    )
+    if STAGE != "ivf_cal":
+        timed(
+            "stamp_ab_flat_2m",
+            lambda: map_stamp(ab, "vector", "cluster_id", flat_fn)
+            .agg(F.sum("cluster_id")).collect(),
+        )
+        timed(
+            "stamp_ab_grouped_2m",
+            lambda: map_stamp(ab, "vector", "cluster_id", grp_fn)
+            .agg(F.sum("cluster_id")).collect(),
+        )
+        meta["stamp_ab_speedup_2m"] = round(
+            timings["stamp_ab_flat_2m"] / max(timings["stamp_ab_grouped_2m"], 0.1),
+            2,
+        )
 
     if not os.path.exists(f"{out}/ivf_clustered/_SUCCESS"):
 
@@ -250,15 +255,18 @@ if STAGE in ("ivf", "all"):
     Q = np.stack(
         queries.orderBy("qid").toPandas()["vector"].to_numpy()
     ).astype(np.float64)
-    EPS_BP = fit_epsilon_bp(Q, model.centroids, float(IVF_PROBES))
-    meta["ivf_eps_bp_fitted"] = EPS_BP
-    recall(
-        "ivf_epsilon",
-        timed_df(
-            "ivf_epsilon_search",
-            lambda: ivf_search(idx, queries, k=K, n_probes=0, epsilon_bp=EPS_BP),
-        ),
-    )
+    if STAGE != "ivf_cal":
+        EPS_BP = fit_epsilon_bp(Q, model.centroids, float(IVF_PROBES))
+        meta["ivf_eps_bp_fitted"] = EPS_BP
+        recall(
+            "ivf_epsilon",
+            timed_df(
+                "ivf_epsilon_search",
+                lambda: ivf_search(
+                    idx, queries, k=K, n_probes=0, epsilon_bp=EPS_BP
+                ),
+            ),
+        )
     # recall-TARGETED row through the GATED ivf_search(target_recall=)
     # convenience: the budget is fitted on the 32 smallest qids (each
     # calibration eval searches only the sample, so the cost is one
@@ -268,6 +276,13 @@ if STAGE in ("ivf", "all"):
     # use it at this scale
     gt_cal = gt.filter(F.col("qid") < 32)
     cal_stats: dict = {}
+    # calibration_margin="ci": the 1e8/C=6103 run fitted exactly 0.90
+    # on the 32-qid sample and served 0.8712 on the 500-query
+    # population — a ~1.7sigma unlucky sample (sigma = sqrt(.9*.1/320)
+    # ~ 1.7pp). The CI-margined fit targets the one-sided 95% upper
+    # bound (~0.928) so the POPULATION clears the user's 0.90 with
+    # that confidence, at the cost of a somewhat wider fitted budget.
+    meta["calibration_margin"] = "ci"
     recall(
         "ivf_calibrated",
         timed_df(
@@ -275,7 +290,7 @@ if STAGE in ("ivf", "all"):
             lambda: ivf_search(
                 idx, queries, k=K, target_recall=0.90,
                 calibration_queries=32, calibration_groundtruth=gt_cal,
-                calibration_stats=cal_stats,
+                calibration_stats=cal_stats, calibration_margin="ci",
             ),
         ),
     )
@@ -289,7 +304,7 @@ if STAGE in ("ivf", "all"):
         timings["ivf_calibrated_search"]
         - cal_stats.get("gt_sec", 0.0) - cal_stats.get("fit_sec", 0.0), 1,
     )
-    record("ivf")
+    record("ivf" if STAGE != "ivf_cal" else "ivf-cal-margined")
     if N >= 50_000_000:
         # stage-delete discipline: the clustered copy is data-sized;
         # keeping it through the vamana stage is what overflowed the r8
