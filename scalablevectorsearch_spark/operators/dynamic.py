@@ -272,22 +272,42 @@ def _cache_graph(graph: DataFrame) -> DataFrame:
     the search cogroup (no partition-count creep across mutation
     cycles).
 
-    localCheckpoint, not cache: every mutation embeds the PREVIOUS
-    graph's plan at least twice (untouched-shards filter + the cogroup
-    side), so a cache-only chain doubles the logical plan per mutation
-    — measured blowing past Catalyst's 2^31-char plan-string cap (and
-    minutes of analysis) ~15 batches into a streaming maintenance
-    loop. The eager local checkpoint stores the same blocks AND cuts
-    the lineage to a leaf, keeping plan size constant per mutation
-    (same fix as dedup's pointer-jumping loop). Dataset.checkpoint
-    preserves the physical output partitioning in the LogicalRDD, so
-    the downstream cogroup still reuses the shard exchange. On a real
-    cluster, executor loss invalidates local checkpoints — a
-    maintenance service there should periodically persist the graph
-    to storage (index save/load) instead of chaining forever."""
+    localCheckpoint, not cache alone: every mutation embeds the
+    PREVIOUS graph's plan at least twice (untouched-shards filter +
+    the cogroup side), so a cache-only chain doubles the logical plan
+    per mutation — measured blowing past Catalyst's 2^31-char
+    plan-string cap (and minutes of analysis) ~15 batches into a
+    streaming maintenance loop. The eager local checkpoint cuts the
+    lineage to a leaf, keeping plan size constant per mutation (same
+    fix as dedup's pointer-jumping loop).
+
+    But a checkpoint leaf alone is NOT enough: Spark's LogicalRDD
+    (measured on 4.1.2) reports unknown partitioning to Catalyst, so
+    every post-mutation search would re-shuffle the checkpointed frame
+    under the cogroup — a full graph+layout exchange per SEARCH, the
+    hot path (explain_audit's "post-mutation search still reads a
+    persisted layout" check caught exactly this). So: checkpoint
+    (lineage cut, one-time) THEN _by_shard + persist (one shuffle per
+    MUTATION; the InMemoryRelation carries hashpartitioning(shard_id)
+    and searches cogroup exchange-free off it). The persisted blocks
+    sit on top of the checkpoint blocks — ~2x layout storage per live
+    generation; old generations are reclaimed by the ContextCleaner
+    when their DynamicVamana is dropped. On a real cluster, executor
+    loss invalidates local checkpoints — a maintenance service there
+    should periodically persist the graph to storage (index
+    save/load) instead of chaining forever."""
+    return _pin_by_shard(graph)
+
+
+def _pin_by_shard(df: DataFrame) -> DataFrame:
+    """Eager lineage cut + Catalyst-visible shard partitioning: the
+    materialization every mutated graph/layout goes through (see
+    _cache_graph's docstring for why BOTH steps are required)."""
     from scalablevectorsearch_spark.operators.vamana import _by_shard
 
-    return _by_shard(graph).localCheckpoint(eager=True)
+    pinned = _by_shard(df.localCheckpoint(eager=True)).persist()
+    pinned.count()
+    return pinned
 
 
 def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
@@ -449,13 +469,13 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     graph = _cache_graph(
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked)
     )
-    # localCheckpoint for the same lineage-cut reason as _cache_graph:
+    # lineage cut + re-pinned shard partitioning (see _cache_graph):
     # the previous layout appears on both union sides across mutations
-    layout = _by_shard(
+    layout = _pin_by_shard(
         _without_ids(idx.layout, "__id", revived).unionByName(
             new_layout.select("shard_id", "__id", "__vec")
         )
-    ).localCheckpoint(eager=True)
+    )
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout),
         tomb_ids=tomb,
@@ -643,8 +663,8 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         )
     else:
         new_layout = _without_ids(idx.layout, "__id", dyn.tomb_ids)
-    # lineage cut (see _cache_graph): constant plan size per mutation
-    layout = _by_shard(new_layout).localCheckpoint(eager=True)
+    # lineage cut + re-pinned shard partitioning (see _cache_graph)
+    layout = _pin_by_shard(new_layout)
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=()
     )
