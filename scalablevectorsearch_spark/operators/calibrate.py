@@ -114,9 +114,12 @@ def margined_target(
     user's target with that confidence instead of a coin flip; a float
     adds that fixed margin; ``None`` keeps the exact-fit behavior.
     The widened target is capped at ``cap`` so a high user target
-    still admits a feasible budget."""
+    still admits a feasible budget — but never below the user's own
+    target (a margin must not WEAKEN the fit relative to margin=None,
+    e.g. target_recall=0.9995 with the default cap)."""
     if margin is None:
         return target_recall
+    cap = max(cap, target_recall)
     if margin == "ci":
         n_trials = max(1, int(n_calibration) * int(k))
         sigma = math.sqrt(target_recall * (1.0 - target_recall) / n_trials)
@@ -128,6 +131,47 @@ def margined_target(
     raise ValueError(
         "calibration_margin must be None, 'ci', or a non-negative float"
     )
+
+
+def validate_budget(
+    search_fn: Callable[[float], DataFrame],
+    groundtruth: DataFrame,
+    k: int,
+    target_recall: float,
+    budget: float,
+    max_budget: float,
+    widen: float = 1.5,
+    max_rounds: int = 3,
+    stats: dict | None = None,
+) -> float:
+    """Held-out validation of a sample-fitted budget.
+
+    A budget fitted on n calibration qids is graded here against a
+    DISJOINT validation qid set: a fit sample whose draw is
+    systematically easier than the population passes its own fit yet
+    under-delivers in production (measured at 1e8 rows: a 32-qid exact
+    fit of 0.90 served 0.8712 on the 500-query population — the sample
+    was ~3.5pp easier, a bias no within-sample CI margin can remove).
+    When the validation recall misses ``target_recall``, the budget is
+    widened multiplicatively (recall is monotone-ish in budget, the
+    same working assumption as the fit's grid search) and re-validated,
+    up to ``max_rounds`` widenings or ``max_budget``. Returns the
+    validated (possibly widened) budget; records the
+    (budget, validation recall) trail in ``stats['validation']`` and
+    the final recall in ``stats['validated_recall']``."""
+    if stats is None:
+        stats = {}
+    trail: list[tuple[float, float]] = []
+    stats["validation"] = trail
+    b = float(budget)
+    for _ in range(max(1, max_rounds) + 1):
+        r = _recall_of(groundtruth, search_fn(b), k)
+        trail.append((b, r))
+        if r >= target_recall or b >= max_budget:
+            break
+        b = min(float(max_budget), b * widen)
+    stats["validated_recall"] = trail[-1][1]
+    return trail[-1][0]
 
 
 def calibrate_probe_budget(

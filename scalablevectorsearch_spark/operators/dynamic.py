@@ -231,6 +231,30 @@ class DynamicVamana:
     index: VamanaIndex
     tomb_ids: tuple = ()  # sorted tombstoned ids (small path)
     tomb_df: DataFrame | None = None  # authoritative when not None
+    #: persisted frames THIS generation's mutation created and owns
+    #: (graph/layout). The CacheManager holds strong references to
+    #: persisted plans until explicit unpersist — the ContextCleaner
+    #: does NOT reclaim them on Python GC — so each mutation releases
+    #: its predecessor's pins once the new generation is materialized
+    #: (see add_points/consolidate), and ``close()`` releases the last
+    #: generation when a maintenance loop retires the index.
+    pins: tuple = ()
+    #: mutations since the last lineage cut: every mutation embeds the
+    #: previous graph's plan at least twice, so the logical plan doubles
+    #: per generation; a localCheckpoint every _CKPT_EVERY mutations
+    #: bounds growth to 2^_CKPT_EVERY leaf-plan copies (measured
+    #: blowup point without any cut: ~15 generations) while paying the
+    #: checkpoint write only every K-th mutation (per-mutation eager
+    #: checkpoints cost +27-36% on the mutation cycle).
+    gens_since_ckpt: int = 0
+
+    def close(self) -> None:
+        """Release this generation's persisted graph/layout blocks.
+        Call when retiring the index (e.g. at the end of a streaming
+        maintenance loop); searches on this handle afterwards recompute
+        from the last checkpoint instead of the cache."""
+        for df in self.pins:
+            df.unpersist(blocking=False)
 
     @property
     def spark(self):
@@ -264,48 +288,52 @@ def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
     return DynamicVamana(index=index, tomb_ids=())
 
 
-def _cache_graph(graph: DataFrame) -> DataFrame:
-    """Materialize a mutated graph hash-partitioned on shard_id — the
-    Spark analog of the reference's in-place ``graph_.replace_node``:
-    without it every downstream search re-runs the shard rebuild, and
-    partitioning by shard keeps the materialized layout aligned with
-    the search cogroup (no partition-count creep across mutation
-    cycles).
+#: mutations between lineage cuts. Every mutation embeds the previous
+#: graph's plan at least twice, so plan size doubles per generation; a
+#: cut every 4th mutation bounds the plan at 2^4 = 16 leaf-plan copies
+#: — far under the measured ~15-generation Catalyst blowup — while
+#: skipping 3 of 4 checkpoint writes (per-mutation eager checkpoints
+#: measured +27-36% on dynamic_cycle in r9).
+_CKPT_EVERY = 4
 
-    localCheckpoint, not cache alone: every mutation embeds the
-    PREVIOUS graph's plan at least twice (untouched-shards filter +
-    the cogroup side), so a cache-only chain doubles the logical plan
-    per mutation — measured blowing past Catalyst's 2^31-char
-    plan-string cap (and minutes of analysis) ~15 batches into a
-    streaming maintenance loop. The eager local checkpoint cuts the
-    lineage to a leaf, keeping plan size constant per mutation (same
-    fix as dedup's pointer-jumping loop).
 
-    But a checkpoint leaf alone is NOT enough: Spark's LogicalRDD
+def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> DataFrame:
+    """Materialize a mutated graph/layout hash-partitioned on shard_id
+    — the Spark analog of the reference's in-place
+    ``graph_.replace_node``: without it every downstream search re-runs
+    the shard rebuild, and partitioning by shard keeps the materialized
+    layout aligned with the search cogroup (no partition-count creep
+    across mutation cycles).
+
+    With ``checkpoint``, an eager localCheckpoint first cuts the
+    lineage to a leaf: every mutation embeds the PREVIOUS graph's plan
+    at least twice (untouched-shards filter + the cogroup side), so an
+    uncut chain doubles the logical plan per mutation — measured
+    blowing past Catalyst's 2^31-char plan-string cap (and minutes of
+    analysis) ~15 batches into a streaming maintenance loop. The cut
+    runs every ``_CKPT_EVERY``-th mutation, not every mutation — the
+    checkpoint write is the dominant per-mutation constant, and plan
+    growth between cuts is bounded at 2^_CKPT_EVERY leaf copies.
+
+    A checkpoint leaf alone is NOT enough: Spark's LogicalRDD
     (measured on 4.1.2) reports unknown partitioning to Catalyst, so
     every post-mutation search would re-shuffle the checkpointed frame
     under the cogroup — a full graph+layout exchange per SEARCH, the
     hot path (explain_audit's "post-mutation search still reads a
     persisted layout" check caught exactly this). So: checkpoint
-    (lineage cut, one-time) THEN _by_shard + persist (one shuffle per
-    MUTATION; the InMemoryRelation carries hashpartitioning(shard_id)
-    and searches cogroup exchange-free off it). The persisted blocks
-    sit on top of the checkpoint blocks — ~2x layout storage per live
-    generation; old generations are reclaimed by the ContextCleaner
-    when their DynamicVamana is dropped. On a real cluster, executor
-    loss invalidates local checkpoints — a maintenance service there
-    should periodically persist the graph to storage (index
-    save/load) instead of chaining forever."""
-    return _pin_by_shard(graph)
-
-
-def _pin_by_shard(df: DataFrame) -> DataFrame:
-    """Eager lineage cut + Catalyst-visible shard partitioning: the
-    materialization every mutated graph/layout goes through (see
-    _cache_graph's docstring for why BOTH steps are required)."""
+    (lineage cut) THEN _by_shard + persist (one shuffle per MUTATION;
+    the InMemoryRelation carries hashpartitioning(shard_id) and
+    searches cogroup exchange-free off it). The previous generation's
+    persisted blocks are released by the mutation that supersedes them
+    (see DynamicVamana.pins). On a real cluster, executor loss
+    invalidates local checkpoints — a maintenance service there should
+    periodically persist the graph to storage (index save/load)
+    instead of chaining forever."""
     from scalablevectorsearch_spark.operators.vamana import _by_shard
 
-    pinned = _by_shard(df.localCheckpoint(eager=True)).persist()
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
+    pinned = _by_shard(df).persist()
     pinned.count()
     return pinned
 
@@ -466,20 +494,29 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         .cogroup(_by_shard(gside).groupBy("shard_id"))
         .applyInPandas(link_fn, GRAPH_SCHEMA)
     )
-    graph = _cache_graph(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked)
+    # plan-growth guard: cut lineage only every _CKPT_EVERY-th mutation
+    ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
+    graph = _pin_by_shard(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked),
+        checkpoint=ckpt,
     )
-    # lineage cut + re-pinned shard partitioning (see _cache_graph):
-    # the previous layout appears on both union sides across mutations
     layout = _pin_by_shard(
         _without_ids(idx.layout, "__id", revived).unionByName(
             new_layout.select("shard_id", "__id", "__vec")
-        )
+        ),
+        checkpoint=ckpt,
     )
+    # the new generation is materialized — release the superseded
+    # generation's persisted blocks (the CacheManager never reclaims
+    # them on its own; recompute of this generation, if ever evicted,
+    # goes back through lineage to the last checkpoint)
+    dyn.close()
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout),
         tomb_ids=tomb,
         tomb_df=tomb_df_after,
+        pins=(graph, layout),
+        gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 
 
@@ -523,7 +560,8 @@ def delete_entries(
                 f"{len(id_list) - present} ids are unknown or already deleted"
             )
         return DynamicVamana(
-            index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list)))
+            index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list))),
+            pins=dyn.pins, gens_since_ckpt=dyn.gens_since_ckpt,
         )
     # large-wave path: all joins, zero driver materialization. The
     # existence check shuffles only the id column of the (pruned) base
@@ -539,9 +577,16 @@ def delete_entries(
     )
     if present < n_new:
         raise ValueError(f"{n_new - present} ids are unknown or already deleted")
-    new_tomb = tomb.unionByName(ids).cache()
-    new_tomb.count()
-    return DynamicVamana(index=idx, tomb_ids=(), tomb_df=new_tomb)
+    # localCheckpoint, not cache: tombstone waves chain (each wave
+    # unions the previous set), so a cache-only chain both grows the
+    # plan per wave and leaks every prior wave's cached union; the
+    # eager cut materializes a leaf and lets prior waves' blocks be
+    # reclaimed when their Python refs drop
+    new_tomb = tomb.unionByName(ids).localCheckpoint(eager=True)
+    return DynamicVamana(
+        index=idx, tomb_ids=(), tomb_df=new_tomb,
+        pins=dyn.pins, gens_since_ckpt=dyn.gens_since_ckpt,
+    )
 
 
 def dynamic_search(
@@ -654,8 +699,10 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         .cogroup(_by_shard(gside).groupBy("shard_id"))
         .applyInPandas(repair_fn, GRAPH_SCHEMA)
     )
-    graph = _cache_graph(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired)
+    ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
+    graph = _pin_by_shard(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired),
+        checkpoint=ckpt,
     )
     if large:
         new_layout = idx.layout.join(
@@ -663,10 +710,13 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         )
     else:
         new_layout = _without_ids(idx.layout, "__id", dyn.tomb_ids)
-    # lineage cut + re-pinned shard partitioning (see _cache_graph)
-    layout = _pin_by_shard(new_layout)
+    layout = _pin_by_shard(new_layout, checkpoint=ckpt)
+    # release the superseded generation's persisted blocks (see
+    # add_points)
+    dyn.close()
     return DynamicVamana(
-        index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=()
+        index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=(),
+        pins=(graph, layout), gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 
 

@@ -361,7 +361,8 @@ def _fit_budget_for_target(
     rerank_base: DataFrame | None = None,
     rerank_queries: DataFrame | None = None,
     stats: dict | None = None,
-    calibration_margin: float | str | None = None,
+    calibration_margin: float | str | None = "ci",
+    calibration_validation_queries: int = 0,
 ) -> float:
     """Fit a probe budget hitting ``target_recall`` on a deterministic
     query sample (ivf_search's target_recall= path). The sample is the
@@ -381,88 +382,134 @@ def _fit_budget_for_target(
     budget whose clamp the final search then cuts. When ``rerank_base``
     is provided, the internal groundtruth is the exact scan of the
     RE-RANK (full-precision) vectors, matching what the re-ranked
-    search is graded against."""
-    from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+    search is graded against.
+
+    The CI margin is sized from the ACTUAL effective sample — the
+    fitted qid count, further bounded by the supplied groundtruth's
+    distinct qids when the caller passed one with fewer queries than
+    requested (recall joins inner on qid, so the effective Bernoulli n
+    is the intersection).
+
+    ``calibration_validation_queries`` > 0 holds out that many
+    ADDITIONAL qids (the next-smallest after the fit sample, disjoint)
+    and grades the fitted budget on them before serving, widening the
+    budget until the held-out recall clears the target (see
+    calibrate.validate_budget — a within-sample margin cannot remove a
+    BIASED draw; the held-out check can detect it)."""
+    from scalablevectorsearch_spark.operators.calibrate import (
+        calibrate_probe_budget,
+        margined_target,
+        validate_budget,
+    )
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
     import time as _time
 
     if stats is None:
         stats = {}
-    sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
-        calibration_queries
-    )
-    if rerank_queries is not None:
-        # the sample searches only the smallest qids — restrict the
-        # full-precision rerank queries to the same sample so each
-        # calibration step broadcasts |sample| rows, not the full set
-        rerank_queries = rerank_queries.orderBy(
-            F.col(qid_col).cast("long")
-        ).limit(calibration_queries)
-    t_gt = _time.perf_counter()
-    stats["gt_cached"] = False
-    gt_key = None
-    if groundtruth is None and rerank_base is None:
-        # cache the sample groundtruth ON the index (the gt-beside-the-
-        # manifest analog): the exact scan is the dominant one-time
-        # cost at scale, and it depends only on this key
-        qids = tuple(
-            int(r[0]) for r in sample_q.select(qid_col).collect()
-        )
-        gt_key = ("gt", k, distance, qids, str(where))
-        cached = index.cal_cache.get(gt_key)
-        if cached is not None:
-            groundtruth = index.clustered.sparkSession.createDataFrame(cached)
-            stats["gt_cached"] = True
-    if groundtruth is None:
+    qlong = F.col(qid_col).cast("long")
+    n_val = max(0, int(calibration_validation_queries))
+    all_qids = [
+        int(r[0])
+        for r in queries.select(qlong.alias("q"))
+        .orderBy("q")
+        .limit(int(calibration_queries) + n_val)
+        .collect()
+    ]
+    fit_qids = all_qids[:calibration_queries]
+    val_qids = all_qids[calibration_queries:]
+    sample_q = queries.filter(qlong.isin(fit_qids))
+
+    def restrict_rerank(qids):
+        # each calibration step broadcasts |sample| full-precision
+        # rerank rows, not the full query set
+        if rerank_queries is None:
+            return None
+        return rerank_queries.filter(qlong.isin(qids))
+
+    def exact_gt(sq, rq, qids_key):
+        """Exact groundtruth for one qid sample; cached on the index
+        (the gt-beside-the-manifest analog — the exact scan is the
+        dominant one-time cost at scale) except on the rerank path,
+        whose base identity cannot be keyed. Returns (gt, was_cached)."""
         if rerank_base is not None:
             base = rerank_base
-            gt_q = rerank_queries if rerank_queries is not None else sample_q
+            gt_q = rq if rq is not None else sq
             if where is not None:
                 # the predicate may reference metadata columns present on
                 # the clustered frame but not on rerank_base — restrict by
                 # id via semi-join instead of filtering rerank_base
                 passing = index.clustered.filter(where).select(index.id_col)
                 base = base.join(passing, on=index.id_col, how="semi")
-            groundtruth = flat_knn(
-                base, gt_q, k=k, distance=distance, qid_col=qid_col,
-                qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
-                round_to=4,
+            return (
+                flat_knn(
+                    base, gt_q, k=k, distance=distance, qid_col=qid_col,
+                    qvec_col=qvec_col, id_col=index.id_col,
+                    vec_col=index.vec_col, round_to=4,
+                ),
+                False,
             )
-        else:
-            base = index.clustered.select(
-                F.col(index.id_col), F.col(index.vec_col)
-            )
-            if where is not None:
-                base = base.filter(where)
-            groundtruth = flat_knn(
-                base, sample_q, k=k, distance=distance, qid_col=qid_col,
-                qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
-                round_to=4,
-            )
-        if gt_key is not None:
-            # materialize once (|sample| x k rows — driver-small), so
-            # gt_sec is an honest split from the fit evals and the
-            # cached copy never re-runs the scan
-            pdf = groundtruth.toPandas()
-            index.cal_cache[gt_key] = pdf
-            groundtruth = index.clustered.sparkSession.createDataFrame(pdf)
-    stats["gt_sec"] = _time.perf_counter() - t_gt
-    from scalablevectorsearch_spark.operators.calibrate import margined_target
+        gt_key = ("gt", k, distance, tuple(qids_key), str(where))
+        cached = index.cal_cache.get(gt_key)
+        if cached is not None:
+            return index.clustered.sparkSession.createDataFrame(cached), True
+        base = index.clustered.select(F.col(index.id_col), F.col(index.vec_col))
+        if where is not None:
+            base = base.filter(where)
+        gt = flat_knn(
+            base, sq, k=k, distance=distance, qid_col=qid_col,
+            qvec_col=qvec_col, id_col=index.id_col, vec_col=index.vec_col,
+            round_to=4,
+        )
+        # materialize once (|sample| x k rows — driver-small), so gt_sec
+        # is an honest split and the cached copy never re-runs the scan
+        pdf = gt.toPandas()
+        index.cal_cache[gt_key] = pdf
+        return index.clustered.sparkSession.createDataFrame(pdf), False
 
-    fit_target = margined_target(
-        target_recall, calibration_margin, k, calibration_queries
-    )
+    t_gt = _time.perf_counter()
+    n_fit = max(1, len(fit_qids))
+    supplied_gt = groundtruth
+    if groundtruth is not None:
+        # the effective Bernoulli n is the qids the recall join keeps
+        n_fit = min(
+            n_fit, max(1, groundtruth.select(qid_col).distinct().count())
+        )
+        stats["gt_cached"] = False
+    else:
+        groundtruth, stats["gt_cached"] = exact_gt(
+            sample_q, restrict_rerank(fit_qids), fit_qids
+        )
+    stats["gt_sec"] = _time.perf_counter() - t_gt
+
+    def gt_for_validation(vq, vqids):
+        # a supplied groundtruth that already covers the held-out qids
+        # (e.g. a generator's full-query-set gt) is reused — the
+        # internal exact scan is only paid when it must be
+        if supplied_gt is not None:
+            vgt = supplied_gt.filter(
+                F.col(qid_col).cast("long").isin(vqids)
+            )
+            if vgt.select(qid_col).distinct().count() == len(vqids):
+                return vgt
+        return exact_gt(vq, restrict_rerank(vqids), vqids)[0]
+    stats["n_fit_qids"] = n_fit
+    fit_target = margined_target(target_recall, calibration_margin, k, n_fit)
     stats["fit_target"] = fit_target
     t_fit = _time.perf_counter()
-    cal = calibrate_probe_budget(
-        lambda b: ivf_search(
-            index, sample_q, k, distance=distance, qid_col=qid_col,
+
+    def search_at(b, q, rq):
+        return ivf_search(
+            index, q, k, distance=distance, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
             router_candidates=router_candidates, where=where,
             max_probes=max_probes, k_reorder=k_reorder,
-            rerank_base=rerank_base, rerank_queries=rerank_queries,
-        ),
+            rerank_base=rerank_base, rerank_queries=rq,
+        )
+
+    rq_fit = restrict_rerank(fit_qids)
+    cal = calibrate_probe_budget(
+        lambda b: search_at(b, sample_q, rq_fit),
         groundtruth, k, target_recall=fit_target,
         max_budget=float(index.n_clusters),
     )
@@ -470,7 +517,21 @@ def _fit_budget_for_target(
     stats["fit_evals"] = len(cal.probes)
     stats["fitted_budget"] = cal.probe_budget
     stats["fit_recall"] = cal.recall
-    return cal.probe_budget
+    budget = cal.probe_budget
+    if val_qids:
+        t_val = _time.perf_counter()
+        val_q = queries.filter(qlong.isin(val_qids))
+        rq_val = restrict_rerank(val_qids)
+        val_gt = gt_for_validation(val_q, val_qids)
+        stats["n_val_qids"] = len(val_qids)
+        budget = validate_budget(
+            lambda b: search_at(b, val_q, rq_val),
+            val_gt, k, target_recall, budget,
+            max_budget=float(index.n_clusters), stats=stats,
+        )
+        stats["val_sec"] = _time.perf_counter() - t_val
+        stats["validated_budget"] = budget
+    return budget
 
 
 def _ivf_kernel(
@@ -572,7 +633,8 @@ def ivf_search(
     calibration_queries: int = 32,
     calibration_groundtruth: DataFrame | None = None,
     calibration_stats: dict | None = None,
-    calibration_margin: float | str | None = None,
+    calibration_margin: float | str | None = "ci",
+    calibration_validation_queries: int = 0,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -633,12 +695,18 @@ def ivf_search(
     with per-query serve cost. The sample groundtruth is cached on the
     index (``index.cal_cache``); a second target_recall search on the
     same index skips the exact scan (gt_cached=True).
-    ``calibration_margin``: sampling-aware fit target — ``"ci"`` fits
-    at the one-sided 95% upper confidence bound of the sample recall
-    (see calibrate.margined_target: a 32-query/k=10 exact fit is a
-    coin flip on whether the POPULATION clears the target; measured
-    0.8712 at 1e8 rows), a float adds a fixed margin, None (default)
-    keeps the exact fit."""
+    ``calibration_margin``: sampling-aware fit target — ``"ci"``
+    (the default) fits at the one-sided 95% upper confidence bound of
+    the sample recall (see calibrate.margined_target: a 32-query/k=10
+    exact fit is a coin flip on whether the POPULATION clears the
+    target; measured 0.8712 at 1e8 rows), a float adds a fixed margin,
+    None keeps the exact fit.
+    ``calibration_validation_queries``: > 0 holds out that many
+    ADDITIONAL disjoint qids and grades the fitted budget on them
+    before serving, widening the budget until the held-out recall
+    clears the target (calibrate.validate_budget) — catches a fit
+    sample whose draw is systematically easier than the population,
+    which no within-sample margin can."""
     if target_recall is not None:
         if epsilon_bp is not None or probe_budget is not None:
             raise ValueError(
@@ -653,6 +721,7 @@ def ivf_search(
             max_probes=max_probes, k_reorder=k_reorder,
             rerank_base=rerank_base, rerank_queries=rerank_queries,
             stats=calibration_stats, calibration_margin=calibration_margin,
+            calibration_validation_queries=calibration_validation_queries,
         )
         return ivf_search(
             index, queries, k, distance=distance, qid_col=qid_col,

@@ -72,7 +72,16 @@ def _round_half_up(x: np.ndarray, decimals: int) -> np.ndarray:
 
 def _nearest_centroid(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     """Argmin squared-L2 row-wise; np.argmin takes the first (= smallest
-    cluster id) among exact ties, matching the oracle's (dist, cid) order."""
+    cluster id) among exact ties, matching the oracle's (dist, cid) order.
+
+    Computes in float64 — the SAME dtype as the grouped triangle-pruned
+    stamp (nearest_centroid_grouped) and the oracle, so a float32 input
+    near an exact tie cannot assign differently between the flat and
+    grouped paths (they would otherwise promote differently against the
+    centroid matrix); f32 -> f64 is exact, so this never changes a
+    non-tie assignment."""
+    V = np.asarray(V, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
     ip = V @ C.T
     v2 = np.einsum("ij,ij->i", V, V)[:, None]
     c2 = np.einsum("ij,ij->i", C, C)[None, :]
@@ -433,13 +442,23 @@ class GroupedCentroids:
 
     ``member_cids`` are ascending within each group, so the per-group
     argmin's first-index tie-break reproduces the flat stamp's
-    smallest-cluster-id-wins rule."""
+    smallest-cluster-id-wins rule. EXACT-duplicate centroid rows are
+    collapsed to their smallest cid at construction (``dup_cids`` keeps
+    the full sets for closure expansion): two bit-identical columns at
+    different positions of a GEMM can produce last-ulp-DIFFERENT
+    outputs (blocking/microkernel edge effects), so an argmin tie-break
+    over duplicates is not reproducible across matrix shapes — the
+    collapse makes the smallest-cid rule structural instead of
+    numerical."""
 
     centers: np.ndarray  # (P, d) group centers (non-empty groups only)
     radius: np.ndarray  # (P,) max true-L2 distance center -> member
     member_cids: list  # per group: ascending (int64) centroid ids
     member_vecs: list  # per group: (m_g, d) member centroid rows
     n_centroids: int
+    #: rep cid -> ascending array of ALL cids sharing that exact
+    #: centroid row; None when every centroid is distinct
+    dup_cids: dict | None = None
 
 
 def group_centroids(
@@ -450,20 +469,41 @@ def group_centroids(
     (S rows — small even at S=100k)."""
     C = np.asarray(C, dtype=np.float64)
     S = C.shape[0]
-    P = min(int(n_groups) if n_groups else max(1, int(np.ceil(np.sqrt(S)))), S)
-    G = _local_lloyd(C, P, n_iters)
-    a = _nearest_centroid(C, G)
+    # collapse exact-duplicate rows to their smallest cid (see the
+    # GroupedCentroids docstring): np.unique's return_index is the
+    # FIRST occurrence = the smallest duplicate cid
+    U, first_idx, inverse = np.unique(
+        C, axis=0, return_index=True, return_inverse=True
+    )
+    dup_cids = None
+    if len(U) < S:
+        dup_cids = {}
+        for u, rep in enumerate(first_idx):
+            members = np.nonzero(inverse == u)[0].astype(np.int64)
+            if len(members) > 1:
+                dup_cids[int(rep)] = members
+        # cluster/stamp over the deduped matrix, keyed by rep cids
+        rep_order = np.argsort(first_idx)
+        C_work = U[rep_order]
+        rep_cids = np.sort(first_idx).astype(np.int64)
+    else:
+        C_work = C
+        rep_cids = np.arange(S, dtype=np.int64)
+    Sw = C_work.shape[0]
+    P = min(int(n_groups) if n_groups else max(1, int(np.ceil(np.sqrt(S)))), Sw)
+    G = _local_lloyd(C_work, P, n_iters)
+    a = _nearest_centroid(C_work, G)
     centers, radius, mc, mv = [], [], [], []
     for g in range(G.shape[0]):
         rows = np.nonzero(a == g)[0]
         if len(rows) == 0:
             continue
-        M = C[rows]
+        M = C_work[rows]
         diff = M - G[g][None, :]
         r = float(np.sqrt(np.maximum(np.einsum("ij,ij->i", diff, diff), 0.0)).max())
         centers.append(G[g])
         radius.append(r)
-        mc.append(rows.astype(np.int64))
+        mc.append(rep_cids[rows])  # ascending: rows asc, rep_cids sorted
         mv.append(M)
     return GroupedCentroids(
         centers=np.stack(centers),
@@ -471,6 +511,7 @@ def group_centroids(
         member_cids=mc,
         member_vecs=mv,
         n_centroids=S,
+        dup_cids=dup_cids,
     )
 
 
@@ -578,5 +619,19 @@ def centroids_within_grouped(
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
     rows_all = np.concatenate(rows_out)
     cids_all = np.concatenate(cids_out)
+    if gc.dup_cids:
+        # collapsed duplicates share their rep's distance key exactly
+        # (one row of one GEMM) — re-expand so every duplicate cid
+        # appears in the replica set, as in the flat pass
+        extra_r, extra_c = [], []
+        for rep, members in gc.dup_cids.items():
+            hit = np.nonzero(cids_all == rep)[0]
+            if len(hit):
+                for m in members[1:]:  # members[0] == rep, already present
+                    extra_r.append(rows_all[hit])
+                    extra_c.append(np.full(len(hit), m, dtype=np.int64))
+        if extra_r:
+            rows_all = np.concatenate([rows_all, *extra_r])
+            cids_all = np.concatenate([cids_all, *extra_c])
     order = np.lexsort((cids_all, rows_all))
     return rows_all[order], cids_all[order]

@@ -52,6 +52,17 @@ from scalablevectorsearch_spark.operators.vamana_local import (
 )
 
 GRAPH_SCHEMA = "shard_id int, src long, neighbors array<long>, is_entry boolean"
+
+#: selectivity at/below which vamana_search(where=..., fallback_below=
+#: "auto") serves the exact filtered flat scan instead of traversing
+#: the graph. Measured crossover (tools/stress_filtered.py, 10M rows):
+#: at 1% selectivity the exact pool scan is 245x faster than the
+#: waypoint traversal AND exact; at 50% the graph path wins. 2% keeps
+#: the auto default safely on the winning side of that span — and
+#: selectivity (not an absolute row count) is the scale-free criterion:
+#: both path costs grow linearly in N at fixed selectivity, so the
+#: crossover does not move with data size.
+AUTO_FALLBACK_SELECTIVITY = 0.02
 RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
 
 
@@ -509,8 +520,9 @@ def vamana_search(
     where=None,
     scan_override: DataFrame | None = None,
     calibration_stats: dict | None = None,
-    fallback_below: int | None = None,
-    calibration_margin: float | str | None = None,
+    fallback_below: int | str | None = "auto",
+    calibration_margin: float | str | None = "ci",
+    calibration_validation_queries: int = 0,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -539,20 +551,30 @@ def vamana_search(
     receive the cost split {gt_sec, gt_cached, fit_sec, fit_evals,
     fitted_budget, fit_recall}; the sample groundtruth is cached on
     ``index.cal_cache`` so re-calibration skips the exact scan.
-    ``calibration_margin``: sampling-aware fit target ("ci" = one-sided
-    95% upper confidence bound of the sample recall, float = fixed
-    margin, None = exact fit; see calibrate.margined_target).
+    ``calibration_margin``: sampling-aware fit target ("ci", the
+    default = one-sided 95% upper confidence bound of the sample
+    recall, float = fixed margin, None = exact fit; see
+    calibrate.margined_target — an exact sample fit is measured to
+    under-deliver on the population).
+    ``calibration_validation_queries``: > 0 holds out that many
+    additional disjoint qids and grades the fitted budget on them
+    before serving (calibrate.validate_budget widens until the
+    held-out recall clears the target).
     ``fallback_below``: with ``where``, count the matching pool once
     (a pushed-down parquet count) and, when it holds at most this many
     rows, serve the EXACT filtered flat k-NN over the pool instead of
     traversing the graph. At ~1% selectivity the waypoint traversal
     must expand ~window/s nodes per probed shard to keep k matching
     candidates, while the exact scan touches only the pool — measured
-    at 10M rows/1% the flat path wins by an order of magnitude (see
+    at 10M rows/1% the flat path wins by 245x AND is exact (see
     tools/stress_filtered.py). Exact results satisfy every recall
     floor, so this composes with target_recall (the calibration is
-    skipped). Not applied when exclusions are set. Default None: never
-    fall back (gates exercise the graph path).
+    skipped). Not applied when exclusions are set. Default ``"auto"``:
+    fall back when the pool's SELECTIVITY is at most
+    ``AUTO_FALLBACK_SELECTIVITY`` (2% — safely inside the measured
+    crossover; both counts are pushed-down scans, cached on the
+    index). Pass an int for an absolute row threshold, or None to
+    never fall back.
 
     ``exclude_ids``: tombstoned ids — traversed but never returned
     (dynamic_search_buffer.h skip-deleted semantics). ``exclude_df``:
@@ -629,10 +651,26 @@ def vamana_search(
         and exclude_ids is None
         and exclude_df is None
     ):
-        # tiny-pool exact fallback: one pushed-down count decides; see
-        # the fallback_below docstring for the measured rationale
+        # tiny-pool exact fallback: pushed-down counts decide; see the
+        # fallback_below docstring for the measured rationale
         w = F.expr(where) if isinstance(where, str) else where
-        if index.base.filter(w).limit(fallback_below + 1).count() <= fallback_below:
+        if fallback_below == "auto":
+            pool_key = ("__pool", str(where))
+            pool = index.cal_cache.get(pool_key)
+            if pool is None:
+                pool = index.base.filter(w).count()
+                index.cal_cache[pool_key] = pool
+            n_base = index.cal_cache.get("__n_base")
+            if n_base is None:
+                n_base = index.base.count()
+                index.cal_cache["__n_base"] = n_base
+            do_fallback = pool <= AUTO_FALLBACK_SELECTIVITY * n_base
+        else:
+            do_fallback = (
+                index.base.filter(w).limit(fallback_below + 1).count()
+                <= fallback_below
+            )
+        if do_fallback:
             from scalablevectorsearch_spark.operators.flat import flat_knn
 
             return flat_knn(
@@ -665,6 +703,7 @@ def vamana_search(
             max_probes=max_probes, buffer_capacity=buffer_capacity,
             exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
             stats=calibration_stats, calibration_margin=calibration_margin,
+            calibration_validation_queries=calibration_validation_queries,
         )
         return vamana_search(
             index, queries, k, search_window_size=sws, qid_col=qid_col,
@@ -771,7 +810,8 @@ def _fit_vamana_budget(
     exclude_df: DataFrame | None = None,
     where=None,
     stats: dict | None = None,
-    calibration_margin: float | str | None = None,
+    calibration_margin: float | str | None = "ci",
+    calibration_validation_queries: int = 0,
 ) -> float:
     """Fit a shard probe budget hitting ``target_recall`` on a
     deterministic query sample (vamana_search's target_recall= path;
@@ -787,45 +827,54 @@ def _fit_vamana_budget(
     ``max_probes`` below the budget clamp's cap lowers calibration
     recall too, and the fit widens the budget (or honestly reports
     best-effort at max fan-out) instead of silently missing the
-    target."""
+    target.
+
+    The CI margin is sized from the ACTUAL effective sample (fitted
+    qid count, bounded by a supplied groundtruth's distinct qids).
+    ``calibration_validation_queries`` > 0 holds out that many
+    additional disjoint qids and grades the fitted budget on them
+    before serving (calibrate.validate_budget), widening until the
+    held-out recall clears the target — see
+    ivf._fit_budget_for_target for the rationale."""
     import time as _time
 
-    from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+    from scalablevectorsearch_spark.operators.calibrate import (
+        calibrate_probe_budget,
+        margined_target,
+        validate_budget,
+    )
     from scalablevectorsearch_spark.operators.flat import flat_knn
 
     if stats is None:
         stats = {}
-    sample_q = queries.orderBy(F.col(qid_col).cast("long")).limit(
-        calibration_queries
-    )
-    t_gt = _time.perf_counter()
-    stats["gt_cached"] = False
-    gt_key = None
-    if groundtruth is None and exclude_df is None:
-        # gt-beside-the-manifest analog: the one-time exact scan is
-        # keyed by everything it depends on and cached on the index,
-        # so re-calibration (new target / budget grid) skips it
-        qids = tuple(int(r[0]) for r in sample_q.select(qid_col).collect())
-        gt_key = (
-            "gt", k, index.distance, qids, str(where),
-            tuple(sorted(int(x) for x in exclude_ids)) if exclude_ids else (),
-        )
-        cached = index.cal_cache.get(gt_key)
-        if cached is not None:
-            groundtruth = index.base.sparkSession.createDataFrame(cached)
-            stats["gt_cached"] = True
-    # one persisted filtered scan shared across EVERY probe-budget
-    # evaluation of the fit loop — without it each calibration step
-    # re-stamps the full base (O(log n_shards) extra full-base passes),
-    # the same sharing vamana_search's block loop does
-    scan_override = None
-    if where is not None:
-        from pyspark.storagelevel import StorageLevel
+    qlong = F.col(qid_col).cast("long")
+    n_val = max(0, int(calibration_validation_queries))
+    all_qids = [
+        int(r[0])
+        for r in queries.select(qlong.alias("q"))
+        .orderBy("q")
+        .limit(int(calibration_queries) + n_val)
+        .collect()
+    ]
+    fit_qids = all_qids[:calibration_queries]
+    val_qids = all_qids[calibration_queries:]
+    sample_q = queries.filter(qlong.isin(fit_qids))
 
-        scan_override = _filtered_scan(index, where).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-    if groundtruth is None:
+    def exact_gt(sq, qids_key):
+        """Exact groundtruth for one qid sample, cached on the index
+        (gt-beside-the-manifest analog: the one-time exact scan is
+        keyed by everything it depends on, so re-calibration skips it)
+        — except under exclude_df, whose identity cannot be keyed.
+        Returns (gt, was_cached)."""
+        gt_key = None
+        if exclude_df is None:
+            gt_key = (
+                "gt", k, index.distance, tuple(qids_key), str(where),
+                tuple(sorted(int(x) for x in exclude_ids)) if exclude_ids else (),
+            )
+            cached = index.cal_cache.get(gt_key)
+            if cached is not None:
+                return index.base.sparkSession.createDataFrame(cached), True
         base = index.base
         if where is not None:
             base = base.filter(where)
@@ -843,43 +892,92 @@ def _fit_vamana_budget(
                 on=index.id_col,
                 how="anti",
             )
-        groundtruth = flat_knn(
-            base, sample_q, k=k, distance=index.distance,
+        gt = flat_knn(
+            base, sq, k=k, distance=index.distance,
             id_col=index.id_col, vec_col=index.vec_col, qid_col=qid_col,
             qvec_col=qvec_col, round_to=4, decode=index.vec_decode,
         )
         if gt_key is not None:
-            pdf = groundtruth.toPandas()
+            pdf = gt.toPandas()
             index.cal_cache[gt_key] = pdf
-            groundtruth = index.base.sparkSession.createDataFrame(pdf)
-    stats["gt_sec"] = _time.perf_counter() - t_gt
-    from scalablevectorsearch_spark.operators.calibrate import margined_target
+            return index.base.sparkSession.createDataFrame(pdf), False
+        return gt, False
 
-    fit_target = margined_target(
-        target_recall, calibration_margin, k, calibration_queries
-    )
+    t_gt = _time.perf_counter()
+    n_fit = max(1, len(fit_qids))
+    supplied_gt = groundtruth
+    if groundtruth is not None:
+        n_fit = min(
+            n_fit, max(1, groundtruth.select(qid_col).distinct().count())
+        )
+        stats["gt_cached"] = False
+    else:
+        groundtruth, stats["gt_cached"] = exact_gt(sample_q, fit_qids)
+    stats["gt_sec"] = _time.perf_counter() - t_gt
+
+    def gt_for_validation(vq, vqids):
+        # reuse a supplied groundtruth that already covers the held-out
+        # qids; pay the internal exact scan only when it must be
+        if supplied_gt is not None:
+            vgt = supplied_gt.filter(
+                F.col(qid_col).cast("long").isin(vqids)
+            )
+            if vgt.select(qid_col).distinct().count() == len(vqids):
+                return vgt
+        return exact_gt(vq, vqids)[0]
+    stats["n_fit_qids"] = n_fit
+    fit_target = margined_target(target_recall, calibration_margin, k, n_fit)
     stats["fit_target"] = fit_target
+    # one persisted filtered scan shared across EVERY probe-budget
+    # evaluation of the fit loop AND the validation evals — without it
+    # each calibration step re-stamps the full base (O(log n_shards)
+    # extra full-base passes), the same sharing vamana_search's block
+    # loop does
+    scan_override = None
+    if where is not None:
+        from pyspark.storagelevel import StorageLevel
+
+        scan_override = _filtered_scan(index, where).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+
+    def search_at(b, q):
+        return vamana_search(
+            index, q, k, search_window_size=sws, qid_col=qid_col,
+            qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
+            max_probes=max_probes, buffer_capacity=buffer_capacity,
+            exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
+            scan_override=scan_override,
+        )
+
     t_fit = _time.perf_counter()
     try:
         cal = calibrate_probe_budget(
-            lambda b: vamana_search(
-                index, sample_q, k, search_window_size=sws, qid_col=qid_col,
-                qvec_col=qvec_col, round_to=4, probe_budget=b, router=router,
-                max_probes=max_probes, buffer_capacity=buffer_capacity,
-                exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
-                scan_override=scan_override,
-            ),
+            lambda b: search_at(b, sample_q),
             groundtruth, k, target_recall=fit_target,
             max_budget=float(index.n_shards),
         )
+        stats["fit_sec"] = _time.perf_counter() - t_fit
+        stats["fit_evals"] = len(cal.probes)
+        stats["fitted_budget"] = cal.probe_budget
+        stats["fit_recall"] = cal.recall
+        budget = cal.probe_budget
+        if val_qids:
+            t_val = _time.perf_counter()
+            val_q = queries.filter(qlong.isin(val_qids))
+            val_gt = gt_for_validation(val_q, val_qids)
+            stats["n_val_qids"] = len(val_qids)
+            budget = validate_budget(
+                lambda b: search_at(b, val_q),
+                val_gt, k, target_recall, budget,
+                max_budget=float(index.n_shards), stats=stats,
+            )
+            stats["val_sec"] = _time.perf_counter() - t_val
+            stats["validated_budget"] = budget
     finally:
         if scan_override is not None:
             scan_override.unpersist()
-    stats["fit_sec"] = _time.perf_counter() - t_fit
-    stats["fit_evals"] = len(cal.probes)
-    stats["fitted_budget"] = cal.probe_budget
-    stats["fit_recall"] = cal.recall
-    return cal.probe_budget
+    return budget
 
 
 def _filtered_scan(index: VamanaIndex, where) -> DataFrame:

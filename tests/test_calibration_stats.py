@@ -178,6 +178,10 @@ def test_margined_target_formula():
     # capped so a high target still admits a feasible budget
     assert margined_target(0.999, "ci", 10, 32) == 0.999
     assert margined_target(0.99, 0.5, 10, 32) == 0.999
+    # ...but never BELOW the user's own target (a margin must not
+    # weaken the fit relative to margin=None)
+    assert margined_target(0.9995, "ci", 10, 32) >= 0.9995
+    assert margined_target(0.9995, 0.1, 10, 32) >= 0.9995
     with pytest.raises(ValueError):
         margined_target(0.9, -0.01, 10, 32)
     with pytest.raises(ValueError):
@@ -191,7 +195,7 @@ def test_ivf_margin_widens_fit_target(cbase, cqueries):
     s_plain, s_ci, s_fix = {}, {}, {}
     ivf_search(
         index, cqueries, k=5, target_recall=0.8, calibration_queries=8,
-        calibration_stats=s_plain,
+        calibration_stats=s_plain, calibration_margin=None,
     ).collect()
     ivf_search(
         index, cqueries, k=5, target_recall=0.8, calibration_queries=8,
@@ -223,6 +227,7 @@ def test_vamana_margin_widens_fit_target(cbase, cqueries):
     vamana_search(
         index, cqueries, k=5, search_window_size=64, target_recall=0.75,
         calibration_queries=8, calibration_stats=s_plain,
+        calibration_margin=None,
     ).collect()
     vamana_search(
         index, cqueries, k=5, search_window_size=64, target_recall=0.75,

@@ -211,15 +211,18 @@ if STAGE in ("ivf", "ivf_cal", "all"):
 
     # in-run stamp A/B on a 2M slice: the same-host flat-vs-grouped
     # ratio, so the full-scale grouped wall time below has a measured
-    # flat counterfactual without paying the O(N*C) pass at full N
+    # flat counterfactual without paying the O(N*C) pass at full N.
+    # Only the grouped stamp fn is built outside the A/B block — the
+    # stamp-write needs it in every mode; the flat fn (which broadcasts
+    # the full centroid set) and the A/B frame are A/B-only.
     from scalablevectorsearch_spark.operators.kmeans import make_stamp_fn
 
-    ab = data.filter(F.col("id") < STAMP_AB_ROWS)
-    flat_fn = make_stamp_fn(spark.sparkContext, model.centroids, "flat")
     grp_fn = make_stamp_fn(spark.sparkContext, model.centroids, "hierarchical")
     from scalablevectorsearch_spark.functions.arrowio import map_stamp
 
     if STAGE != "ivf_cal":
+        ab = data.filter(F.col("id") < STAMP_AB_ROWS)
+        flat_fn = make_stamp_fn(spark.sparkContext, model.centroids, "flat")
         timed(
             "stamp_ab_flat_2m",
             lambda: map_stamp(ab, "vector", "cluster_id", flat_fn)
@@ -268,28 +271,37 @@ if STAGE in ("ivf", "ivf_cal", "all"):
             ),
         )
     # recall-TARGETED row through the GATED ivf_search(target_recall=)
-    # convenience: the budget is fitted on the 32 smallest qids (each
-    # calibration eval searches only the sample, so the cost is one
-    # probed scan per eval, not a 500-query pass), then the full
-    # 500-query search runs at the fitted budget and is graded against
-    # the full groundtruth — exactly how a production deployment would
-    # use it at this scale
-    gt_cal = gt.filter(F.col("qid") < 32)
+    # convenience: the budget is fitted on the CAL_FIT smallest qids
+    # (each calibration eval searches only the sample, so the cost is
+    # one probed scan per eval, not a 500-query pass), VALIDATED on the
+    # next CAL_VAL disjoint qids (calibrate.validate_budget widens the
+    # budget until the held-out recall clears the target), then the
+    # full 500-query search runs at the validated budget and is graded
+    # against the full groundtruth — exactly how a production
+    # deployment would use it at this scale.
+    # r10: CAL_FIT 32 -> 64 and the held-out split are the fix for the
+    # r9 miss — the fixed 32-qid draw was ~3.5pp easier than the
+    # population (fit 0.90 served 0.8712; CI-margined fit served
+    # 0.8932): a bigger sample shrinks the CI margin's width AND the
+    # draw's bias variance, and the disjoint validation set catches
+    # whatever bias remains before serving. The generator's
+    # groundtruth covers every qid, so both splits reuse it — no
+    # extra exact scans.
+    CAL_FIT, CAL_VAL = 64, 32
+    gt_cal = gt.filter(F.col("qid") < CAL_FIT + CAL_VAL)
     cal_stats: dict = {}
-    # calibration_margin="ci": the 1e8/C=6103 run fitted exactly 0.90
-    # on the 32-qid sample and served 0.8712 on the 500-query
-    # population — a ~1.7sigma unlucky sample (sigma = sqrt(.9*.1/320)
-    # ~ 1.7pp). The CI-margined fit targets the one-sided 95% upper
-    # bound (~0.928) so the POPULATION clears the user's 0.90 with
-    # that confidence, at the cost of a somewhat wider fitted budget.
     meta["calibration_margin"] = "ci"
+    meta["cal_fit_queries"] = CAL_FIT
+    meta["cal_val_queries"] = CAL_VAL
     recall(
         "ivf_calibrated",
         timed_df(
             "ivf_calibrated_search",
             lambda: ivf_search(
                 idx, queries, k=K, target_recall=0.90,
-                calibration_queries=32, calibration_groundtruth=gt_cal,
+                calibration_queries=CAL_FIT,
+                calibration_validation_queries=CAL_VAL,
+                calibration_groundtruth=gt_cal,
                 calibration_stats=cal_stats, calibration_margin="ci",
             ),
         ),
@@ -302,9 +314,10 @@ if STAGE in ("ivf", "ivf_cal", "all"):
     }
     meta["ivf_serve_sec"] = round(
         timings["ivf_calibrated_search"]
-        - cal_stats.get("gt_sec", 0.0) - cal_stats.get("fit_sec", 0.0), 1,
+        - cal_stats.get("gt_sec", 0.0) - cal_stats.get("fit_sec", 0.0)
+        - cal_stats.get("val_sec", 0.0), 1,
     )
-    record("ivf" if STAGE != "ivf_cal" else "ivf-cal-margined")
+    record("ivf" if STAGE != "ivf_cal" else "ivf-cal-validated")
     if N >= 50_000_000:
         # stage-delete discipline: the clustered copy is data-sized;
         # keeping it through the vamana stage is what overflowed the r8
