@@ -818,6 +818,66 @@ def _ivf_target_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_verdict(matched.crossJoin(nq), CALIBRATED_RECALL_FLOOR_E4)
 
 
+def _vamana_auto_fallback_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: the AUTO exact-fallback default for filtered graph search
+    (vamana_search fallback_below="auto", AUTO_FALLBACK_SELECTIVITY).
+    The predicate keeps 1% of rows — below the 2% selectivity
+    threshold — so the default serves the EXACT filtered flat k-NN over
+    the pool instead of traversing the graph (measured 245x faster AND
+    exact at 10M/1%, tools/stress_filtered.py). The deliberately tiny
+    exploration window makes the gate sharp: the graph path at window 8
+    under a 1% filter would miss neighbors and hash-mismatch, so only
+    the engaged fallback reproduces the exact oracle."""
+    base = _base(spark, sf_dir)
+    index = vamana_build(
+        base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS
+    )
+    res = vamana_search(
+        index, _queries_df(spark, sf_dir), k=K, search_window_size=8,
+        where="id % 100 = 0",
+    )
+    return res.select(
+        "qid", "rank", "neighbor_id", E4("distance").alias("distance_e4")
+    )
+
+
+def _ivf_validated_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r10: held-out calibration validation + the CI-margin default.
+    ivf_search(target_recall=...) fits the probe budget on the 16
+    smallest qids at the (default) CI-margined target, then grades it
+    on the NEXT 8 disjoint qids (calibrate.validate_budget), widening
+    until the held-out recall clears the target. The verdict asserts
+    (a) the full-query-set recall clears the floor, and (b) the
+    calibration actually split/validated: n_fit/n_val as requested,
+    the default margin widened the fit target above the user target,
+    and validation never narrowed the budget."""
+    base = _base(spark, sf_dir).select("id", "vector")
+    q = _queries_df(spark, sf_dir)
+    gt = flat_knn(base, q, k=K, distance="l2", round_to=4).select("qid", "neighbor_id")
+    index = ivf_build(base, n_clusters=8, n_iters=2)
+    target = CALIBRATED_RECALL_FLOOR_E4 / 10000.0
+    stats: dict = {}
+    res = ivf_search(
+        index, q, k=K, target_recall=target,
+        calibration_queries=16, calibration_validation_queries=8,
+        calibration_stats=stats,
+    ).select("qid", "neighbor_id")
+    ok_cal = int(
+        stats.get("n_fit_qids") == 16
+        and stats.get("n_val_qids") == 8
+        and stats.get("fit_target", 0.0) > target
+        and stats.get("validated_budget", 0.0) >= stats.get("fitted_budget", 1e18)
+        and len(stats.get("validation", [])) >= 1
+    )
+    matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
+        F.count("*").alias("matched")
+    )
+    nq = res.agg(F.countDistinct("qid").alias("n_queries"))
+    return _recall_verdict(matched.crossJoin(nq), CALIBRATED_RECALL_FLOOR_E4).select(
+        "ok", F.lit(ok_cal).cast("long").alias("ok_validated"), "floor_e4", "n_queries"
+    )
+
+
 CALIBRATE_TARGET_E4 = 9000
 CALIBRATE_MAX_WINDOW = 64
 
@@ -2299,6 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- r7-vintage gates, unsampled in r8 (lead the r9 window) ---
         "ivf_target_recall": _ivf_target_recall_query,
         "vamana_target_recall": _vamana_target_recall_query,
+        "vamana_auto_fallback_knn": _vamana_auto_fallback_query,
+        "ivf_validated_recall": _ivf_validated_recall_query,
         "flat_knn_ip": _knn_query("ip"),
         "flat_knn_cosine": _knn_query("cosine"),
         "stratified_sample": _stratified_sample_query,
@@ -2487,6 +2549,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "vamana_target_recall": oracles.recall_verdict_sql(
             CALIBRATED_RECALL_FLOOR_E4, N_QUERIES
+        ),
+        # auto fallback default: the engaged exact-pool path must equal
+        # the exact filtered flat oracle even at an 8-wide window
+        "vamana_auto_fallback_knn": oracles.flat_knn_sql(
+            "l2", K, N_QUERIES, where="vec_id % 100 = 0"
+        ),
+        # held-out validation verdict: recall floor + the split/margin/
+        # widen-only invariants pinned as constants
+        "ivf_validated_recall": (
+            f"SELECT CAST(1 AS BIGINT) AS ok, CAST(1 AS BIGINT) AS ok_validated, "
+            f"CAST({CALIBRATED_RECALL_FLOOR_E4} AS BIGINT) AS floor_e4, "
+            f"CAST({N_QUERIES} AS BIGINT) AS n_queries"
         ),
         "vamana_closure_recall": oracles.recall_verdict_sql(
             CLOSURE_RECALL_FLOOR_E4, N_QUERIES
