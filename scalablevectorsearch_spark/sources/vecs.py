@@ -272,6 +272,42 @@ def _uniform_rows(ids: np.ndarray, n_dims: int, seed: int, stream: int) -> np.nd
     return (u * 2.0 - 1.0).astype(np.float32)
 
 
+def _clustered_rows(
+    ids: np.ndarray,
+    n_dims: int,
+    seed: int,
+    stream: int,
+    mu: np.ndarray,
+    std: float,
+) -> np.ndarray:
+    """Mixture-of-Gaussians rows keyed by (seed, stream, id, dim):
+    component = mix64(id) mod len(mu); noise = Box-Muller over two
+    counter-based uniforms. Same contract as :func:`_uniform_rows` —
+    any executor generates ITS rows with no coordination, and a row's
+    value is independent of partitioning. Real ANN corpora (bigann,
+    deep, dpr — the reference's regression workloads) are clustered;
+    uniform data is the no-structure adversarial bound for routing, so
+    scale evidence needs both."""
+    # python-int modular product (numpy scalar u64*u64 warns on the
+    # intentional wraparound)
+    salt = np.uint64((int(seed) * 0x9E3779B97F4A7C15) % (1 << 64))
+    comp = _mix64(ids.astype(np.uint64) + salt) % np.uint64(len(mu))
+    # two independent uniform fields -> standard normals (Box-Muller)
+    u1 = (_uniform_rows(ids, n_dims, seed, stream + 17) + 1.0) * 0.5
+    u2 = (_uniform_rows(ids, n_dims, seed, stream + 23) + 1.0) * 0.5
+    u1 = np.maximum(u1.astype(np.float64), 1e-12)
+    z = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2.astype(np.float64))
+    return (mu[comp.astype(np.int64)] + std * z).astype(np.float32)
+
+
+def mixture_centers(n_clusters: int, n_dims: int, seed: int) -> np.ndarray:
+    """Deterministic component centers in [-1,1)^d (driver-small:
+    n_clusters x d), shared by data and query streams."""
+    return _uniform_rows(
+        np.arange(n_clusters, dtype=np.int64), n_dims, seed, 9
+    ).astype(np.float64)
+
+
 def generate_test_dataset_distributed(
     spark: SparkSession,
     n_vectors: int,
@@ -281,6 +317,8 @@ def generate_test_dataset_distributed(
     seed: int = 42,
     k: int = 10,
     distance: str = "l2",
+    clusters: int | None = None,
+    cluster_std: float = 0.1,
 ) -> dict:
     """Cluster-scale test-data generator: the data NEVER exists on the
     driver. Rows are generated inside ``mapInPandas`` from a
@@ -290,12 +328,19 @@ def generate_test_dataset_distributed(
     memory; groundtruth is the engine's exact flat k-NN (itself
     hash-gated vs DuckDB). Complements :func:`generate_test_dataset`,
     whose driver-side numpy stream + independent brute force is kept as
-    the reference-parity path (and the `testdata_generator` gate)."""
+    the reference-parity path (and the `testdata_generator` gate).
+
+    ``clusters``: mixture-of-Gaussians mode — rows (and queries) draw a
+    deterministic component and scatter ``cluster_std`` around its
+    center (see :func:`_clustered_rows`). Default None keeps the
+    uniform stream."""
     from collections.abc import Iterator
 
     import pandas as pd
 
     from scalablevectorsearch_spark.operators.flat import flat_knn
+
+    mu = mixture_centers(clusters, n_dims, seed) if clusters else None
 
     def gen(stream: int):
         def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -303,7 +348,10 @@ def generate_test_dataset_distributed(
                 if len(pdf) == 0:
                     continue
                 ids = pdf["id"].to_numpy(dtype=np.int64)
-                X = _uniform_rows(ids, n_dims, seed, stream)
+                if mu is not None:
+                    X = _clustered_rows(ids, n_dims, seed, stream, mu, cluster_std)
+                else:
+                    X = _uniform_rows(ids, n_dims, seed, stream)
                 yield pd.DataFrame({"id": ids, "vector": list(X)})
 
         return fn
@@ -342,6 +390,8 @@ def generate_test_dataset_distributed(
         "k": k,
         "distance": distance,
         "generator": "distributed-counter",
+        "clusters": clusters,
+        "cluster_std": cluster_std if clusters else None,
     }
     with open(f"{out_dir}/manifest.json", "w") as f:
         json.dump(manifest, f, indent=2, sort_keys=True)

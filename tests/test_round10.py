@@ -323,6 +323,34 @@ class TestDynamicGenerations:
         base.unpersist()
 
 
+# --------------------------- clustered (mixture-of-Gaussians) generator
+
+
+def test_clustered_rows_deterministic_and_separated():
+    """Counter-based mixture rows: partition-independent, deterministic,
+    and every row's nearest mixture center is its OWN component at the
+    default std (the separation the clustered stress tier relies on)."""
+    from scalablevectorsearch_spark.sources.vecs import (
+        _clustered_rows,
+        mixture_centers,
+    )
+
+    mu = mixture_centers(64, 32, seed=3)
+    ids = np.arange(3000, dtype=np.int64)
+    X = _clustered_rows(ids, 32, 3, 0, mu, 0.1)
+    # value independent of row order / partitioning
+    X2 = _clustered_rows(ids[::-1].copy(), 32, 3, 0, mu, 0.1)[::-1]
+    np.testing.assert_array_equal(X, X2)
+    D = np.linalg.norm(
+        X[:, None, :].astype(np.float64) - mu[None, :, :], axis=2
+    )
+    own = D.min(axis=1)
+    # intra-cluster scatter well inside the inter-center spacing
+    assert own.mean() < 0.8
+    second = np.partition(D, 1, axis=1)[:, 1]
+    assert (second > 2 * own).mean() > 0.99
+
+
 # ------------------------- grouped stamp near-tie dtype property (task 7)
 
 

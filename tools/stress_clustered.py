@@ -1,0 +1,224 @@
+"""Clustered-data routed-Vamana stress tier (VERDICT r9 task 3).
+
+Usage: python tools/stress_clustered.py [n_rows] [n_components]
+  n_rows default 50_000_000, n_components default 2000
+
+Every routed fan-out number so far is on UNIFORM random vectors — the
+no-structure worst case, where the calibrated 5e7 budget landed at
+34.4% of shards (BENCH_HISTORY 100m-vamana, calibrated_budget_fraction
+0.3438). Real ANN corpora are clustered (the reference's regression
+workloads are bigann/deep/dpr,
+/root/reference/tools/benchmark_inputs/vamana/static-regression.toml:18-110),
+and cluster-routed sharding exists FOR that regime: a query's true
+neighbors concentrate in the shards covering its mixture component, so
+the calibrated budget should land in single-digit fan-out at the same
+0.90 target. This tier generates a deterministic mixture-of-Gaussians
+corpus (sources/vecs.py _clustered_rows: ~6.4 inter-center vs ~0.8
+intra-cluster L2 at d=64/std=0.1), builds the SAME routed layout as
+the uniform 5e7 tier (N/8192 shards, 1M-sample k-means, grouped
+stamp, DISK_ONLY layout), calibrates the probe budget to 0.90 with
+the same ladder, and records the budget fraction next to the uniform
+row — the uniform row stays in the record as the adversarial bound.
+
+Appends BENCH_HISTORY rows tagged {"tier": "clustered-<stage>"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from scalablevectorsearch_spark.session import get_spark
+from scalablevectorsearch_spark.operators.calibrate import calibrate_probe_budget
+from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+from scalablevectorsearch_spark.operators.vamana import (
+    VamanaParams,
+    vamana_build,
+    vamana_search,
+)
+from scalablevectorsearch_spark.sources.vecs import generate_test_dataset_distributed
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000_000
+COMPONENTS = int(sys.argv[2]) if len(sys.argv) > 2 else 2000
+N_QUERIES, DIM, K = 500, 64, 10
+CLUSTER_STD = 0.1
+SAMPLE_TRAIN = 1_000_000
+N_SHARDS = max(8, N // 8192)
+P = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
+
+spark = get_spark("stress-clustered")
+out = f"/root/repo/_artifacts/stress_clustered_{N}"
+timings: dict[str, float] = {}
+recalls: dict[str, float] = {}
+meta: dict[str, object] = {
+    "n_components": COMPONENTS, "cluster_std": CLUSTER_STD,
+    "n_shards": N_SHARDS, "sample_train": SAMPLE_TRAIN,
+}
+loads: dict[str, float] = {}
+
+import shutil as _shutil
+import threading as _threading
+
+_disk = {"min_free_gb": round(_shutil.disk_usage("/").free / 1e9, 1)}
+
+
+def _disk_sampler():
+    while True:
+        free = round(_shutil.disk_usage("/").free / 1e9, 1)
+        if free < _disk["min_free_gb"]:
+            _disk["min_free_gb"] = free
+        time.sleep(5)
+
+
+_threading.Thread(target=_disk_sampler, daemon=True).start()
+
+
+def timed(name, fn):
+    loads[name] = round(os.getloadavg()[0], 1)
+    t0 = time.time()
+    r = fn()
+    timings[name] = round(time.time() - t0, 1)
+    print(
+        f"{name}: {timings[name]}s (load {loads[name]}, "
+        f"min free {_disk['min_free_gb']}G)",
+        flush=True,
+    )
+    return r
+
+
+def record(tier):
+    meta["min_free_disk_gb"] = _disk["min_free_gb"]
+    line = {
+        "ts": __import__("datetime").datetime.now(
+            __import__("datetime").timezone.utc
+        ).isoformat(timespec="seconds"),
+        "stress": N, "tier": f"clustered-{tier}", "timings": timings,
+        "recalls": recalls, "meta": meta, "load_avg": loads,
+    }
+    with open("/root/repo/BENCH_HISTORY.jsonl", "a") as f:
+        f.write(json.dumps(line) + "\n")
+    print(json.dumps(line), flush=True)
+
+
+if not os.path.exists(f"{out}/manifest.json"):
+    timed(
+        "generate_clustered_with_groundtruth",
+        lambda: generate_test_dataset_distributed(
+            spark, N, N_QUERIES, DIM, out, seed=11, k=K,
+            clusters=COMPONENTS, cluster_std=CLUSTER_STD,
+        ),
+    )
+    record("gen")
+
+data = spark.read.parquet(f"{out}/data")
+queries = spark.read.parquet(f"{out}/queries")
+gt = spark.read.parquet(f"{out}/groundtruth")
+gt_pairs = gt.select("qid", "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
+n_gt = gt_pairs.count()
+
+
+def recall(name, res):
+    m = (
+        res.select("qid", "neighbor_id")
+        .join(gt_pairs, ["qid", "neighbor_id"], "left_semi")
+        .count()
+    )
+    recalls[name] = round(m / n_gt, 4)
+    print(f"{name} recall: {recalls[name]}", flush=True)
+    try:
+        res.unpersist()
+    except Exception:
+        pass
+
+
+def timed_df(name, fn):
+    def run():
+        df = fn().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()
+        return df
+
+    return timed(name, run)
+
+
+sample = data.filter(F.col("id") < SAMPLE_TRAIN)
+shard_model = timed(
+    "shard_kmeans_sample_train", lambda: train_kmeans(sample, N_SHARDS, 2)
+)
+lay_storage = StorageLevel.DISK_ONLY if N >= 50_000_000 else None
+vr = vamana_build(
+    data, P, n_shards=N_SHARDS, shard_by="kmeans",
+    shard_model=shard_model, layout_storage=lay_storage,
+)
+meta["stamp_hierarchical"] = vr.stamp_hierarchical
+timed("vamana_layout_stamp_shuffle", lambda: vr.layout.count())
+meta["stamp_us_per_row"] = round(
+    timings["vamana_layout_stamp_shuffle"] / N * 1e6, 2
+)
+timed(
+    "vamana_graph_build",
+    lambda: vr.graph.persist(StorageLevel.MEMORY_AND_DISK).count(),
+)
+timings["vamana_routed_build"] = round(
+    timings["vamana_layout_stamp_shuffle"] + timings["vamana_graph_build"], 1
+)
+
+# same calibration ladder as the uniform tier (stress_100m): fit the
+# probe budget to 0.90 on the full query set, escalate the window if
+# the budget axis alone cannot reach the target
+cal_sws = 30
+cal = timed(
+    "vamana_routed_calibrate",
+    lambda: calibrate_probe_budget(
+        lambda b: vamana_search(
+            vr, queries, k=K, search_window_size=cal_sws, probe_budget=b
+        ),
+        gt, K, target_recall=0.90, max_budget=float(N_SHARDS),
+        resolution=max(0.25, N_SHARDS / 64),
+    ),
+)
+if cal.recall < 0.90:
+    meta["calibrated_sws30_best_effort"] = cal.recall
+    cal_sws = 50
+    cal = timed(
+        "vamana_routed_calibrate_sws50",
+        lambda: calibrate_probe_budget(
+            lambda b: vamana_search(
+                vr, queries, k=K, search_window_size=cal_sws, probe_budget=b
+            ),
+            gt, K, target_recall=0.90, max_budget=float(N_SHARDS),
+            resolution=max(0.25, N_SHARDS / 64),
+        ),
+    )
+meta["calibrated_sws"] = cal_sws
+meta["calibrated_budget"] = cal.probe_budget
+meta["calibrated_budget_fraction"] = round(cal.probe_budget / N_SHARDS, 4)
+meta["calibrated_probe_evals"] = len(cal.probes)
+print(
+    f"calibrated budget: {cal.probe_budget} "
+    f"({meta['calibrated_budget_fraction']} of {N_SHARDS} shards), "
+    f"recall at calibration {cal.recall:.4f}",
+    flush=True,
+)
+recall(
+    "vamana_routed_calibrated",
+    timed_df(
+        "vamana_routed_calibrated_search",
+        lambda: vamana_search(
+            vr, queries, k=K, search_window_size=cal_sws,
+            probe_budget=cal.probe_budget,
+        ),
+    ),
+)
+vr.graph.unpersist()
+vr.layout.unpersist()
+record("vamana")
+
+assert recalls["vamana_routed_calibrated"] >= 0.90, recalls
+print("STRESS-CLUSTERED DONE", flush=True)

@@ -299,7 +299,9 @@ assert len(collected) == NB, (len(collected), NB)
 
 t0 = time.time()
 n_consolidations = 0
+per_batch: list[float] = []
 for i, (_bid, pdf) in enumerate(sorted(collected, key=lambda t: t[0]), 1):
+    tb = time.time()
     adds_pdf = pdf[~pdf["is_delete"]][["id", "vector"]]
     dels_pdf = pdf[pdf["is_delete"]][["id"]]
     if len(adds_pdf):
@@ -312,12 +314,17 @@ for i, (_bid, pdf) in enumerate(sorted(collected, key=lambda t: t[0]), 1):
     if i % CONSOLIDATE_EVERY == 0:
         dyn = consolidate(dyn)
         n_consolidations += 1
+    per_batch.append(round(time.time() - tb, 2))
+    print(f"maint batch {i}/{NB}: {per_batch[-1]}s", flush=True)
 timings["maint_apply"] = round(time.time() - t0, 1)
 n_mutated = 2 * NB * STEP
 rates["maint_rows_per_sec"] = round(
     n_mutated / (timings["maint_drain"] + timings["maint_apply"]), 1
 )
-maint_state = {"consolidations": n_consolidations}
+# per-batch apply times expose whether maintenance cost grows with the
+# mutation chain (plan growth / cache pressure) — the bounded-storage +
+# amortized-checkpoint contract says it must stay flat
+maint_state = {"consolidations": n_consolidations, "apply_per_batch": per_batch}
 
 # expected final state, regenerated in batch from the id algebra
 live_ids = spark.range(NB * STEP, BASE_N + NB * STEP).select(F.col("id").cast("long"))
@@ -377,6 +384,7 @@ line = {
     "maintenance": {
         "base_n": BASE_N, "step": STEP, "consolidations": maint_state["consolidations"],
         "recall": maint_recall, "sws": MAINT_SWS, "floor": MAINT_FLOOR,
+        "apply_per_batch": maint_state["apply_per_batch"],
     },
     "drained_hash_equal": True,
     "load_avg": round(os.getloadavg()[0], 1),
