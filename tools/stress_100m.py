@@ -327,6 +327,69 @@ if STAGE in ("ivf", "ivf_cal", "all"):
             lambda: _shutil.rmtree(f"{out}/ivf_clustered", ignore_errors=True),
         )
 
+# ---------------- vamana_lvq (r10: the 1e8 tier under the disk budget) ----
+if STAGE == "vamana_lvq":
+    # LVQ8-packed shard layout: ~72 B/row of persisted vector payload
+    # vs 256 B/row f32 — the compression that fits the 1e8 routed tier
+    # inside this host's disk (r9: the uncompressed 5e7 tier already
+    # ran the disk down to 20.9 GB free; 1e8 f32 layout + graph cannot
+    # fit). Distances run on the bit-exact decode (vec_decode), so the
+    # recall target is graded against the ORIGINAL f32 groundtruth —
+    # quantization error is part of what the calibration must absorb.
+    from scalablevectorsearch_spark.operators.lvq import (
+        lvq_train,
+        lvq_vamana_build,
+    )
+
+    sample = data.filter(F.col("id") < SAMPLE_TRAIN)
+    lvqp = timed("lvq_sample_train", lambda: lvq_train(sample, "vector", 8))
+    shard_model = timed(
+        "shard_kmeans_sample_train",
+        lambda: train_kmeans(sample, N_SHARDS, 2),
+    )
+    meta["lvq_bits"] = 8
+    vr = lvq_vamana_build(
+        data, lvqp, vamana_params=P, n_shards=N_SHARDS, packed=True,
+        shard_by="kmeans", shard_model=shard_model,
+        layout_storage=StorageLevel.DISK_ONLY,
+    )
+    meta["stamp_hierarchical"] = vr.stamp_hierarchical
+    timed("lvq_layout_stamp_shuffle", lambda: vr.layout.count())
+    meta["stamp_us_per_row"] = round(
+        timings["lvq_layout_stamp_shuffle"] / N * 1e6, 2
+    )
+    timed(
+        "lvq_graph_build",
+        lambda: vr.graph.persist(StorageLevel.MEMORY_AND_DISK).count(),
+    )
+    timings["lvq_routed_build"] = round(
+        timings["lvq_layout_stamp_shuffle"] + timings["lvq_graph_build"], 1
+    )
+    # task-1 calibration at this tier too: fit 64 / validate 32 on the
+    # generator's groundtruth, CI margin (the default)
+    CAL_FIT, CAL_VAL = 64, 32
+    gt_cal = gt.filter(F.col("qid") < CAL_FIT + CAL_VAL)
+    cal_stats = {}
+    recall(
+        "lvq_routed_calibrated",
+        timed_df(
+            "lvq_routed_calibrated_search",
+            lambda: vamana_search(
+                vr, queries, k=K, search_window_size=50, target_recall=0.90,
+                calibration_queries=CAL_FIT,
+                calibration_validation_queries=CAL_VAL,
+                calibration_groundtruth=gt_cal, calibration_stats=cal_stats,
+            ),
+        ),
+    )
+    meta["lvq_calibration_split"] = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in cal_stats.items()
+    }
+    vr.graph.unpersist()
+    vr.layout.unpersist()
+    record("vamana-lvq")
+
 # ---------------- vamana ----------------
 if STAGE in ("vamana", "all"):
     sample = data.filter(F.col("id") < SAMPLE_TRAIN)
