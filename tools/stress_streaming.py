@@ -73,83 +73,6 @@ def gen_df(ids_df, stream, extra):
     )
 
 
-# ---- build the upsert stream: 3 waves, written as many small files so
-# maxFilesPerTrigger yields genuine multi-batch drains ----
-load = gen_df(
-    spark.range(N).select(F.col("id").cast("long")),
-    0,
-    lambda ids: {"is_delete": False, "seq": np.zeros(len(ids), dtype=np.int64)},
-)
-upserts = gen_df(
-    spark.range(N_UPSERT).select((F.col("id") * 5 % N).cast("long").alias("id")),
-    2,
-    lambda ids: {"is_delete": False, "seq": np.full(len(ids), 1, dtype=np.int64)},
-)
-deletes = gen_df(
-    spark.range(N_DELETE).select((F.col("id") * 7 % N).cast("long").alias("id")),
-    0,
-    lambda ids: {"is_delete": True, "seq": np.full(len(ids), 2, dtype=np.int64)},
-)
-src = f"{out}/upsert_src"
-load.repartition(16).write.mode("append").parquet(src)
-upserts.repartition(4).write.mode("append").parquet(src)
-deletes.repartition(2).write.mode("append").parquet(src)
-n_src = spark.read.parquet(src).count()
-
-# ---- leg 1: drain the upsert log ----
-t0 = time.time()
-stream = (
-    spark.readStream.schema("id long, vector array<float>, is_delete boolean, seq long")
-    .option("maxFilesPerTrigger", 4)
-    .parquet(src)
-)
-ingest_vectors(stream, f"{out}/upsert_log", f"{out}/ckpt_ingest")
-timings["ingest_drain"] = round(time.time() - t0, 1)
-n_batches = len(
-    [f for f in os.listdir(f"{out}/ckpt_ingest/commits") if not f.startswith(".")]
-)
-rates["ingest_rows_per_sec"] = round(n_src / timings["ingest_drain"])
-live = latest_view(spark, f"{out}/upsert_log")
-
-# batch-computed expectation over the SAME inputs (no __batch tie-break
-# needed: seq is unique per id by construction)
-batch_log = spark.read.parquet(src)
-w = Window.partitionBy("id").orderBy(F.col("seq").desc())
-expected = (
-    batch_log.withColumn("__rn", F.row_number().over(w))
-    .filter((F.col("__rn") == 1) & (~F.col("is_delete")))
-    .select("id", "vector")
-)
-
-
-def table_hash(df):
-    return (
-        df.select(
-            F.xxhash64(
-                F.col("id"), F.concat_ws(",", F.col("vector").cast("array<string>"))
-            ).alias("h")
-        )
-        .agg(F.expr("bit_xor(h)").alias("s"), F.count("*").alias("n"))
-        .collect()[0]
-    )
-
-
-h_live, h_exp = table_hash(live), table_hash(expected)
-assert (h_live["s"], h_live["n"]) == (h_exp["s"], h_exp["n"]), (
-    "drained upsert view != batch resolution",
-    h_live,
-    h_exp,
-)
-print(
-    f"ingest: {n_src} rows in {timings['ingest_drain']}s "
-    f"({rates['ingest_rows_per_sec']}/s, {n_batches} micro-batches), "
-    f"live view {h_live['n']} rows == batch",
-    flush=True,
-)
-
-# ---- leg 2: stream_knn over the live base ----
-base = live.persist()
-base.count()
 qsrc = f"{out}/query_src"
 queries = (
     spark.range(N_QUERIES)
@@ -172,23 +95,6 @@ queries = (
 )
 queries.repartition(8).write.mode("overwrite").parquet(qsrc)
 
-t0 = time.time()
-qstream = (
-    spark.readStream.schema("qid long, vector array<float>")
-    .option("maxFilesPerTrigger", 2)
-    .parquet(qsrc)
-)
-stream_knn(base, qstream, f"{out}/knn_out", f"{out}/ckpt_knn", k=K)
-timings["knn_drain"] = round(time.time() - t0, 1)
-knn_batches = len(
-    [f for f in os.listdir(f"{out}/ckpt_knn/commits") if not f.startswith(".")]
-)
-rates["knn_queries_per_sec"] = round(N_QUERIES / timings["knn_drain"], 1)
-
-drained = spark.read.parquet(f"{out}/knn_out")
-want = flat_knn(base, spark.read.parquet(qsrc), k=K)
-
-
 def knn_hash(df):
     return (
         df.select(
@@ -201,18 +107,119 @@ def knn_hash(df):
     )
 
 
-h_got, h_want = knn_hash(drained), knn_hash(want)
-assert (h_got["s"], h_got["n"]) == (h_want["s"], h_want["n"]), (
-    "drained stream_knn != batch flat_knn",
-    h_got,
-    h_want,
-)
-print(
-    f"stream_knn: {N_QUERIES} queries over {h_live['n']} base rows in "
-    f"{timings['knn_drain']}s ({rates['knn_queries_per_sec']} q/s, "
-    f"{knn_batches} micro-batches), drained hash == batch flat_knn",
-    flush=True,
-)
+MAINT_ONLY = os.environ.get("STRESS_STREAMING_MAINT_ONLY") == "1"
+# MAINT_ONLY=1 runs ONLY the maintenance loop (leg 3) — the task-8
+# shape is BASE_N=1M/1% steps, which needs N=2e7 sizing, but legs 1-2
+# at 2e7 write ~20 GB of upsert/knn sources this host cannot always
+# spare next to a live build; the env flag decouples them.
+n_batches = knn_batches = 0
+if not MAINT_ONLY:
+    # ---- build the upsert stream: 3 waves, written as many small files so
+    # maxFilesPerTrigger yields genuine multi-batch drains ----
+    load = gen_df(
+        spark.range(N).select(F.col("id").cast("long")),
+        0,
+        lambda ids: {"is_delete": False, "seq": np.zeros(len(ids), dtype=np.int64)},
+    )
+    upserts = gen_df(
+        spark.range(N_UPSERT).select((F.col("id") * 5 % N).cast("long").alias("id")),
+        2,
+        lambda ids: {"is_delete": False, "seq": np.full(len(ids), 1, dtype=np.int64)},
+    )
+    deletes = gen_df(
+        spark.range(N_DELETE).select((F.col("id") * 7 % N).cast("long").alias("id")),
+        0,
+        lambda ids: {"is_delete": True, "seq": np.full(len(ids), 2, dtype=np.int64)},
+    )
+    src = f"{out}/upsert_src"
+    load.repartition(16).write.mode("append").parquet(src)
+    upserts.repartition(4).write.mode("append").parquet(src)
+    deletes.repartition(2).write.mode("append").parquet(src)
+    n_src = spark.read.parquet(src).count()
+
+    # ---- leg 1: drain the upsert log ----
+    t0 = time.time()
+    stream = (
+        spark.readStream.schema("id long, vector array<float>, is_delete boolean, seq long")
+        .option("maxFilesPerTrigger", 4)
+        .parquet(src)
+    )
+    ingest_vectors(stream, f"{out}/upsert_log", f"{out}/ckpt_ingest")
+    timings["ingest_drain"] = round(time.time() - t0, 1)
+    n_batches = len(
+        [f for f in os.listdir(f"{out}/ckpt_ingest/commits") if not f.startswith(".")]
+    )
+    rates["ingest_rows_per_sec"] = round(n_src / timings["ingest_drain"])
+    live = latest_view(spark, f"{out}/upsert_log")
+
+    # batch-computed expectation over the SAME inputs (no __batch tie-break
+    # needed: seq is unique per id by construction)
+    batch_log = spark.read.parquet(src)
+    w = Window.partitionBy("id").orderBy(F.col("seq").desc())
+    expected = (
+        batch_log.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (~F.col("is_delete")))
+        .select("id", "vector")
+    )
+
+
+    def table_hash(df):
+        return (
+            df.select(
+                F.xxhash64(
+                    F.col("id"), F.concat_ws(",", F.col("vector").cast("array<string>"))
+                ).alias("h")
+            )
+            .agg(F.expr("bit_xor(h)").alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+
+
+    h_live, h_exp = table_hash(live), table_hash(expected)
+    assert (h_live["s"], h_live["n"]) == (h_exp["s"], h_exp["n"]), (
+        "drained upsert view != batch resolution",
+        h_live,
+        h_exp,
+    )
+    print(
+        f"ingest: {n_src} rows in {timings['ingest_drain']}s "
+        f"({rates['ingest_rows_per_sec']}/s, {n_batches} micro-batches), "
+        f"live view {h_live['n']} rows == batch",
+        flush=True,
+    )
+
+    # ---- leg 2: stream_knn over the live base ----
+    base = live.persist()
+    base.count()
+
+    t0 = time.time()
+    qstream = (
+        spark.readStream.schema("qid long, vector array<float>")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(qsrc)
+    )
+    stream_knn(base, qstream, f"{out}/knn_out", f"{out}/ckpt_knn", k=K)
+    timings["knn_drain"] = round(time.time() - t0, 1)
+    knn_batches = len(
+        [f for f in os.listdir(f"{out}/ckpt_knn/commits") if not f.startswith(".")]
+    )
+    rates["knn_queries_per_sec"] = round(N_QUERIES / timings["knn_drain"], 1)
+
+    drained = spark.read.parquet(f"{out}/knn_out")
+    want = flat_knn(base, spark.read.parquet(qsrc), k=K)
+
+    h_got, h_want = knn_hash(drained), knn_hash(want)
+    assert (h_got["s"], h_got["n"]) == (h_want["s"], h_want["n"]), (
+        "drained stream_knn != batch flat_knn",
+        h_got,
+        h_want,
+    )
+    print(
+        f"stream_knn: {N_QUERIES} queries over {h_live['n']} base rows in "
+        f"{timings['knn_drain']}s ({rates['knn_queries_per_sec']} q/s, "
+        f"{knn_batches} micro-batches), drained hash == batch flat_knn",
+        flush=True,
+    )
 
 # ---- leg 3: streaming MAINTENANCE loop (VERDICT r8 task 7) ----
 # the reference's dynamic-regression shape
@@ -386,7 +393,7 @@ line = {
         "recall": maint_recall, "sws": MAINT_SWS, "floor": MAINT_FLOOR,
         "apply_per_batch": maint_state["apply_per_batch"],
     },
-    "drained_hash_equal": True,
+    "drained_hash_equal": (not MAINT_ONLY) or None,  # None = legs 1-2 skipped
     "load_avg": round(os.getloadavg()[0], 1),
 }
 with open("/root/repo/BENCH_HISTORY.jsonl", "a") as f:
