@@ -562,12 +562,20 @@ def _vamana_knn_filtered_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce exact filtered flat k-NN — same SQL oracle as
     flat_knn_filtered. Non-matching nodes stay traversable waypoints
     (tombstone mechanism), so graph connectivity through filtered-out
-    regions is part of what this gate checks."""
+    regions is part of what this gate checks — therefore
+    ``fallback_below=None`` is PINNED: the default auto exact-fallback
+    (engaging at <=2% selectivity) must never reroute this gate to the
+    flat path, or it would pass without traversing the graph at all.
+    (The testdata label column is ~uniform over 10 values, so
+    "label = 3" sits near 10% selectivity — above the 2% auto
+    threshold — but the pin keeps the gate honest under any future
+    data or threshold change. The auto fallback has its own gate:
+    vamana_auto_fallback_knn.)"""
     base = _base(spark, sf_dir).select("id", "vector", "label")
     index = vamana_build(base, VAMANA_PARAMS, n_shards=VAMANA_SHARDS)
     res = vamana_search(
         index, _queries_df(spark, sf_dir), k=K, search_window_size=4096,
-        where="label = 3",
+        where="label = 3", fallback_below=None,
     )
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
@@ -868,6 +876,11 @@ def _ivf_validated_recall_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         and stats.get("fit_target", 0.0) > target
         and stats.get("validated_budget", 0.0) >= stats.get("fitted_budget", 1e18)
         and len(stats.get("validation", [])) >= 1
+        # r11 (ADVICE): the validation must have actually PASSED — a
+        # max_rounds/max_budget exhaustion returns a best-effort budget
+        # with validated=False, which a delivered-recall gate must not
+        # accept silently
+        and stats.get("validated") is True
     )
     matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").agg(
         F.count("*").alias("matched")
@@ -2353,62 +2366,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
-        # --- new round-9 gates (hierarchical build-time stamp) ---
-        "hierarchical_stamp_assign": _hier_stamp_assign_query,
-        "vamana_hier_stamp_knn": _vamana_hier_stamp_knn_query,
-        # --- r7-vintage gates, unsampled in r8 (lead the r9 window) ---
-        "ivf_target_recall": _ivf_target_recall_query,
-        "vamana_target_recall": _vamana_target_recall_query,
-        "vamana_auto_fallback_knn": _vamana_auto_fallback_query,
-        "ivf_validated_recall": _ivf_validated_recall_query,
-        "flat_knn_ip": _knn_query("ip"),
-        "flat_knn_cosine": _knn_query("cosine"),
-        "stratified_sample": _stratified_sample_query,
-        "ngram_jaccard": _ngram_jaccard_query,
-        "duplicate_spans": _duplicate_spans_query,
-        "spans_removal": _spans_removal_query,
-        "decontaminate_exact": _decontaminate_exact_query,
-        "dedup_lines": _dedup_lines_query,
-        "repetition_stats": _repetition_stats_query,
-        "dataset_split": _dataset_split_query,
-        "pii_redact": _pii_redact_query,
-        "quality_filter": _quality_filter_query,
-        "lvq_roundtrip": _lvq_roundtrip_query,
-        "lvq_knn_l2": _lvq_knn_query("l2"),
-        "lvq_knn_cosine": _lvq_knn_query("cosine"),
-        "lvq4x8_knn": _lvq4x8_knn_query,
-        "lvq_vamana_knn": _lvq_vamana_knn_query,
-        "leanvec_knn": _leanvec_knn_query,
-        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
-        "leanvec_recall": _leanvec_recall_query,
-        "batch_iterator_pages": _batch_iterator_query,
-        "batch_iterator_linear": _batch_iterator_linear_query,
-        "ivf_knn_reordered": _ivf_reorder_query,
-        "streaming_knn": _streaming_knn_query,
-        "streaming_dedup": _streaming_dedup_query,
-        "streaming_window_agg": _streaming_window_query,
-        "streaming_upsert_log": _streaming_upsert_query,
-        "sq_knn_cosine": _sq_knn_cosine_query,
-        "mixed_precision_knn": _mixed_precision_query,
-        "testdata_generator": _testdata_generator_query,
-        "search_cancel": _cancel_query,
-        "custom_distance_knn": _custom_distance_query,
-        "schema_validation": _schema_validation_query,
-        "graph_loader": _graph_loader_query,
-        "query_norm_fix": _query_norm_fix_query,
-        "alpha_prune_invariants": _alpha_prune_query,
-        "api_facade_knn": _api_facade_query,
-        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
-        "inverted_routed_knn": _inverted_routed_knn_query,
-        "batch_iterator_ivf": _batch_iterator_ivf_query,
-        "dynamic_multivector_knn": _dynamic_multivector_query,
-        "decontaminate": _decontaminate_query,
-        "simhash_neardup": _simhash_neardup_query,
-        "token_vocabulary": _token_vocabulary_query,
-        "pack_sequences": _pack_sequences_query,
-        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
-        "ivf_budget_recall": _ivf_budget_recall_query,
-        # --- r8-sampled gates (driver-green in CORRECTNESS_r08) ---
+        # --- r8-vintage gates with no driver-green row since r8 (the
+        # rotation r9/r10 explicitly tasked — they fill the r11 driver
+        # sample window exactly; judge re-verified all of them on r10
+        # code, this row makes the durable artifact current again) ---
         "vamana_knn_filtered": _vamana_knn_filtered_query,
         "flat_knn_l2": _knn_query("l2"),
         "flat_knn_filtered": _knn_query("l2", where="label = 3"),
@@ -2459,6 +2420,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
         "routed_calibrated_recall": _routed_calibrated_recall_query,
+        # --- r8-vintage overflow: head the NEXT (r12) window ---
+        "pack_sequences": _pack_sequences_query,
+        "vamana_routed_default_recall": _vamana_routed_default_recall_query,
+        "ivf_budget_recall": _ivf_budget_recall_query,
+        # --- driver-green in CORRECTNESS_r10 (trail this round) ---
+        "hierarchical_stamp_assign": _hier_stamp_assign_query,
+        "vamana_hier_stamp_knn": _vamana_hier_stamp_knn_query,
+        "ivf_target_recall": _ivf_target_recall_query,
+        "vamana_target_recall": _vamana_target_recall_query,
+        "vamana_auto_fallback_knn": _vamana_auto_fallback_query,
+        "ivf_validated_recall": _ivf_validated_recall_query,
+        "flat_knn_ip": _knn_query("ip"),
+        "flat_knn_cosine": _knn_query("cosine"),
+        "stratified_sample": _stratified_sample_query,
+        "ngram_jaccard": _ngram_jaccard_query,
+        "duplicate_spans": _duplicate_spans_query,
+        "spans_removal": _spans_removal_query,
+        "decontaminate_exact": _decontaminate_exact_query,
+        "dedup_lines": _dedup_lines_query,
+        "repetition_stats": _repetition_stats_query,
+        "dataset_split": _dataset_split_query,
+        "pii_redact": _pii_redact_query,
+        "quality_filter": _quality_filter_query,
+        "lvq_roundtrip": _lvq_roundtrip_query,
+        "lvq_knn_l2": _lvq_knn_query("l2"),
+        "lvq_knn_cosine": _lvq_knn_query("cosine"),
+        "lvq4x8_knn": _lvq4x8_knn_query,
+        "lvq_vamana_knn": _lvq_vamana_knn_query,
+        "leanvec_knn": _leanvec_knn_query,
+        "leanvec_vamana_knn": _leanvec_vamana_knn_query,
+        "leanvec_recall": _leanvec_recall_query,
+        "batch_iterator_pages": _batch_iterator_query,
+        "batch_iterator_linear": _batch_iterator_linear_query,
+        "ivf_knn_reordered": _ivf_reorder_query,
+        "streaming_knn": _streaming_knn_query,
+        "streaming_dedup": _streaming_dedup_query,
+        "streaming_window_agg": _streaming_window_query,
+        "streaming_upsert_log": _streaming_upsert_query,
+        "sq_knn_cosine": _sq_knn_cosine_query,
+        "mixed_precision_knn": _mixed_precision_query,
+        "testdata_generator": _testdata_generator_query,
+        "search_cancel": _cancel_query,
+        "custom_distance_knn": _custom_distance_query,
+        "schema_validation": _schema_validation_query,
+        "graph_loader": _graph_loader_query,
+        "query_norm_fix": _query_norm_fix_query,
+        "alpha_prune_invariants": _alpha_prune_query,
+        "api_facade_knn": _api_facade_query,
+        "leanvec_knn_cosine": _leanvec_knn_cosine_query,
+        "inverted_routed_knn": _inverted_routed_knn_query,
+        "batch_iterator_ivf": _batch_iterator_ivf_query,
+        "dynamic_multivector_knn": _dynamic_multivector_query,
+        "decontaminate": _decontaminate_query,
+        "simhash_neardup": _simhash_neardup_query,
+        "token_vocabulary": _token_vocabulary_query,
     }
 
 

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import math
 import time
+import warnings
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -157,8 +158,14 @@ def validate_budget(
     same working assumption as the fit's grid search) and re-validated,
     up to ``max_rounds`` widenings or ``max_budget``. Returns the
     validated (possibly widened) budget; records the
-    (budget, validation recall) trail in ``stats['validation']`` and
-    the final recall in ``stats['validated_recall']``."""
+    (budget, validation recall) trail in ``stats['validation']``, the
+    final recall in ``stats['validated_recall']``, and whether that
+    final recall actually cleared the target in ``stats['validated']``
+    — when max_rounds/max_budget are exhausted short of the target the
+    last widened budget is still returned (best-effort, the fit's same
+    contract) but ``validated`` is False and a UserWarning is emitted,
+    so a caller claiming a delivered-recall contract can assert instead
+    of silently serving a miss."""
     if stats is None:
         stats = {}
     trail: list[tuple[float, float]] = []
@@ -171,7 +178,48 @@ def validate_budget(
             break
         b = min(float(max_budget), b * widen)
     stats["validated_recall"] = trail[-1][1]
+    stats["validated"] = trail[-1][1] >= target_recall
+    if not stats["validated"]:
+        warnings.warn(
+            f"validate_budget exhausted max_rounds/max_budget at recall "
+            f"{trail[-1][1]:.4f} < target {target_recall:.4f}; serving "
+            f"best-effort budget {trail[-1][0]}",
+            UserWarning,
+            stacklevel=2,
+        )
     return trail[-1][0]
+
+
+def calibration_sample_size(
+    target_recall: float,
+    k: int,
+    epsilon: float | None = None,
+    z: float = 1.6449,
+    n_min: int = 16,
+    n_max: int = 512,
+) -> tuple[int, int]:
+    """Derive (n_fit, n_val) calibration split sizes from the CI
+    half-width the margin formula already computes, instead of
+    hand-picked constants: solve ``z * sqrt(t(1-t) / (n*k)) <= epsilon``
+    for n, i.e. n = ceil(z^2 * t(1-t) / (epsilon^2 * k)) — the smallest
+    fit sample whose one-sided CI margin (see :func:`margined_target`)
+    is at most ``epsilon`` wide at the user's target. ``epsilon``
+    defaults to ``max(0.005, (1 - target)/5)``: a fifth of the recall
+    headroom, so a 0.90 target fits at +-2pp (n_fit=61 at k=10 —
+    bracketing the 64 the 1e8 tier validated) and tighter targets get
+    proportionally larger samples. n_val is half the fit sample (the
+    held-out grading needs power, not precision — it detects a biased
+    DRAW, a ~whole-margin effect, not a fraction of it). Both clamp to
+    [n_min, n_max] (n_val to [n_min//2, n_max//2])."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1) for auto-sizing")
+    if epsilon is None:
+        epsilon = max(0.005, (1.0 - target_recall) / 5.0)
+    t = target_recall
+    n = math.ceil(z * z * t * (1.0 - t) / (epsilon * epsilon * max(1, int(k))))
+    n_fit = int(min(max(n, n_min), n_max))
+    n_val = int(min(max(n_fit // 2, n_min // 2), n_max // 2))
+    return n_fit, n_val
 
 
 def calibrate_probe_budget(
@@ -182,6 +230,7 @@ def calibrate_probe_budget(
     min_budget: float = 1.0,
     max_budget: float | None = None,
     resolution: float = 0.25,
+    hint: float | None = None,
 ) -> ProbeBudgetResult:
     """Smallest probe budget in [min_budget, max_budget] whose recall
     >= target — the reference's recall-targeted auto-tuning
@@ -199,6 +248,18 @@ def calibrate_probe_budget(
     exactly reproducible (recall is monotone-ish in budget — more
     probes never remove candidates; the same working assumption as
     calibrate.h's window search). O(log range) search jobs.
+
+    ``hint``: a warm-start budget (e.g. the previous tier's fitted
+    budget scaled by sqrt(N ratio) — the scaling visible across the
+    recorded stress tiers). The search probes the hint FIRST and
+    gallops (doubling) toward whichever side the target lies, then
+    binary-searches the bracketed gap — a good hint replaces the
+    opening full-fan-out probe (the single most expensive eval: a
+    budget=max probe scans the entire base) with evals near the true
+    operating point, cutting total probed-scan cost ~linearly in
+    hint/max. A bad hint only costs the gallop steps; the result is
+    the same grid point the cold search finds (same grid, same
+    monotone assumption).
 
     If even ``max_budget`` misses the target, returns max_budget with
     its achieved recall (the reference's same best-effort report)."""
@@ -221,10 +282,36 @@ def calibrate_probe_budget(
         probes.append((b, r))
         return r
 
-    r_hi = probe(hi)
-    if r_hi < target_recall:
-        return ProbeBudgetResult(hi * resolution, r_hi, target_recall, probes)
-    best_s, best_r = hi, r_hi
+    best_s = best_r = None
+    if hint is not None and lo < hi:
+        h = min(max(int(round(float(hint) / resolution)), lo), hi)
+        r_h = probe(h)
+        if r_h >= target_recall:
+            # hint passes: the answer is at or below it — binary search
+            # [lo, h] without ever paying the full-fan-out probe
+            best_s, best_r, hi = h, r_h, h
+        elif h == hi:
+            # hint already at max fan-out and still short: best-effort
+            return ProbeBudgetResult(hi * resolution, r_h, target_recall, probes)
+        else:
+            # hint fails: gallop upward to bracket the crossing
+            lo, step = h + 1, h
+            while lo <= hi:
+                step = min(step * 2, hi)
+                r = probe(step)
+                if r >= target_recall:
+                    best_s, best_r, hi = step, r, step
+                    break
+                if step == hi:
+                    return ProbeBudgetResult(
+                        hi * resolution, r, target_recall, probes
+                    )
+                lo = step + 1
+    if best_s is None:
+        r_hi = probe(hi)
+        if r_hi < target_recall:
+            return ProbeBudgetResult(hi * resolution, r_hi, target_recall, probes)
+        best_s, best_r = hi, r_hi
     while lo < hi:
         mid = (lo + hi) // 2
         r = probe(mid)

@@ -137,7 +137,11 @@ def ivf_add_points(dyn: DynamicIVF, new_rows: DataFrame) -> DynamicIVF:
         stamp, idx.clustered.schema
     )
     return DynamicIVF(
-        index=_replace(idx, clustered=idx.clustered.unionByName(stamped)),
+        # fresh cal_cache: cached calibration groundtruth belongs to the
+        # pre-insert clustered base
+        index=_replace(
+            idx, clustered=idx.clustered.unionByName(stamped), cal_cache={}
+        ),
         tombstones=dyn.tombstones,
     )
 
@@ -166,7 +170,10 @@ def ivf_dynamic_search(dyn: DynamicIVF, queries: DataFrame, k: int, **kw) -> Dat
     idx = dyn.index
     tomb = dyn.tombstones.select(F.col("id").alias(idx.id_col))
     cur = idx.clustered.join(F.broadcast(tomb), idx.id_col, "left_anti")
-    return ivf_search(_replace(idx, clustered=cur), queries, k=k, **kw)
+    # fresh cal_cache: the ephemeral tombstone-filtered view must not
+    # read (or write) calibration groundtruth keyed to the unfiltered
+    # clustered base
+    return ivf_search(_replace(idx, clustered=cur, cal_cache={}), queries, k=k, **kw)
 
 
 def ivf_recluster(dyn: DynamicIVF, n_clusters: int | None = None, n_iters: int = 2) -> DynamicIVF:
@@ -252,7 +259,19 @@ class DynamicVamana:
         """Release this generation's persisted graph/layout blocks.
         Call when retiring the index (e.g. at the end of a streaming
         maintenance loop); searches on this handle afterwards recompute
-        from the last checkpoint instead of the cache."""
+        from the last checkpoint instead of the cache.
+
+        OWNERSHIP: close() must only be called on the LATEST handle.
+        add_points/consolidate call it on their input when the new
+        generation is materialized, so superseded handles become
+        recompute-only: searches on them still return correct results
+        but re-derive the graph/layout from the last lineage checkpoint
+        instead of the cache. Note that ``delete_entries`` returns a
+        handle SHARING its input's ``pins`` (a tombstone wave is not a
+        new generation) — closing the pre-delete handle therefore also
+        degrades the post-delete handle's searches to recompute. A
+        close() on an already-released handle is a harmless no-op
+        (unpersist is idempotent)."""
         for df in self.pins:
             df.unpersist(blocking=False)
 
@@ -511,8 +530,12 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     # them on its own; recompute of this generation, if ever evicted,
     # goes back through lineage to the last checkpoint)
     dyn.close()
+    # fresh cal_cache: the cached groundtruth / pool / base counts were
+    # computed against the PRE-mutation base — sharing the dict across
+    # replace() would hand the auto-fallback and calibration stale
+    # counts after the base changes
     return DynamicVamana(
-        index=replace(idx, base=base, graph=graph, layout=layout),
+        index=replace(idx, base=base, graph=graph, layout=layout, cal_cache={}),
         tomb_ids=tomb,
         tomb_df=tomb_df_after,
         pins=(graph, layout),
@@ -714,8 +737,11 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     # release the superseded generation's persisted blocks (see
     # add_points)
     dyn.close()
+    # fresh cal_cache (see add_points): cached counts/groundtruth
+    # belong to the pre-consolidate base
     return DynamicVamana(
-        index=replace(idx, base=base, graph=graph, layout=layout), tomb_ids=(),
+        index=replace(idx, base=base, graph=graph, layout=layout, cal_cache={}),
+        tomb_ids=(),
         pins=(graph, layout), gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 
@@ -822,6 +848,9 @@ def compact_index(index: VamanaIndex) -> tuple[VamanaIndex, DataFrame]:
             .select("shard_id", F.col("new_id").alias("__id"), "__vec")
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
-        replace(index, base=new_base, graph=new_graph, layout=new_layout),
+        replace(
+            index, base=new_base, graph=new_graph, layout=new_layout,
+            cal_cache={},
+        ),
         mapping,
     )

@@ -363,6 +363,7 @@ def _fit_budget_for_target(
     stats: dict | None = None,
     calibration_margin: float | str | None = "ci",
     calibration_validation_queries: int = 0,
+    budget_hint: float | None = None,
 ) -> float:
     """Fit a probe budget hitting ``target_recall`` on a deterministic
     query sample (ivf_search's target_recall= path). The sample is the
@@ -395,9 +396,19 @@ def _fit_budget_for_target(
     and grades the fitted budget on them before serving, widening the
     budget until the held-out recall clears the target (see
     calibrate.validate_budget — a within-sample margin cannot remove a
-    BIASED draw; the held-out check can detect it)."""
+    BIASED draw; the held-out check can detect it).
+
+    ``calibration_queries="auto"`` derives the fit-sample size from the
+    CI half-width at (target, k) — calibrate.calibration_sample_size —
+    and, when no explicit validation count was given, a held-out split
+    of half that, so ``target_recall=`` carries its statistical
+    guarantee at any k/target without the caller hand-picking ns.
+    ``budget_hint`` warm-starts the budget grid search (e.g. a smaller
+    tier's fitted budget scaled by sqrt(N ratio)) — see
+    calibrate.calibrate_probe_budget(hint=)."""
     from scalablevectorsearch_spark.operators.calibrate import (
         calibrate_probe_budget,
+        calibration_sample_size,
         margined_target,
         validate_budget,
     )
@@ -407,6 +418,13 @@ def _fit_budget_for_target(
 
     if stats is None:
         stats = {}
+    if calibration_queries == "auto":
+        auto_fit, auto_val = calibration_sample_size(target_recall, k)
+        calibration_queries = auto_fit
+        if int(calibration_validation_queries) == 0:
+            calibration_validation_queries = auto_val
+        stats["auto_sized"] = (auto_fit, auto_val)
+    calibration_queries = int(calibration_queries)
     qlong = F.col(qid_col).cast("long")
     n_val = max(0, int(calibration_validation_queries))
     all_qids = [
@@ -508,10 +526,12 @@ def _fit_budget_for_target(
         )
 
     rq_fit = restrict_rerank(fit_qids)
+    if budget_hint is not None:
+        stats["budget_hint"] = float(budget_hint)
     cal = calibrate_probe_budget(
         lambda b: search_at(b, sample_q, rq_fit),
         groundtruth, k, target_recall=fit_target,
-        max_budget=float(index.n_clusters),
+        max_budget=float(index.n_clusters), hint=budget_hint,
     )
     stats["fit_sec"] = _time.perf_counter() - t_fit
     stats["fit_evals"] = len(cal.probes)
@@ -630,11 +650,12 @@ def ivf_search(
     max_query_block: int | None = None,
     deadline: float | None = None,
     target_recall: float | None = None,
-    calibration_queries: int = 32,
+    calibration_queries: int | str = 32,
     calibration_groundtruth: DataFrame | None = None,
     calibration_stats: dict | None = None,
     calibration_margin: float | str | None = "ci",
     calibration_validation_queries: int = 0,
+    calibration_budget_hint: float | None = None,
 ) -> DataFrame:
     """Approximate k-NN probing clusters per query.
 
@@ -706,7 +727,15 @@ def ivf_search(
     before serving, widening the budget until the held-out recall
     clears the target (calibrate.validate_budget) — catches a fit
     sample whose draw is systematically easier than the population,
-    which no within-sample margin can."""
+    which no within-sample margin can.
+    ``calibration_queries="auto"`` sizes the fit/validation split from
+    the CI half-width at (target, k) (calibrate.calibration_sample_size)
+    instead of hand-picked constants.
+    ``calibration_budget_hint``: warm-start for the budget grid search
+    — e.g. a smaller tier's fitted budget scaled by sqrt(N ratio); a
+    good hint replaces the opening full-fan-out calibration probe with
+    evals near the true operating point (calibrate_probe_budget(hint=));
+    a bad one costs only the gallop steps."""
     if target_recall is not None:
         if epsilon_bp is not None or probe_budget is not None:
             raise ValueError(
@@ -722,6 +751,7 @@ def ivf_search(
             rerank_base=rerank_base, rerank_queries=rerank_queries,
             stats=calibration_stats, calibration_margin=calibration_margin,
             calibration_validation_queries=calibration_validation_queries,
+            budget_hint=calibration_budget_hint,
         )
         return ivf_search(
             index, queries, k, distance=distance, qid_col=qid_col,

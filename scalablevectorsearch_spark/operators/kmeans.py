@@ -79,13 +79,34 @@ def _nearest_centroid(V: np.ndarray, C: np.ndarray) -> np.ndarray:
     near an exact tie cannot assign differently between the flat and
     grouped paths (they would otherwise promote differently against the
     centroid matrix); f32 -> f64 is exact, so this never changes a
-    non-tie assignment."""
+    non-tie assignment.
+
+    EXACT-duplicate centroid rows are collapsed to their smallest cid
+    before the GEMM — the same structural rule group_centroids applies:
+    two bit-identical columns at different positions of one GEMM can
+    produce last-ulp-DIFFERENT outputs (blocking/microkernel edge
+    effects), so an argmin tie-break over duplicate columns is not
+    reproducible across matrix shapes or BLAS builds. The collapse
+    makes smallest-cid-wins structural on the flat path too, so flat
+    and grouped stamps agree even on degenerate centroid sets. The
+    np.unique row-sort is O(C·d log C) per call — noise next to the
+    O(n·C·d) GEMM it precedes."""
     V = np.asarray(V, dtype=np.float64)
     C = np.asarray(C, dtype=np.float64)
+    U, first_idx = np.unique(C, axis=0, return_index=True)
+    rep = None
+    if U.shape[0] < C.shape[0]:
+        # stamp against the deduped matrix ordered by rep cid (ties
+        # between DISTINCT rows then still resolve to the smallest cid)
+        rep = np.sort(first_idx).astype(np.int64)
+        C = U[np.argsort(first_idx)]
     ip = V @ C.T
     v2 = np.einsum("ij,ij->i", V, V)[:, None]
     c2 = np.einsum("ij,ij->i", C, C)[None, :]
-    return np.argmin(v2 + c2 - 2.0 * ip, axis=1).astype(np.int32)
+    a = np.argmin(v2 + c2 - 2.0 * ip, axis=1)
+    if rep is not None:
+        return rep[a].astype(np.int32)
+    return a.astype(np.int32)
 
 
 def _scan(base: DataFrame, id_col: str, vec_col: str) -> DataFrame:

@@ -515,7 +515,7 @@ def vamana_search(
     max_query_block: int | None = None,
     deadline: float | None = None,
     target_recall: float | None = None,
-    calibration_queries: int = 32,
+    calibration_queries: int | str = 32,
     calibration_groundtruth: DataFrame | None = None,
     where=None,
     scan_override: DataFrame | None = None,
@@ -523,6 +523,7 @@ def vamana_search(
     fallback_below: int | str | None = "auto",
     calibration_margin: float | str | None = "ci",
     calibration_validation_queries: int = 0,
+    calibration_budget_hint: float | None = None,
 ) -> DataFrame:
     """Greedy graph search per shard + global top-k merge. Returns
     (qid, rank, neighbor_id, distance) like flat_knn.
@@ -560,6 +561,14 @@ def vamana_search(
     additional disjoint qids and grades the fitted budget on them
     before serving (calibrate.validate_budget widens until the
     held-out recall clears the target).
+    ``calibration_queries="auto"`` sizes the fit/validation split from
+    the CI half-width at (target, k) (calibrate.calibration_sample_size)
+    instead of hand-picked constants.
+    ``calibration_budget_hint``: warm-start for the budget grid search
+    (e.g. a smaller tier's fitted budget scaled by sqrt(N ratio)) — a
+    good hint replaces the opening full-fan-out calibration probe with
+    evals near the true operating point; a bad one costs only the
+    gallop steps (calibrate_probe_budget(hint=)).
     ``fallback_below``: with ``where``, count the matching pool once
     (a pushed-down parquet count) and, when it holds at most this many
     rows, serve the EXACT filtered flat k-NN over the pool instead of
@@ -704,6 +713,7 @@ def vamana_search(
             exclude_ids=exclude_ids, exclude_df=exclude_df, where=where,
             stats=calibration_stats, calibration_margin=calibration_margin,
             calibration_validation_queries=calibration_validation_queries,
+            budget_hint=calibration_budget_hint,
         )
         return vamana_search(
             index, queries, k, search_window_size=sws, qid_col=qid_col,
@@ -812,6 +822,7 @@ def _fit_vamana_budget(
     stats: dict | None = None,
     calibration_margin: float | str | None = "ci",
     calibration_validation_queries: int = 0,
+    budget_hint: float | None = None,
 ) -> float:
     """Fit a shard probe budget hitting ``target_recall`` on a
     deterministic query sample (vamana_search's target_recall= path;
@@ -840,6 +851,7 @@ def _fit_vamana_budget(
 
     from scalablevectorsearch_spark.operators.calibrate import (
         calibrate_probe_budget,
+        calibration_sample_size,
         margined_target,
         validate_budget,
     )
@@ -847,6 +859,13 @@ def _fit_vamana_budget(
 
     if stats is None:
         stats = {}
+    if calibration_queries == "auto":
+        auto_fit, auto_val = calibration_sample_size(target_recall, k)
+        calibration_queries = auto_fit
+        if int(calibration_validation_queries) == 0:
+            calibration_validation_queries = auto_val
+        stats["auto_sized"] = (auto_fit, auto_val)
+    calibration_queries = int(calibration_queries)
     qlong = F.col(qid_col).cast("long")
     n_val = max(0, int(calibration_validation_queries))
     all_qids = [
@@ -951,11 +970,13 @@ def _fit_vamana_budget(
         )
 
     t_fit = _time.perf_counter()
+    if budget_hint is not None:
+        stats["budget_hint"] = float(budget_hint)
     try:
         cal = calibrate_probe_budget(
             lambda b: search_at(b, sample_q),
             groundtruth, k, target_recall=fit_target,
-            max_budget=float(index.n_shards),
+            max_budget=float(index.n_shards), hint=budget_hint,
         )
         stats["fit_sec"] = _time.perf_counter() - t_fit
         stats["fit_evals"] = len(cal.probes)
