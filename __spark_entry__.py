@@ -1034,6 +1034,51 @@ def _dynamic_vamana_exhaustive_query(spark: SparkSession, sf_dir: str) -> DataFr
     return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
 
 
+DYN_ROUTED_SHARDS = 4
+DYN_ROUTED_CLOSURE_BP = 2000
+
+
+def _dynamic_routed_vamana_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r11 (VERDICT r10 task 4): the SAME add -> delete -> consolidate
+    cycle as dynamic_vamana_exhaustive_knn, on a KMEANS-ROUTED index
+    with closure replication — inserts stamp to their nearest cell
+    (plus closure replicas) through the build's own _sharded
+    assignment, consolidate repairs every replica shard the layout
+    names, and the exhaustive full-fan-out search over the mutated base
+    must hash-equal the dynamic-flat SQL oracle. Composes the
+    reference's dynamic insert path (dynamic_index.h:631-700) with the
+    SPANN routed layout — the 100 TB maintenance shape."""
+    from scalablevectorsearch_spark.operators.dynamic import (
+        add_points,
+        consolidate,
+        delete_entries,
+        dynamic_search,
+        dynamic_vamana,
+    )
+
+    base = _base(spark, sf_dir).select("id", "vector")
+    added = base.filter(F.col("id") < DYN_ADDED).select(
+        (F.col("id") + DYN_OFFSET).alias("id"), "vector"
+    )
+    deleted = base.filter(
+        (F.col("id") >= DYN_DEL_LO) & (F.col("id") < DYN_DEL_HI)
+    ).select("id")
+    dyn = dynamic_vamana(
+        vamana_build(
+            base, VAMANA_PARAMS, n_shards=DYN_ROUTED_SHARDS,
+            shard_by="kmeans", closure_bp=DYN_ROUTED_CLOSURE_BP,
+        )
+    )
+    dyn = add_points(dyn, added)
+    dyn = delete_entries(dyn, deleted)
+    dyn = consolidate(dyn)
+    res = dynamic_search(
+        dyn, _queries_df(spark, sf_dir), k=K, search_window_size=4096,
+        n_probes=DYN_ROUTED_SHARDS,
+    )
+    return res.select("qid", "rank", "neighbor_id", E4("distance").alias("distance_e4"))
+
+
 MV_LABEL_OFFSET = 100
 MV_DEL_LABELS = (8, 9)
 
@@ -2420,7 +2465,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _media_features_query,
         "vecs_roundtrip": _vecs_roundtrip_query,
         "routed_calibrated_recall": _routed_calibrated_recall_query,
-        # --- r8-vintage overflow: head the NEXT (r12) window ---
+        # --- new r11 gate + r8-vintage overflow: head the NEXT (r12)
+        # window (positions 1-50 stay reserved for the rotation r9/r10
+        # tasked; this round the new gate is pytest- and
+        # check_oracles-verified) ---
+        "dynamic_routed_vamana_knn": _dynamic_routed_vamana_query,
         "pack_sequences": _pack_sequences_query,
         "vamana_routed_default_recall": _vamana_routed_default_recall_query,
         "ivf_budget_recall": _ivf_budget_recall_query,
@@ -2598,6 +2647,12 @@ def oracle_sql() -> dict[str, str]:
         # post-cycle exhaustive-window graph search == flat over the
         # mutated base (same mutation constants)
         "dynamic_vamana_exhaustive_knn": oracles.dynamic_flat_knn_sql(
+            K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
+        ),
+        # r11: the same cycle on a kmeans-routed + closure-replicated
+        # index — full-fan-out exhaustive search over the mutated base
+        # is the same exact flat semantics (replicas dedup in the merge)
+        "dynamic_routed_vamana_knn": oracles.dynamic_flat_knn_sql(
             K, N_QUERIES, DYN_ADDED, DYN_OFFSET, DYN_DEL_LO, DYN_DEL_HI
         ),
         # post-compact exhaustive search == flat over the survivors with

@@ -246,6 +246,18 @@ class DynamicVamana:
     #: (see add_points/consolidate), and ``close()`` releases the last
     #: generation when a maintenance loop retires the index.
     pins: tuple = ()
+    #: the LAST lineage cut's checkpoint RDD ids (r11): a
+    #: localCheckpoint registers its own RDD-level persist, which
+    #: DataFrame.unpersist does NOT release (CacheManager no-op on a
+    #: LogicalRDD frame), so an untracked chain grows by one
+    #: fully-materialized graph+layout copy per _CKPT_EVERY mutations.
+    #: A checkpoint must outlive its dependents (every generation up
+    #: to the NEXT cut recomputes through it), so it is released
+    #: exactly when a newer cut supersedes it — and by close() when
+    #: the index retires. Releasing DESTROYS the checkpoint data, so
+    #: handles older than the previous cut become invalid (not merely
+    #: recompute-slow) once a newer cut lands.
+    ckpt_pins: tuple = ()
     #: mutations since the last lineage cut: every mutation embeds the
     #: previous graph's plan at least twice, so the logical plan doubles
     #: per generation; a localCheckpoint every _CKPT_EVERY mutations
@@ -272,6 +284,14 @@ class DynamicVamana:
         degrades the post-delete handle's searches to recompute. A
         close() on an already-released handle is a harmless no-op
         (unpersist is idempotent)."""
+        self._release_pins()
+        _release_ckpt_rdds(self.spark, self.ckpt_pins)
+
+    def _release_pins(self) -> None:
+        """Release only the persisted graph/layout (NOT the lineage
+        checkpoint): what a superseding mutation drops — its new
+        generation still recomputes through the last checkpoint until
+        it cuts a new one."""
         for df in self.pins:
             df.unpersist(blocking=False)
 
@@ -293,11 +313,14 @@ class DynamicVamana:
 
 
 def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
-    if index.shard_model is not None:
-        raise ValueError(
-            "dynamic mutations require a hash-sharded index (shard_by='hash'); "
-            "cluster-sharded layouts re-cluster via a rebuild job instead"
-        )
+    """Wrap an index for mutation. Hash-sharded AND kmeans-routed
+    (cluster-sharded) indexes are supported (r11): routed inserts stamp
+    to their nearest cell through the SAME deterministic ``_sharded``
+    assignment the build and every search use — closure replicas
+    included — so post-mutation routed searches (n_probes /
+    probe_budget / target_recall) keep pruning unprobed shards
+    correctly. One routed-only contract: reinserting a TOMBSTONED id
+    requires ``consolidate()`` first (see add_points)."""
     if getattr(index, "vec_decode", None) is not None:
         raise ValueError(
             "dynamic mutations are not supported on packed-storage indexes; "
@@ -316,7 +339,7 @@ def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
 _CKPT_EVERY = 4
 
 
-def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> DataFrame:
+def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> tuple[DataFrame, DataFrame | None]:
     """Materialize a mutated graph/layout hash-partitioned on shard_id
     — the Spark analog of the reference's in-place
     ``graph_.replace_node``: without it every downstream search re-runs
@@ -350,11 +373,52 @@ def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> DataFrame:
     instead of chaining forever."""
     from scalablevectorsearch_spark.operators.vamana import _by_shard
 
+    ckpt_ids: tuple = ()
     if checkpoint:
-        df = df.localCheckpoint(eager=True)
+        df, ckpt_ids = _local_ckpt(df)
     pinned = _by_shard(df).persist()
     pinned.count()
-    return pinned
+    # the localCheckpoint registers its OWN persisted RDD, which
+    # unpersisting `pinned` does not release — the caller tracks the
+    # RDD ids (DynamicVamana.ckpt_pins) and frees them when a newer
+    # cut supersedes them
+    return pinned, ckpt_ids
+
+
+def _persistent_rdd_ids(spark) -> set:
+    jsc = spark.sparkContext._jsc.sc()
+    out, it = set(), jsc.getPersistentRDDs().iterator()
+    while it.hasNext():
+        out.add(int(it.next()._1()))
+    return out
+
+
+def _local_ckpt(df: DataFrame):
+    """localCheckpoint(eager) + the ids of the RDD blocks it pinned.
+
+    A checkpoint's persist happens at the RDD level — invisible to
+    DataFrame.unpersist (which goes through the CacheManager and is a
+    no-op on a LogicalRDD-backed frame) — so without tracking, every
+    lineage cut leaks one fully-materialized block set (measured:
+    +2 persistent RDDs per cut, each a whole graph/layout copy).
+    Sequential driver code, so the before/after diff is race-free."""
+    spark = df.sparkSession
+    before = _persistent_rdd_ids(spark)
+    ck = df.localCheckpoint(eager=True)
+    return ck, tuple(sorted(_persistent_rdd_ids(spark) - before))
+
+
+def _release_ckpt_rdds(spark, rdd_ids: tuple) -> None:
+    """Unpersist checkpoint RDDs by id. Destroys the checkpoint's data
+    — only called when a NEWER lineage cut exists (nothing live
+    recomputes through the old one) or when the index retires."""
+    if not rdd_ids:
+        return
+    m = spark.sparkContext._jsc.sc().getPersistentRDDs()
+    for rid in rdd_ids:
+        opt = m.get(int(rid))
+        if opt.isDefined():
+            opt.get().unpersist(False)
 
 
 def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
@@ -390,13 +454,45 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     new_rows = new_rows.select(
         F.col(id_col).cast("long").alias(id_col), F.col(vec_col).alias(vec_col)
     )
-    # one job over the (small) insert batch: touched shards + new ids
-    stats = new_rows.select(
-        F.collect_set(
-            F.pmod(F.col(id_col), F.lit(idx.n_shards)).cast("int")
-        ).alias("shards"),
-        F.collect_set(F.col(id_col)).alias("ids"),
-    ).first()
+    routed = idx.shard_model is not None
+    if routed:
+        # cluster-routed insert (r11): stamp each new row to its nearest
+        # cell — plus closure replicas — through the SAME deterministic
+        # _sharded assignment the build used, so routed searches keep
+        # pruning unprobed shards correctly after the mutation. One
+        # stamp job over the broadcast-sized batch; materialized once
+        # (localCheckpoint) so the stamp never re-runs per downstream use
+        from scalablevectorsearch_spark.operators.vamana import _sharded
+
+        new_layout = (
+            _sharded(
+                new_rows, idx.n_shards, id_col, idx.shard_model, vec_col,
+                idx.closure_bp, None, stamp_hierarchical=idx.stamp_hierarchical,
+            )
+            .select(
+                "shard_id",
+                F.col(id_col).cast("long").alias("__id"),
+                F.col(vec_col).alias("__vec"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = new_layout.select(
+            F.collect_set("shard_id").alias("shards"),
+            F.collect_set("__id").alias("ids"),
+        ).first()
+    else:
+        new_layout = new_rows.select(
+            F.pmod(F.col(id_col).cast("long"), F.lit(idx.n_shards))
+            .cast("int")
+            .alias("shard_id"),
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__vec"),
+        )
+        # one job over the (small) insert batch: touched shards + new ids
+        stats = new_layout.select(
+            F.collect_set("shard_id").alias("shards"),
+            F.collect_set("__id").alias("ids"),
+        ).first()
     touched = sorted(stats["shards"])
     new_ids = set(stats["ids"])
     tomb_df_after = None
@@ -446,6 +542,19 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         )
         if n_dup:
             raise ValueError(f"{n_dup} ids already exist in the index")
+    if routed and revived:
+        # a tombstoned id's OLD replicas sit wherever its old vector
+        # routed; the new vector may route elsewhere, so an in-place
+        # slot revive would leave in-edges in the old shards dangling
+        # (hash sharding never moves a slot, so revive is safe there).
+        # Routed contract: consolidate() physically removes the
+        # tombstoned rows (repairing in-edges), then the id is free.
+        raise ValueError(
+            f"{len(revived)} ids are tombstoned on a cluster-routed index; "
+            "run consolidate() before reinserting them (routed slot "
+            "placement follows the vector, so revive-in-place would "
+            "dangle the old replicas' in-edges)"
+        )
     base = _without_ids(
         idx.base.select(id_col, vec_col), id_col, revived
     ).unionByName(new_rows)
@@ -454,13 +563,6 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     # layout rows (minus revived slots, whose vectors are replaced)
     # plus the new rows, flagged — only touched shards ever reach the
     # kernel, and the old layout is read from cache, not the base
-    new_layout = new_rows.select(
-        F.pmod(F.col(id_col).cast("long"), F.lit(idx.n_shards))
-        .cast("int")
-        .alias("shard_id"),
-        F.col(id_col).cast("long").alias("__id"),
-        F.col(vec_col).alias("__vec"),
-    )
     old_touched = _without_ids(
         idx.layout.filter(F.col("shard_id").isin(touched)), "__id", revived
     )
@@ -515,11 +617,11 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     )
     # plan-growth guard: cut lineage only every _CKPT_EVERY-th mutation
     ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
-    graph = _pin_by_shard(
+    graph, g_ckpt = _pin_by_shard(
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked),
         checkpoint=ckpt,
     )
-    layout = _pin_by_shard(
+    layout, l_ckpt = _pin_by_shard(
         _without_ids(idx.layout, "__id", revived).unionByName(
             new_layout.select("shard_id", "__id", "__vec")
         ),
@@ -528,8 +630,16 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     # the new generation is materialized — release the superseded
     # generation's persisted blocks (the CacheManager never reclaims
     # them on its own; recompute of this generation, if ever evicted,
-    # goes back through lineage to the last checkpoint)
-    dyn.close()
+    # goes back through lineage to the last checkpoint). When this
+    # mutation cut a NEW checkpoint, the previous cut is no longer on
+    # any live lineage — release it too; otherwise inherit it (this
+    # generation still recomputes through it).
+    if ckpt:
+        dyn.close()
+        ckpt_pins = tuple(g_ckpt) + tuple(l_ckpt)
+    else:
+        dyn._release_pins()
+        ckpt_pins = dyn.ckpt_pins
     # fresh cal_cache: the cached groundtruth / pool / base counts were
     # computed against the PRE-mutation base — sharing the dict across
     # replace() would hand the auto-fallback and calibration stale
@@ -539,6 +649,7 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         tomb_ids=tomb,
         tomb_df=tomb_df_after,
         pins=(graph, layout),
+        ckpt_pins=ckpt_pins,
         gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 
@@ -584,7 +695,8 @@ def delete_entries(
             )
         return DynamicVamana(
             index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list))),
-            pins=dyn.pins, gens_since_ckpt=dyn.gens_since_ckpt,
+            pins=dyn.pins, ckpt_pins=dyn.ckpt_pins,
+            gens_since_ckpt=dyn.gens_since_ckpt,
         )
     # large-wave path: all joins, zero driver materialization. The
     # existence check shuffles only the id column of the (pruned) base
@@ -608,7 +720,8 @@ def delete_entries(
     new_tomb = tomb.unionByName(ids).localCheckpoint(eager=True)
     return DynamicVamana(
         index=idx, tomb_ids=(), tomb_df=new_tomb,
-        pins=dyn.pins, gens_since_ckpt=dyn.gens_since_ckpt,
+        pins=dyn.pins, ckpt_pins=dyn.ckpt_pins,
+        gens_since_ckpt=dyn.gens_since_ckpt,
     )
 
 
@@ -651,8 +764,31 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         return dyn
     params, distance = idx.params, idx.distance
     large = dyn.tomb_df is not None
+    routed = idx.shard_model is not None
     if large:
-        # touched-shard list is bounded by n_shards — safe to collect
+        base = idx.base.join(
+            dyn.tomb_df.withColumnRenamed("id", idx.id_col), idx.id_col, "left_anti"
+        )
+        bc = None
+    else:
+        base = _without_ids(idx.base, idx.id_col, dyn.tomb_ids)
+        tomb_arr = np.asarray(sorted(dyn.tomb_ids), dtype=np.int64)
+        bc = idx.base.sparkSession.sparkContext.broadcast(tomb_arr)
+    # touched-shard list is bounded by n_shards — safe to collect.
+    # Routed indexes can't derive it from id arithmetic (placement
+    # followed the vector; closure replicas put one id in SEVERAL
+    # shards), so the persisted layout is the authority there — every
+    # replica's shard is repaired, preserving routing + closure across
+    # the consolidate.
+    if routed:
+        if large:
+            hit = idx.layout.join(
+                dyn.tomb_df.withColumnRenamed("id", "__id"), "__id", "left_semi"
+            )
+        else:
+            hit = _without_ids(idx.layout, "__id", dyn.tomb_ids, keep=True)
+        touched = sorted(r[0] for r in hit.select("shard_id").distinct().collect())
+    elif large:
         touched = sorted(
             r[0]
             for r in dyn.tomb_df.select(
@@ -661,15 +797,8 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
             .distinct()
             .collect()
         )
-        base = idx.base.join(
-            dyn.tomb_df.withColumnRenamed("id", idx.id_col), idx.id_col, "left_anti"
-        )
-        bc = None
     else:
         touched = sorted({int(i) % idx.n_shards for i in dyn.tomb_ids})
-        base = _without_ids(idx.base, idx.id_col, dyn.tomb_ids)
-        tomb_arr = np.asarray(sorted(dyn.tomb_ids), dtype=np.int64)
-        bc = idx.base.sparkSession.sparkContext.broadcast(tomb_arr)
 
     def repair_fn(key, vdf, gdf):
         import pandas as pd
@@ -723,7 +852,7 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         .applyInPandas(repair_fn, GRAPH_SCHEMA)
     )
     ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
-    graph = _pin_by_shard(
+    graph, g_ckpt = _pin_by_shard(
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired),
         checkpoint=ckpt,
     )
@@ -733,16 +862,22 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         )
     else:
         new_layout = _without_ids(idx.layout, "__id", dyn.tomb_ids)
-    layout = _pin_by_shard(new_layout, checkpoint=ckpt)
-    # release the superseded generation's persisted blocks (see
-    # add_points)
-    dyn.close()
+    layout, l_ckpt = _pin_by_shard(new_layout, checkpoint=ckpt)
+    # release the superseded generation's pins; a new lineage cut also
+    # retires the previous cut (see add_points)
+    if ckpt:
+        dyn.close()
+        ckpt_pins = tuple(g_ckpt) + tuple(l_ckpt)
+    else:
+        dyn._release_pins()
+        ckpt_pins = dyn.ckpt_pins
     # fresh cal_cache (see add_points): cached counts/groundtruth
     # belong to the pre-consolidate base
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout, cal_cache={}),
         tomb_ids=(),
-        pins=(graph, layout), gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
+        pins=(graph, layout), ckpt_pins=ckpt_pins,
+        gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 
 

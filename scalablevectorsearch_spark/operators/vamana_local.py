@@ -55,6 +55,15 @@ class VamanaParams:
     #: reference's float32 build kernels; graph quality is unaffected
     #: (only exact-tie prune decisions can differ).
     build_dtype: str = "float64"
+    #: construction sweeps over the data (index.h:428-429: the
+    #: reference always runs construct(1.0) then construct(alpha) — two
+    #: full passes; the first's backedge prune uses alpha=1.0, the
+    #: second re-links every node over the completed graph). 2 is
+    #: reference parity and what the published recall curves assume
+    #: (single-pass measured ~20pp under the example_vamana golden
+    #: curve); 1 halves build cost for bulk tiers that buy recall with
+    #: calibrated probe fan-out instead.
+    build_passes: int = 2
 
     @property
     def prune_target(self) -> int:
@@ -249,10 +258,15 @@ def batch_greedy_search(
     GEMM path (different accumulation blocking); use above
     :data:`LAZY_N` where the traversal visits a vanishing fraction of
     the base. Ignored when ``D`` is supplied.
-    ``track``: additionally return the FULL visited history as
-    (offsets, ids, dists) — per-query segments ids[offsets[q]:
-    offsets[q+1]] sorted by (distance, id); the OptionalTracker of
-    vamana_build.h:353 that feeds use_full_search_history pruning.
+    ``track``: additionally return the EXPANDED-node history (entry
+    points + every node popped and expanded — the DiskANN visited set
+    V; greedy_search.h:85,165) as (offsets, ids, dists) — per-query
+    segments ids[offsets[q]:offsets[q+1]] sorted by (distance, id); the
+    OptionalTracker of vamana_build.h:353 that feeds
+    use_full_search_history pruning. Enqueued-but-never-expanded
+    candidates are NOT tracked: they crowd the pool with the node's
+    immediate neighborhood and the alpha-prune then drops the
+    long-range edges the graph's navigability depends on.
     Returns (ids, dists) as (nq, cap) arrays padded with id -1 / inf,
     each row sorted best-first by (distance, id); with ``track`` a
     third element carries the history."""
@@ -339,6 +353,15 @@ def batch_greedy_search(
         pos = np.argmax(~flags[has], axis=1)
         node = buf_ids[act, pos]
         expanded[act, node] = True
+        if track:
+            # the tracker records EXPANDED nodes only (greedy_search.h:
+            # 165 — the DiskANN "visited set V"), NOT every enqueued
+            # candidate: a pool of all-seen candidates is dominated by
+            # the node's immediate neighborhood and the alpha-prune then
+            # keeps mostly short edges, costing the graph its long-range
+            # navigability (measured ~17pp recall on the example_vamana
+            # golden curve before this fix)
+            log.append((act, node, buf_d[act, pos]))
         nbrs = NB[node]  # (a, md)
         ok = (nbrs >= 0) & ~seen[act[:, None], np.maximum(nbrs, 0)]
         if not ok.any():
@@ -361,9 +384,6 @@ def batch_greedy_search(
         else:
             nd = np.where(ok, _pair_d(sub, safe), np.inf)
         nid = np.where(ok, nbrs, -1)
-        if track:
-            ti, tj = np.nonzero(ok)
-            log.append((sub[ti], nbrs[ti, tj], nd[ti, tj]))
         # merge: buffer keeps (cap) best by (dist, id); padded slots
         # (inf, -1) sort last and are never expanded
         md = NB.shape[1]
@@ -681,6 +701,7 @@ def _link_nodes(
     params: VamanaParams,
     distance: str,
     x_sq: np.ndarray,
+    reverse_alpha: float | None = None,
 ) -> None:
     """One batch-synchronous linking round — the shared body of a
     construction batch (vamana_build.h:233-312) and of incremental
@@ -688,6 +709,13 @@ def _link_nodes(
     for every node in ``nodes``, alpha-prune each pool into that node's
     adjacency, apply all updates, then add reverse edges (re-pruned on
     overflow). Mutates ``graph`` in place.
+
+    ``reverse_alpha``: the alpha used when an overfull BACKEDGE target
+    is re-pruned (vamana_build.h:280 passes the construct PASS's alpha
+    here while generate_neighbors at :275 "purposely" keeps
+    params_.alpha for the forward prune) — the two-pass build's first
+    pass prunes backedges at 1.0, the second at params.alpha. Defaults
+    to params.alpha (the single-pass / insert behavior).
 
     Distances for the batch's searches come from chunked GEMMs (chunk
     bounds the (chunk, n) f64 block); lazy mode above :data:`LAZY_N`
@@ -793,8 +821,9 @@ def _link_nodes(
                 oorder = np.lexsort((ocand, od), axis=-1)
                 ocand = np.take_along_axis(ocand, oorder, axis=-1)
                 od = np.take_along_axis(od, oorder, axis=-1)
+                r_alpha = params.alpha if reverse_alpha is None else reverse_alpha
                 pruned = alpha_prune_batch(
-                    X, onodes, ocand, od, params.alpha, params.prune_target, distance
+                    X, onodes, ocand, od, r_alpha, params.prune_target, distance
                 )
                 for dst, adj in zip(over_nodes, pruned):
                     graph[dst] = adj
@@ -805,8 +834,24 @@ def build_graph(
     params: VamanaParams,
     distance: str = "l2",
 ) -> tuple[list[np.ndarray], int]:
-    """Batch-synchronous construct (vamana_build.h:233-312). Returns
-    (adjacency lists indexed by local id, entry_point local id)."""
+    """Batch-synchronous construct (vamana_build.h:233-312), run as the
+    reference's TWO-PASS schedule (index.h:428-429, dynamic_index.h:
+    257-258: ``construct(1.0)`` then ``construct(alpha)``): both passes
+    sweep every node — greedy search, forward prune at params.alpha
+    (vamana_build.h:271-275 keeps params_.alpha for generate_neighbors
+    in BOTH passes), backedge overflow prune at the PASS alpha (1.0
+    then params.alpha). The second pass re-links each node over the
+    now-complete graph, merging its existing adjacency into the
+    candidate pool (vamana_build.h:424-441) — this is where the graph
+    earns its published recall curve: a single pass leaves early nodes
+    linked against a mostly-empty graph and measured ~20pp below the
+    reference's golden recall numbers on the example_vamana fixture
+    (tools/golden_curve.py). ``params.build_passes=1`` restores the
+    cheap single sweep for callers that buy recall with probe fan-out
+    instead of graph quality.
+
+    Returns (adjacency lists indexed by local id, entry_point local
+    id)."""
     n = X.shape[0]
     entry = medioid(X)
     graph: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
@@ -814,16 +859,19 @@ def build_graph(
     batchsize = -(-n // num_batches)
     x_sq = np.einsum("ij,ij->i", X, X)  # shared across every node's search
 
-    for b in range(num_batches):
-        start, stop = b * batchsize, min(n, (b + 1) * batchsize)
-        if start >= stop:
-            break
-        # generate_neighbors: search + prune, updates applied after the
-        # whole batch (batch-synchronous, vamana_build.h:469-476)
-        _link_nodes(
-            X, graph, [entry], np.arange(start, stop, dtype=np.int64),
-            params, distance, x_sq,
-        )
+    passes = max(1, int(getattr(params, "build_passes", 2)))
+    pass_alphas = [1.0] * (passes - 1) + [params.alpha]
+    for pass_alpha in pass_alphas:
+        for b in range(num_batches):
+            start, stop = b * batchsize, min(n, (b + 1) * batchsize)
+            if start >= stop:
+                break
+            # generate_neighbors: search + prune, updates applied after
+            # the whole batch (batch-synchronous, vamana_build.h:469-476)
+            _link_nodes(
+                X, graph, [entry], np.arange(start, stop, dtype=np.int64),
+                params, distance, x_sq, reverse_alpha=pass_alpha,
+            )
     return graph, entry
 
 

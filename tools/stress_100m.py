@@ -98,7 +98,17 @@ SAMPLE_TRAIN = 1_000_000
 IVF_CLUSTERS = max(16, N // 16384)
 IVF_PROBES = max(4, IVF_CLUSTERS // 8)
 N_SHARDS = max(8, N // 8192)
-P = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
+# build_passes=1 (r11): the bulk stress tiers buy recall with CALIBRATED
+# probe fan-out (target_recall= fits the budget on this exact graph), so
+# the reference-parity two-pass construct — which exists to earn the
+# published small-window recall curve — would double the dominant build
+# wall for quality the calibration absorbs anyway. The golden-curve
+# parity evidence runs at the default build_passes=2
+# (tools/golden_curve.py).
+P = VamanaParams(
+    graph_max_degree=32, window_size=100, build_dtype="float32",
+    build_passes=1,
+)
 STAMP_AB_ROWS = 2_000_000
 
 spark = get_spark("stress-100m")
@@ -354,10 +364,32 @@ if STAGE == "vamana_lvq":
         layout_storage=StorageLevel.DISK_ONLY,
     )
     meta["stamp_hierarchical"] = vr.stamp_hierarchical
+    meta["build_passes"] = P.build_passes
     timed("lvq_layout_stamp_shuffle", lambda: vr.layout.count())
     meta["stamp_us_per_row"] = round(
         timings["lvq_layout_stamp_shuffle"] / N * 1e6, 2
     )
+    if N >= 50_000_000:
+        # stage-delete the BASE parquet once the packed layout is
+        # materialized: the graph build and every search run off the
+        # persisted DISK_ONLY layout (vamana.py:372 — graph =
+        # layout.groupBy.applyInPandas), and this host's effective disk
+        # quota (~94 GB thin-provisioned; the r11 first attempt died
+        # spilling at 1e8) cannot hold data (26 GB) + graph (~26 GB) +
+        # build spill simultaneously. queries/groundtruth stay. Risk
+        # accepted: a lost DISK_ONLY block after this point cannot
+        # recompute (single-host local mode — executor loss ends the
+        # run anyway); regeneration is ~530s if a rerun needs it.
+        def _drop_data():
+            _shutil.rmtree(f"{out}/data", ignore_errors=True)
+            # without data the manifest is a lie — drop it so a rerun's
+            # gen stage regenerates (seeded: bit-identical data/queries/gt)
+            try:
+                os.remove(f"{out}/manifest.json")
+            except OSError:
+                pass
+
+        timed("data_stage_delete", _drop_data)
     timed(
         "lvq_graph_build",
         lambda: vr.graph.persist(StorageLevel.MEMORY_AND_DISK).count(),
@@ -370,6 +402,18 @@ if STAGE == "vamana_lvq":
     CAL_FIT, CAL_VAL = 64, 32
     gt_cal = gt.filter(F.col("qid") < CAL_FIT + CAL_VAL)
     cal_stats = {}
+    # r11: warm-start the budget fit from the 2e7 tier's validated
+    # budget (940.12 of 2441 shards, BENCH_HISTORY 100m-vamana-lvq)
+    # scaled by sqrt(N ratio) — the cross-tier scaling visible in the
+    # recorded tiers. A passing hint replaces the opening FULL-FAN-OUT
+    # calibration probe (the single most expensive eval: 100% of shards
+    # over the fit sample) with evals near the operating point; an
+    # under-hint gallops up in O(log) doublings of cheap small-budget
+    # evals.
+    CAL_HINT = float(os.environ.get("STRESS_CAL_HINT", 0)) or round(
+        940.12 * (N / 20_000_000) ** 0.5, 2
+    )
+    meta["cal_budget_hint"] = CAL_HINT
     recall(
         "lvq_routed_calibrated",
         timed_df(
@@ -379,6 +423,7 @@ if STAGE == "vamana_lvq":
                 calibration_queries=CAL_FIT,
                 calibration_validation_queries=CAL_VAL,
                 calibration_groundtruth=gt_cal, calibration_stats=cal_stats,
+                calibration_budget_hint=CAL_HINT,
             ),
         ),
     )
@@ -497,6 +542,9 @@ FLOORS = {
     # measured 0.9112 at 1e8
     "ivf_calibrated": 0.88,
     "vamana_routed_calibrated": 0.90,
+    # the validated-calibration contract at the LVQ-packed tier: the
+    # held-out check must deliver the population target
+    "lvq_routed_calibrated": 0.90,
 }
 bad = {
     k: (recalls[k], v)

@@ -244,6 +244,16 @@ STEP = max(100, BASE_N // 100)  # ~1% per micro-batch
 MAINT_SHARDS = max(8, BASE_N // 4096)
 MAINT_SWS, MAINT_FLOOR = 60, 0.90
 MSTREAM = 5  # vector stream id: regenerable per id for the batch oracle
+# MAINT_ROUTED=1 (r11, VERDICT r10 task 4): run the maintenance loop on
+# a KMEANS-ROUTED index — inserts stamp to their nearest cell through
+# the build's own _sharded assignment, consolidate repairs the replica
+# shards the layout names, and the operational recall row probes a
+# budgeted fraction of shards (the 100 TB serving shape) instead of
+# full fan-out. The exhaustive hash check still fans out fully (it is
+# the exactness oracle).
+MAINT_ROUTED = os.environ.get("STRESS_STREAMING_MAINT_ROUTED") == "1"
+MAINT_SHARD_BY = "kmeans" if MAINT_ROUTED else "hash"
+MAINT_OP_BUDGET = float(max(4, MAINT_SHARDS // 2))  # the n_shards/2 default
 
 base0 = gen_df(
     spark.range(BASE_N).select(F.col("id").cast("long")),
@@ -252,7 +262,9 @@ base0 = gen_df(
 ).select("id", "vector")
 dynp = VamanaParams(graph_max_degree=32, window_size=100, build_dtype="float32")
 t0 = time.time()
-dyn = dynamic_vamana(vamana_build(base0, dynp, n_shards=MAINT_SHARDS))
+dyn = dynamic_vamana(
+    vamana_build(base0, dynp, n_shards=MAINT_SHARDS, shard_by=MAINT_SHARD_BY)
+)
 dyn.index.graph.cache().count()
 timings["maint_build"] = round(time.time() - t0, 1)
 
@@ -344,7 +356,8 @@ assert expected_final.count() == BASE_N
 maint_q = spark.read.parquet(qsrc)
 sample_mq = maint_q.orderBy("qid").limit(200)
 t0 = time.time()
-got = dynamic_search(dyn, sample_mq, k=K, search_window_size=8192)
+exh_kw = {"n_probes": MAINT_SHARDS} if MAINT_ROUTED else {}
+got = dynamic_search(dyn, sample_mq, k=K, search_window_size=8192, **exh_kw)
 want_m = flat_knn(expected_final, sample_mq, k=K)
 h_m_got, h_m_want = knn_hash(got), knn_hash(want_m)
 timings["maint_exhaustive_check"] = round(time.time() - t0, 1)
@@ -354,9 +367,13 @@ assert (h_m_got["s"], h_m_got["n"]) == (h_m_want["s"], h_m_want["n"]), (
     h_m_want,
 )
 
-# operational recall floor on the full query set
+# operational recall floor on the full query set (routed mode: probe
+# the budgeted fraction the 100 TB serving path would, not full fan-out)
 t0 = time.time()
-res_op = dynamic_search(dyn, maint_q, k=K, search_window_size=MAINT_SWS).persist()
+op_kw = {"probe_budget": MAINT_OP_BUDGET} if MAINT_ROUTED else {}
+res_op = dynamic_search(
+    dyn, maint_q, k=K, search_window_size=MAINT_SWS, **op_kw
+).persist()
 res_op.count()
 timings["maint_search_op"] = round(time.time() - t0, 1)
 gt_final = flat_knn(expected_final, maint_q, k=K).select("qid", "neighbor_id").persist()
@@ -392,6 +409,8 @@ line = {
         "base_n": BASE_N, "step": STEP, "consolidations": maint_state["consolidations"],
         "recall": maint_recall, "sws": MAINT_SWS, "floor": MAINT_FLOOR,
         "apply_per_batch": maint_state["apply_per_batch"],
+        "shard_by": MAINT_SHARD_BY,
+        "op_probe_budget": MAINT_OP_BUDGET if MAINT_ROUTED else None,
     },
     "drained_hash_equal": (not MAINT_ONLY) or None,  # None = legs 1-2 skipped
     "load_avg": round(os.getloadavg()[0], 1),

@@ -207,6 +207,67 @@ vi.graph.unpersist()
 if vi.layout is not None:
     vi.layout.unpersist()
 
+# ---- ROUTED Vamana with VALIDATED target_recall, MIP (r11, VERDICT
+# r10 task 8: the dpr-regression shape — wide clustered MIP — through
+# the kmeans-routed tier with the population-validated calibration
+# contract; fan-out recorded). Fit 64 / hold out 32 disjoint qids at
+# the CI-margined target; the recall row below grades the SERVED
+# 500-query population. ----
+from scalablevectorsearch_spark.operators.kmeans import train_kmeans
+
+SAMPLE_TRAIN = min(N, 1_000_000)
+shard_model = timed(
+    "shard_kmeans_sample_train",
+    lambda: train_kmeans(
+        q16.filter(q16.id < SAMPLE_TRAIN), N_SHARDS, 2
+    ),
+)
+
+
+def routed_build():
+    vr = vamana_build(
+        q16, P, n_shards=N_SHARDS, distance=DIST, shard_by="kmeans",
+        shard_model=shard_model,
+    )
+    vr.layout.count()
+    vr.graph.cache().count()
+    return vr
+
+
+vr = timed("vamana_routed_build", routed_build)
+CAL_FIT, CAL_VAL = 64, 32
+cal_stats: dict = {}
+recall(
+    "vamana_routed_validated",
+    timed_df(
+        "vamana_routed_validated_search",
+        lambda: vamana_search(
+            vr, queries, k=K, search_window_size=50, target_recall=0.90,
+            calibration_queries=CAL_FIT,
+            calibration_validation_queries=CAL_VAL,
+            calibration_stats=cal_stats,
+        ),
+    ),
+)
+meta["routed_calibration_split"] = {
+    k_: (round(v, 2) if isinstance(v, float) else v)
+    for k_, v in cal_stats.items()
+    if k_ != "validation"
+}
+meta["routed_budget_fraction"] = round(
+    cal_stats.get("validated_budget", cal_stats.get("fitted_budget", 0.0))
+    / N_SHARDS,
+    4,
+)
+print(
+    f"routed fan-out: {meta['routed_budget_fraction']} of {N_SHARDS} shards, "
+    f"validated={cal_stats.get('validated')}",
+    flush=True,
+)
+vr.graph.unpersist()
+if vr.layout is not None:
+    vr.layout.unpersist()
+
 # ---- IVF epsilon probing, MIP ----
 from scalablevectorsearch_spark.operators.ivf import (
     fit_epsilon_bp,
@@ -271,7 +332,14 @@ try:
 except OSError:
     pass
 
-FLOORS = {"flat_f16_ip": 0.999, "vamana": 0.85, "ivf_epsilon": 0.80, "lvq4x8": 0.90}
+FLOORS = {
+    "flat_f16_ip": 0.999,
+    "vamana": 0.85,
+    "ivf_epsilon": 0.80,
+    "lvq4x8": 0.90,
+    # the validated-calibration contract at the wide MIP tier
+    "vamana_routed_validated": 0.90,
+}
 if N >= 500_000:
     bad = {k: (recalls[k], v) for k, v in FLOORS.items() if recalls[k] < v}
     assert not bad, f"recall floors violated: {bad}"
