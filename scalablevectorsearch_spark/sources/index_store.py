@@ -252,6 +252,13 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         params["shard_n_iters"] = index.shard_model.n_iters
         params["shard_round_decimals"] = index.shard_model.round_decimals
         params["closure_bp"] = index.closure_bp
+        # which stamp kernel assigned the shards (flat vs grouped
+        # triangle-pruned — exact-identical assignments by the gated
+        # invariant, but a 1e8-row re-derivation MUST take the grouped
+        # path: the flat O(N*S*d) pass is ~50 h at 1e8 x 12k shards)
+        params["stamp_hierarchical"] = bool(
+            getattr(index, "stamp_hierarchical", False)
+        )
     if index.layout is not None:
         # persist the EXACT (shard_id, id) assignment the graphs were
         # built on — for EVERY shard mode, not just kmeans. Kmeans:
@@ -354,6 +361,12 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
     from scalablevectorsearch_spark.operators.vamana import _by_shard, _sharded
     from pyspark.storagelevel import StorageLevel
 
+    from scalablevectorsearch_spark.operators.kmeans import _resolve_stamp_via
+
+    stamp_hier = p.get("stamp_hierarchical")
+    if stamp_hier is None and shard_model is not None:
+        stamp_hier = _resolve_stamp_via("auto", shard_model.centroids.shape[0])
+    idx.stamp_hierarchical = bool(stamp_hier)
     if "layout_assign" in tables:
         assigned = tables["layout_assign"].join(data, "id").select(
             "shard_id",
@@ -363,10 +376,14 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
     else:
         # re-derivation must stamp shards in the DECODED geometry: a
         # packed (LVQ) index's raw storage rows have the wrong width
-        # and wrong values for nearest-centroid assignment
+        # and wrong values for nearest-centroid assignment. The stamp
+        # kernel follows the manifest (falling back to the build's own
+        # auto rule) — a flat pass at large shard counts would be
+        # O(N*S*d); the grouped stamp is assignment-identical (gated)
         assigned = _sharded(
             data, p["n_shards"], "id", shard_model, "vector", p.get("closure_bp"),
             vec_decode=getattr(idx, "vec_decode", None),
+            stamp_hierarchical=idx.stamp_hierarchical,
         ).select(
             "shard_id",
             F.col("id").cast("long").alias("__id"),

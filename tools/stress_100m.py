@@ -337,7 +337,128 @@ if STAGE in ("ivf", "ivf_cal", "all"):
             lambda: _shutil.rmtree(f"{out}/ivf_clustered", ignore_errors=True),
         )
 
-# ---------------- vamana_lvq (r10: the 1e8 tier under the disk budget) ----
+# ---------------- vamana_lvq_build (r11: 1e8 under the ~94 GB quota) ----
+if STAGE == "vamana_lvq_build":
+    # The r11 first attempts died on disk: this host's / is
+    # thin-provisioned to an EFFECTIVE ~94 GB (df reports 252 GB size
+    # but used+avail ≈ 94), and raw data (26G) + stamp shuffle (23G) +
+    # persisted layout (22G) + graph cache (~27G) cannot coexist. The
+    # fix is the 100 TB posture taken literally — STORAGE IS THE
+    # SOURCE OF TRUTH, sessions are ephemeral:
+    #   build session (this stage): compress to the packed parquet,
+    #     DELETE the raw data, build the graph reading the stamp
+    #     exchange directly (the layout cache is unpersisted — its one
+    #     consumer is the graph job), and STREAM the graph out through
+    #     the gated index save (sources/index_store.save_vamana, the
+    #     vamana_saveload_knn surface) — never caching the full graph;
+    #   serve session (vamana_lvq_search): a fresh JVM (build-session
+    #     shuffle/cache blocks freed at exit) loads the index and runs
+    #     the hint-warmed, CI-margined, held-out-validated calibrated
+    #     search against the generator groundtruth.
+    from scalablevectorsearch_spark.operators.lvq import (
+        lvq_compress,
+        lvq_train,
+        lvq_vamana_build,
+    )
+    from scalablevectorsearch_spark.sources.index_store import save_vamana
+
+    sample = data.filter(F.col("id") < SAMPLE_TRAIN)
+    lvqp = timed("lvq_sample_train", lambda: lvq_train(sample, "vector", 8))
+    shard_model = timed(
+        "shard_kmeans_sample_train",
+        lambda: train_kmeans(sample, N_SHARDS, 2),
+    )
+    meta["lvq_bits"] = 8
+    meta["build_passes"] = P.build_passes
+
+    # compressed storage to parquet, then drop the raw f32 data — every
+    # downstream consumer (stamp, graph kernels, serve) decodes the
+    # packed rows
+    comp_path = f"{out}/lvq_compressed"
+    timed(
+        "lvq_compress_write",
+        lambda: lvq_compress(data, lvqp).write.mode("overwrite").parquet(comp_path),
+    )
+    if N >= 50_000_000:
+
+        def _drop_data():
+            _shutil.rmtree(f"{out}/data", ignore_errors=True)
+            try:
+                os.remove(f"{out}/manifest.json")
+            except OSError:
+                pass
+
+        timed("data_stage_delete", _drop_data)
+
+    comp = spark.read.parquet(comp_path)
+    vr = lvq_vamana_build(
+        comp, lvqp, vamana_params=P, n_shards=N_SHARDS, packed=True,
+        base_compressed=True, shard_by="kmeans", shard_model=shard_model,
+        layout_storage=StorageLevel.DISK_ONLY,
+    )
+    meta["stamp_hierarchical"] = vr.stamp_hierarchical
+    # the layout's ONLY consumer this session is the graph job — skip
+    # the 22 GB DISK_ONLY copy; the graph computation runs the stamp
+    # exchange directly. Setting layout=None also skips the saved
+    # layout_assign table: writing it would re-run the stamp exchange
+    # as a SECOND job whose shuffle files coexist with the graph job's
+    # (2 x 23 GB — past the quota). The serve session re-derives the
+    # assignment from the saved packed rows through the same
+    # deterministic grouped stamp (same host/BLAS/code -> identical;
+    # grouped==flat is itself a gated invariant).
+    vr.layout.unpersist()
+    vr.layout = None
+    timed("lvq_graph_build_save", lambda: save_vamana(vr, f"{out}/lvq_index"))
+    meta["index_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(f"{out}/lvq_index")
+        for f in fs
+    )
+    timed(
+        "lvq_compressed_delete",
+        lambda: _shutil.rmtree(comp_path, ignore_errors=True),
+    )
+    record("vamana-lvq-build")
+
+# ---------------- vamana_lvq_search (r11: serve the saved 1e8 index) ----
+if STAGE == "vamana_lvq_search":
+    from scalablevectorsearch_spark.sources.index_store import load_vamana
+
+    vr = timed(
+        "lvq_index_load",
+        lambda: load_vamana(spark, f"{out}/lvq_index"),
+    )
+    timed("lvq_layout_rederive", lambda: vr.layout.count())
+    CAL_FIT, CAL_VAL = 64, 32
+    gt_cal = gt.filter(F.col("qid") < CAL_FIT + CAL_VAL)
+    cal_stats = {}
+    CAL_HINT = float(os.environ.get("STRESS_CAL_HINT", 0)) or round(
+        940.12 * (N / 20_000_000) ** 0.5, 2
+    )
+    meta["cal_budget_hint"] = CAL_HINT
+    recall(
+        "lvq_routed_calibrated",
+        timed_df(
+            "lvq_routed_calibrated_search",
+            lambda: vamana_search(
+                vr, queries, k=K, search_window_size=50, target_recall=0.90,
+                calibration_queries=CAL_FIT,
+                calibration_validation_queries=CAL_VAL,
+                calibration_groundtruth=gt_cal, calibration_stats=cal_stats,
+                calibration_budget_hint=CAL_HINT,
+            ),
+        ),
+    )
+    meta["lvq_calibration_split"] = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in cal_stats.items()
+        if k != "validation"
+    }
+    meta["validated"] = cal_stats.get("validated")
+    vr.layout.unpersist()
+    record("vamana-lvq")
+
+# ---------------- vamana_lvq (r10 shape: single-session, <= 2e7 rows) ----
 if STAGE == "vamana_lvq":
     # LVQ8-packed shard layout: ~72 B/row of persisted vector payload
     # vs 256 B/row f32 — the compression that fits the 1e8 routed tier
