@@ -459,22 +459,21 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         # cluster-routed insert (r11): stamp each new row to its nearest
         # cell — plus closure replicas — through the SAME deterministic
         # _sharded assignment the build used, so routed searches keep
-        # pruning unprobed shards correctly after the mutation. One
-        # stamp job over the broadcast-sized batch; materialized once
-        # (localCheckpoint) so the stamp never re-runs per downstream use
+        # pruning unprobed shards correctly after the mutation. The
+        # stamp re-runs per downstream job (3 jobs x a broadcast-sized
+        # batch — negligible) rather than localCheckpoint-ing: a
+        # checkpoint pins an RDD outside the CacheManager that nothing
+        # would ever release (the ckpt_pins lesson), and the stamp is
+        # deterministic, so every job sees the same assignment.
         from scalablevectorsearch_spark.operators.vamana import _sharded
 
-        new_layout = (
-            _sharded(
-                new_rows, idx.n_shards, id_col, idx.shard_model, vec_col,
-                idx.closure_bp, None, stamp_hierarchical=idx.stamp_hierarchical,
-            )
-            .select(
-                "shard_id",
-                F.col(id_col).cast("long").alias("__id"),
-                F.col(vec_col).alias("__vec"),
-            )
-            .localCheckpoint(eager=True)
+        new_layout = _sharded(
+            new_rows, idx.n_shards, id_col, idx.shard_model, vec_col,
+            idx.closure_bp, None, stamp_hierarchical=idx.stamp_hierarchical,
+        ).select(
+            "shard_id",
+            F.col(id_col).cast("long").alias("__id"),
+            F.col(vec_col).alias("__vec"),
         )
         stats = new_layout.select(
             F.collect_set("shard_id").alias("shards"),

@@ -153,3 +153,47 @@ def test_routed_calibrated_search_post_mutation(routed_dyn, insert_pool, queries
     matched = res.join(gt, ["qid", "neighbor_id"], "left_semi").count()
     assert matched / gt.count() >= 0.8  # CI slack below the 0.9 target
     d.close()
+
+
+def test_routed_mutation_loop_pin_count_stays_flat(spark, base, insert_pool):
+    """Routed mutations must not pin anything beyond the generation
+    contract either — the insert stamp in particular must not register
+    per-mutation checkpoint RDDs (a localCheckpoint pins outside the
+    CacheManager and nothing would ever release it)."""
+    from scalablevectorsearch_spark.operators.dynamic import (
+        add_points,
+        consolidate,
+        delete_entries,
+        dynamic_vamana,
+    )
+
+    idx = vamana_build(
+        base, VamanaParams(graph_max_degree=8, window_size=20),
+        n_shards=N_SHARDS, shard_by="kmeans",
+    )
+    dyn = dynamic_vamana(idx)
+
+    def n_pinned() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    baseline = None
+    peak = 0
+    for i in range(6):
+        lo = i * 8
+        added = insert_pool.filter(
+            (F.col("id") >= lo) & (F.col("id") < lo + 8)
+        )
+        dyn = add_points(dyn, added)
+        dyn = delete_entries(
+            dyn,
+            base.filter(
+                (F.col("id") >= 500 + lo) & (F.col("id") < 500 + lo + 8)
+            ).select("id"),
+        )
+        if i % 2 == 1:
+            dyn = consolidate(dyn)
+        if baseline is None:
+            baseline = n_pinned()
+        peak = max(peak, n_pinned() - baseline)
+    assert peak <= 2, f"routed pin count grew with the chain: peak +{peak}"
+    dyn.close()
