@@ -64,10 +64,25 @@ def save_index(
     tables: dict[str, DataFrame],
     schema_name: str,
     params: dict[str, Any] | None = None,
+    precomputed: set[str] | None = None,
 ) -> dict[str, Any]:
-    """Write component tables + manifest; returns the manifest dict."""
+    """Write component tables + manifest; returns the manifest dict.
+
+    ``precomputed``: table names already written under ``path`` by the
+    caller (e.g. a disk-budgeted bulk build that streams the data table
+    out before the graph job so the intermediate it derives from can be
+    stage-deleted) — skipped here, but still validated and recorded in
+    the manifest from their on-disk footers like every other table."""
     os.makedirs(path, exist_ok=True)
+    skip = precomputed or set()
+    for name in skip:
+        if name not in tables:
+            raise ManifestError(f"precomputed table {name!r} not declared")
+        # must already exist on disk with readable footers
+        _table_schema(os.path.join(path, name))
     for name, df in tables.items():
+        if name in skip:
+            continue
         df.write.mode("overwrite").parquet(os.path.join(path, name))
     manifest = {
         "__schema__": schema_name,
@@ -187,7 +202,9 @@ def _dims_of(df: DataFrame, vec_col: str) -> int:
 # ---------------------------------------------------------------- vamana
 
 
-def save_vamana(index, path: str) -> dict[str, Any]:
+def save_vamana(
+    index, path: str, precomputed: set[str] | None = None
+) -> dict[str, Any]:
     from scalablevectorsearch_spark.operators.vamana import VamanaIndex  # noqa: F401
 
     data = index.base.select(
@@ -275,7 +292,9 @@ def save_vamana(index, path: str) -> dict[str, Any]:
         tables["layout_assign"] = index.layout.select(
             "shard_id", F.col("__id").alias("id")
         )
-    return save_index(path, tables, "vamana_index", params=params)
+    return save_index(
+        path, tables, "vamana_index", params=params, precomputed=precomputed
+    )
 
 
 def load_vamana(spark: SparkSession, path: str, validate: bool = False):

@@ -357,8 +357,9 @@ if STAGE == "vamana_lvq_build":
     #     search against the generator groundtruth.
     from scalablevectorsearch_spark.operators.lvq import (
         lvq_compress,
+        lvq_decoder,
+        lvq_packed_col,
         lvq_train,
-        lvq_vamana_build,
     )
     from scalablevectorsearch_spark.sources.index_store import save_vamana
 
@@ -371,13 +372,17 @@ if STAGE == "vamana_lvq_build":
     meta["lvq_bits"] = 8
     meta["build_passes"] = P.build_passes
 
-    # compressed storage to parquet, then drop the raw f32 data — every
-    # downstream consumer (stamp, graph kernels, serve) decodes the
-    # packed rows
+    # SLIM compressed columns only to parquet (id + codes/lo/step —
+    # lvq_compress keeps the original f32 vector column, which at 1e8
+    # made this intermediate 32 GB instead of ~9 and blew the quota),
+    # then drop the raw f32 data
     comp_path = f"{out}/lvq_compressed"
     timed(
         "lvq_compress_write",
-        lambda: lvq_compress(data, lvqp).write.mode("overwrite").parquet(comp_path),
+        lambda: lvq_compress(data, lvqp)
+        .select("id", "lvq_codes", "lvq_lo", "lvq_step")
+        .write.mode("overwrite")
+        .parquet(comp_path),
     )
     if N >= 50_000_000:
 
@@ -390,33 +395,51 @@ if STAGE == "vamana_lvq_build":
 
         timed("data_stage_delete", _drop_data)
 
-    comp = spark.read.parquet(comp_path)
-    vr = lvq_vamana_build(
-        comp, lvqp, vamana_params=P, n_shards=N_SHARDS, packed=True,
-        base_compressed=True, shard_by="kmeans", shard_model=shard_model,
-        layout_storage=StorageLevel.DISK_ONLY,
-    )
-    meta["stamp_hierarchical"] = vr.stamp_hierarchical
-    # the layout's ONLY consumer this session is the graph job — skip
-    # the 22 GB DISK_ONLY copy; the graph computation runs the stamp
-    # exchange directly. Setting layout=None also skips the saved
-    # layout_assign table: writing it would re-run the stamp exchange
-    # as a SECOND job whose shuffle files coexist with the graph job's
-    # (2 x 23 GB — past the quota). The serve session re-derives the
-    # assignment from the saved packed rows through the same
-    # deterministic grouped stamp (same host/BLAS/code -> identical;
-    # grouped==flat is itself a gated invariant).
-    vr.layout.unpersist()
-    vr.layout = None
-    timed("lvq_graph_build_save", lambda: save_vamana(vr, f"{out}/lvq_index"))
-    meta["index_bytes"] = sum(
-        os.path.getsize(os.path.join(r, f))
-        for r, _, fs in os.walk(f"{out}/lvq_index")
-        for f in fs
+    # the index's data table (the packed [lo, step, codes...] rows the
+    # kernels decode) is written FIRST, directly into the index
+    # directory, so the slim intermediate can be stage-deleted before
+    # the graph job — the peak-disk sequence never holds more than one
+    # representation plus one transient shuffle (save_index records the
+    # precomputed table from its footers instead of rewriting it)
+    index_path = f"{out}/lvq_index"
+    timed(
+        "lvq_index_data_write",
+        lambda: spark.read.parquet(comp_path)
+        .select(F.col("id"), lvq_packed_col(lvqp).alias("vector"))
+        .write.mode("overwrite")
+        .parquet(f"{index_path}/data"),
     )
     timed(
         "lvq_compressed_delete",
         lambda: _shutil.rmtree(comp_path, ignore_errors=True),
+    )
+
+    packed_df = spark.read.parquet(f"{index_path}/data")
+    vr = vamana_build(
+        packed_df, P, n_shards=N_SHARDS, shard_by="kmeans",
+        shard_model=shard_model, vec_decode=lvq_decoder(lvqp),
+        layout_storage=StorageLevel.DISK_ONLY,
+    )
+    vr.lvq_params = lvqp
+    meta["stamp_hierarchical"] = vr.stamp_hierarchical
+    # the layout's ONLY consumer this session is the graph job — skip
+    # the DISK_ONLY copy; the graph computation runs the stamp exchange
+    # directly. Setting layout=None also skips the saved layout_assign
+    # table: writing it would re-run the stamp exchange as a SECOND job
+    # whose shuffle files coexist with the graph job's. The serve
+    # session re-derives the assignment from the saved packed rows
+    # through the same deterministic grouped stamp (same host/BLAS/code
+    # -> identical; grouped==flat is itself a gated invariant).
+    vr.layout.unpersist()
+    vr.layout = None
+    timed(
+        "lvq_graph_build_save",
+        lambda: save_vamana(vr, index_path, precomputed={"data"}),
+    )
+    meta["index_bytes"] = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(index_path)
+        for f in fs
     )
     record("vamana-lvq-build")
 
