@@ -343,3 +343,54 @@ def test_mutation_loop_pin_count_stays_flat(spark, embeddings):
     dyn.close()
     # close() releases the final generation's pins AND its checkpoint
     assert n_pinned() <= n_before_close - 2
+
+
+# ------------------------------------------------------ precomputed save
+
+
+def test_save_index_precomputed_table(spark, tmp_path):
+    """save_index(precomputed=...) must skip rewriting a table the
+    caller already streamed to the index directory, while still
+    validating its footers and recording it in the manifest — the
+    disk-budgeted bulk-build path (the 1e8 tier writes the packed data
+    table first so its intermediate can be stage-deleted before the
+    graph job)."""
+    import os
+
+    from scalablevectorsearch_spark.sources.index_store import (
+        ManifestError,
+        load_index,
+        save_index,
+    )
+
+    path = str(tmp_path / "idx")
+    data = spark.range(10).selectExpr("id", "id * 2 as y")
+    os.makedirs(path, exist_ok=True)
+    data.write.parquet(f"{path}/data")
+    stamp = sorted(
+        os.path.getmtime(os.path.join(f"{path}/data", f))
+        for f in os.listdir(f"{path}/data")
+    )
+    other = spark.range(3).selectExpr("id as k")
+    m = save_index(
+        path, {"data": data, "other": other}, "test_index",
+        params={"p": 1}, precomputed={"data"},
+    )
+    # data untouched (not rewritten), both tables in the manifest
+    stamp2 = sorted(
+        os.path.getmtime(os.path.join(f"{path}/data", f))
+        for f in os.listdir(f"{path}/data")
+    )
+    assert stamp2 == stamp
+    assert set(m["tables"]) == {"data", "other"}
+    manifest, tables = load_index(spark, path, expect_schema="test_index")
+    assert tables["data"].count() == 10 and tables["other"].count() == 3
+    # undeclared precomputed name refuses
+    with pytest.raises(ManifestError, match="not declared"):
+        save_index(path, {"other": other}, "test_index", precomputed={"data"})
+    # missing on-disk table refuses
+    with pytest.raises(ManifestError):
+        save_index(
+            str(tmp_path / "empty"), {"data": data}, "test_index",
+            precomputed={"data"},
+        )
