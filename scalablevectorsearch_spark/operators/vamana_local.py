@@ -20,6 +20,7 @@ module. Distances here are float64; ordering ties break by ascending id
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -510,9 +511,22 @@ def alpha_prune(
     return np.asarray(result, dtype=np.int64)
 
 
+#: worker GEMM budget in MB (r12, VERDICT r11 task 2): every transient
+#: per-chunk block in the build kernels — the dense (chunk, n) f64
+#: distance block, the lazy (chunk, n) visit masks, and the (m, P, d)
+#: prune gather tensor — is sized from ONE memory budget instead of
+#: hard-coded cell counts, so an operator (or a stress driver that
+#: knows available-mem / concurrent-workers) can bound the worker
+#: high-water instead of getting SIGKILLed by the host OOM killer.
+#: Read at import time in the WORKER (env is inherited from the JVM's
+#: fork environment — set it before get_spark()). Default 64 MB keeps
+#: the r11 chunk sizes bit-identical.
+_GEMM_BUDGET_MB = max(8, int(os.environ.get("SVS_GEMM_BUDGET_MB", "64")))
+
 #: cap on m*P*d cells for one alpha_prune_batch chunk — bounds the
-#: (m, P, d) gathered-candidate tensor to ~100 MB of f64
-_PRUNE_BATCH_CELLS = 12_000_000
+#: (m, P, d) gathered-candidate tensor to ~1.5x the budget of f64
+#: (96 MB at the 64 MB default, the pre-r12 constant)
+_PRUNE_BATCH_CELLS = _GEMM_BUDGET_MB * 187_500
 
 
 def alpha_prune_batch(
@@ -723,9 +737,13 @@ def _link_nodes(
     n = X.shape[0]
     deg = params.graph_max_degree
     lazy = n > LAZY_N
-    # dense mode: chunk bounds the (chunk, n) f64 distance block;
-    # lazy mode: the (chunk, n) bool visit masks are the footprint
-    cs = max(1, (64_000_000 if lazy else 8_000_000) // max(n, 1))
+    # dense mode: chunk bounds the (chunk, n) f64 distance block to the
+    # GEMM budget; lazy mode: the (chunk, n) bool visit masks (1 B/cell)
+    # are the footprint, so the same byte budget allows 8x the cells
+    cs = max(
+        1,
+        (_GEMM_BUDGET_MB * (1_000_000 if lazy else 125_000)) // max(n, 1),
+    )
     NB, _ = _pad_graph(graph)  # frozen for the whole batch
 
     updates: list[tuple[int, np.ndarray]] = []
@@ -1012,7 +1030,10 @@ def search_graph(
     # dense mode: one GEMM per query chunk (the (chunk, n) f64 block is
     # the footprint); lazy mode: distances evaluated per round for
     # visited nodes only, masks are the footprint
-    chunk = max(1, min(nq, (64_000_000 if lazy else 8_000_000) // max(n, 1)))
+    chunk = max(
+        1,
+        min(nq, (_GEMM_BUDGET_MB * (1_000_000 if lazy else 125_000)) // max(n, 1)),
+    )
     remaining = np.arange(nq, dtype=np.int64)
     while len(remaining):
         deficient: list[np.ndarray] = []

@@ -42,6 +42,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # r12 (VERDICT r11): a Python worker killed by the host OOM
+        # killer previously surfaced only as "Python worker exited
+        # unexpectedly (crashed)" with no traceback — the r11 1e8 and
+        # wide-tier stress runs both died undiagnosable. faulthandler
+        # makes any worker death leave a signal-time Python traceback
+        # in the executor log; negligible cost when nothing crashes.
+        .config("spark.python.worker.faulthandler.enabled", "true")
         .config("spark.ui.enabled", "false")
     )
     for key, value in (extra_conf or {}).items():

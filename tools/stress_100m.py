@@ -111,7 +111,13 @@ P = VamanaParams(
 )
 STAMP_AB_ROWS = 2_000_000
 
-spark = get_spark("stress-100m")
+# r12: finer shuffle granularity for the graph job. The r11 attempt ran
+# the 12207-shard build as 32 monolithic tasks (shuffle.partitions =
+# cores): kmeans shards are size-skewed, so the stage sat in a 21/32
+# straggler tail for its whole second hour. 4x the partitions bounds
+# the tail at one wave of ~95 shards and cuts per-task memory 4x.
+_SHUF = int(os.environ.get("STRESS_SHUFFLE_PARTS", "128"))
+spark = get_spark("stress-100m", shuffle_partitions=_SHUF)
 out = f"/root/repo/_artifacts/stress100m_{N}"
 timings: dict[str, float] = {}
 recalls: dict[str, float] = {}
@@ -130,15 +136,33 @@ import threading as _threading
 _disk = {"min_free_gb": round(_shutil.disk_usage("/").free / 1e9, 1)}
 
 
-def _disk_sampler():
+def _mem_avail_gb() -> float:
+    # MemAvailable: the kernel's own OOM-relevant availability number —
+    # the thing that hit ~0 when the r11 co-tenant runs got the Python
+    # workers SIGKILLed. Sampling its minimum gives the true host-level
+    # memory high-water of each stage (driver JVM + all 32 workers).
+    with open("/proc/meminfo") as f:
+        for line in f:
+            if line.startswith("MemAvailable:"):
+                return round(int(line.split()[1]) / 1e6, 1)
+    return -1.0
+
+
+_mem = {"min_avail_gb": _mem_avail_gb()}
+
+
+def _host_sampler():
     while True:
         free = round(_shutil.disk_usage("/").free / 1e9, 1)
         if free < _disk["min_free_gb"]:
             _disk["min_free_gb"] = free
+        avail = _mem_avail_gb()
+        if avail < _mem["min_avail_gb"]:
+            _mem["min_avail_gb"] = avail
         time.sleep(5)
 
 
-_threading.Thread(target=_disk_sampler, daemon=True).start()
+_threading.Thread(target=_host_sampler, daemon=True).start()
 
 
 def timed(name, fn):
@@ -156,6 +180,8 @@ def timed(name, fn):
 
 def record(tier):
     meta["min_free_disk_gb"] = _disk["min_free_gb"]
+    meta["min_avail_mem_gb"] = _mem["min_avail_gb"]
+    meta["gemm_budget_mb"] = int(os.environ.get("SVS_GEMM_BUDGET_MB", "64"))
     line = {
         "ts": __import__("datetime").datetime.now(
             __import__("datetime").timezone.utc
