@@ -2411,69 +2411,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Gates that have never had (or lost) a driver-green row lead;
     # long-green gates from earlier rounds trail. Rotate when adding.
     return {
-        # --- r8-vintage gates with no driver-green row since r8 (the
-        # rotation r9/r10 explicitly tasked — they fill the r11 driver
-        # sample window exactly; judge re-verified all of them on r10
-        # code, this row makes the durable artifact current again) ---
-        "vamana_knn_filtered": _vamana_knn_filtered_query,
-        "flat_knn_l2": _knn_query("l2"),
-        "flat_knn_filtered": _knn_query("l2", where="label = 3"),
-        "multivector_knn": _multivector_query,
-        "multivector_graph_knn": _multivector_graph_query,
-        "knn_recall_ip_vs_l2": _recall_query,
-        "recall_at_k": _recall_at_query,
-        "medioid": _medioid_query,
-        "reconstruct": _reconstruct_query,
-        "kmeans_assign": _kmeans_assign_query,
-        "hierarchical_kmeans_assign": _hier_kmeans_query,
-        "ivf_knn": _ivf_knn_query,
-        "ivf_knn_filtered": _ivf_knn_filtered_query,
-        "ivf_recall": _ivf_recall_query,
-        "inverted_knn": _inverted_knn_query,
-        "sq_minmax": _sq_minmax_query,
-        "sq_roundtrip": _sq_roundtrip_query,
-        "sq_knn_l2": _sq_knn_query("l2"),
-        "sq_knn_ip": _sq_knn_query("ip"),
-        "sq_vamana_knn_l2": _sq_vamana_knn_query("l2"),
-        "sq_vamana_knn_ip": _sq_vamana_knn_query("ip"),
-        "sq_vamana_knn_cosine": _sq_vamana_knn_query("cosine"),
-        "vamana_saveload_knn": _vamana_saveload_knn_query,
-        "vamana_knn": _vamana_knn_query,
-        "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
-        "vamana_recall": _vamana_recall_query,
-        "vamana_routed_recall": _vamana_routed_recall_query,
-        "vamana_router_recall": _vamana_router_recall_query,
-        "vamana_closure_recall": _vamana_closure_recall_query,
-        "calibrate_window": _calibrate_query,
-        "graph_degree_stats": _graph_degree_stats_query,
-        "dynamic_flat_knn": _dynamic_flat_query,
-        "dynamic_ivf_knn": _dynamic_ivf_query,
-        "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
-        "dynamic_vamana_recall": _dynamic_vamana_recall_query,
-        "compact_remap_knn": _compact_remap_query,
-        "text_stats": _text_stats_query,
-        "normalize_text": _normalize_text_query,
-        "lang_id": _lang_id_query,
-        "doc_fingerprints": _doc_fingerprints_query,
-        "dedup_exact": _dedup_exact_query,
-        "dedup_minhash": _dedup_minhash_query,
-        "dedup_components": _dedup_components_query,
-        "simhash": _simhash_query,
-        "embedding_neardup": _neardup_query,
-        "embedding_neardup_clustered": _neardup_clustered_query,
-        "media_stats": _media_stats_query,
-        "media_features": _media_features_query,
-        "vecs_roundtrip": _vecs_roundtrip_query,
-        "routed_calibrated_recall": _routed_calibrated_recall_query,
-        # --- new r11 gate + r8-vintage overflow: head the NEXT (r12)
-        # window (positions 1-50 stay reserved for the rotation r9/r10
-        # tasked; this round the new gate is pytest- and
-        # check_oracles-verified) ---
+        # --- r12 rotation (VERDICT r11 task 6): the 54 gates whose last
+        # driver-green rows predate r11 (judge-verified on r11 code via
+        # check_oracles, zero overlap with the r11 driver sample) lead
+        # this round's window, headed by the brand-new r11 gate ---
         "dynamic_routed_vamana_knn": _dynamic_routed_vamana_query,
         "pack_sequences": _pack_sequences_query,
         "vamana_routed_default_recall": _vamana_routed_default_recall_query,
         "ivf_budget_recall": _ivf_budget_recall_query,
-        # --- driver-green in CORRECTNESS_r10 (trail this round) ---
         "hierarchical_stamp_assign": _hier_stamp_assign_query,
         "vamana_hier_stamp_knn": _vamana_hier_stamp_knn_query,
         "ivf_target_recall": _ivf_target_recall_query,
@@ -2524,6 +2469,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": _decontaminate_query,
         "simhash_neardup": _simhash_neardup_query,
         "token_vocabulary": _token_vocabulary_query,
+        # --- driver-green in CORRECTNESS_r11 (trail this round) ---
+        "vamana_knn_filtered": _vamana_knn_filtered_query,
+        "flat_knn_l2": _knn_query("l2"),
+        "flat_knn_filtered": _knn_query("l2", where="label = 3"),
+        "multivector_knn": _multivector_query,
+        "multivector_graph_knn": _multivector_graph_query,
+        "knn_recall_ip_vs_l2": _recall_query,
+        "recall_at_k": _recall_at_query,
+        "medioid": _medioid_query,
+        "reconstruct": _reconstruct_query,
+        "kmeans_assign": _kmeans_assign_query,
+        "hierarchical_kmeans_assign": _hier_kmeans_query,
+        "ivf_knn": _ivf_knn_query,
+        "ivf_knn_filtered": _ivf_knn_filtered_query,
+        "ivf_recall": _ivf_recall_query,
+        "inverted_knn": _inverted_knn_query,
+        "sq_minmax": _sq_minmax_query,
+        "sq_roundtrip": _sq_roundtrip_query,
+        "sq_knn_l2": _sq_knn_query("l2"),
+        "sq_knn_ip": _sq_knn_query("ip"),
+        "sq_vamana_knn_l2": _sq_vamana_knn_query("l2"),
+        "sq_vamana_knn_ip": _sq_vamana_knn_query("ip"),
+        "sq_vamana_knn_cosine": _sq_vamana_knn_query("cosine"),
+        "vamana_saveload_knn": _vamana_saveload_knn_query,
+        "vamana_knn": _vamana_knn_query,
+        "vamana_exhaustive_knn": _vamana_exhaustive_knn_query,
+        "vamana_recall": _vamana_recall_query,
+        "vamana_routed_recall": _vamana_routed_recall_query,
+        "vamana_router_recall": _vamana_router_recall_query,
+        "vamana_closure_recall": _vamana_closure_recall_query,
+        "calibrate_window": _calibrate_query,
+        "graph_degree_stats": _graph_degree_stats_query,
+        "dynamic_flat_knn": _dynamic_flat_query,
+        "dynamic_ivf_knn": _dynamic_ivf_query,
+        "dynamic_vamana_exhaustive_knn": _dynamic_vamana_exhaustive_query,
+        "dynamic_vamana_recall": _dynamic_vamana_recall_query,
+        "compact_remap_knn": _compact_remap_query,
+        "text_stats": _text_stats_query,
+        "normalize_text": _normalize_text_query,
+        "lang_id": _lang_id_query,
+        "doc_fingerprints": _doc_fingerprints_query,
+        "dedup_exact": _dedup_exact_query,
+        "dedup_minhash": _dedup_minhash_query,
+        "dedup_components": _dedup_components_query,
+        "simhash": _simhash_query,
+        "embedding_neardup": _neardup_query,
+        "embedding_neardup_clustered": _neardup_clustered_query,
+        "media_stats": _media_stats_query,
+        "media_features": _media_features_query,
+        "vecs_roundtrip": _vecs_roundtrip_query,
+        "routed_calibrated_recall": _routed_calibrated_recall_query,
     }
 
 

@@ -32,7 +32,8 @@ Spark shape (bulk-synchronous, scale-first):
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+import threading
+from dataclasses import dataclass, field, replace
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -222,6 +223,31 @@ _TOMB_DRIVER_MAX = 100_000
 
 
 @dataclass
+class _CkptCell:
+    """Shared mutable ownership cell for ONE lineage cut's checkpoint
+    RDDs (r12, ADVICE r11): handles created between cuts (non-checkpoint
+    mutations, delete waves) all recompute through the same checkpoint,
+    so they SHARE this cell; ``gen`` counts ownership transfers and only
+    the handle holding the LATEST generation may destroy the data. A
+    stale handle's close() — e.g. ``d2 = delete_entries(d); d.close()``
+    — becomes a checkpoint no-op instead of unpersisting the RDDs the
+    live generation's lineage still recomputes through (previously a
+    latent job failure on any later cache eviction)."""
+
+    rdd_ids: tuple = ()
+    gen: int = 0
+
+    def transfer(self) -> int:
+        """Pass ownership to a newer handle; returns its generation."""
+        self.gen += 1
+        return self.gen
+
+    def release(self, spark) -> None:
+        _release_ckpt_rdds(spark, self.rdd_ids)
+        self.rdd_ids = ()
+
+
+@dataclass
 class DynamicVamana:
     """A Vamana index + a tombstone set (lazy deletes).
 
@@ -256,8 +282,11 @@ class DynamicVamana:
     #: exactly when a newer cut supersedes it — and by close() when
     #: the index retires. Releasing DESTROYS the checkpoint data, so
     #: handles older than the previous cut become invalid (not merely
-    #: recompute-slow) once a newer cut lands.
-    ckpt_pins: tuple = ()
+    #: recompute-slow) once a newer cut lands. Ownership is refcounted
+    #: through a shared :class:`_CkptCell` (r12): only the handle whose
+    #: ``ckpt_gen`` matches the cell's current generation may destroy.
+    ckpt_cell: _CkptCell = field(default_factory=_CkptCell)
+    ckpt_gen: int = 0
     #: mutations since the last lineage cut: every mutation embeds the
     #: previous graph's plan at least twice, so the logical plan doubles
     #: per generation; a localCheckpoint every _CKPT_EVERY mutations
@@ -273,19 +302,18 @@ class DynamicVamana:
         maintenance loop); searches on this handle afterwards recompute
         from the last checkpoint instead of the cache.
 
-        OWNERSHIP: close() must only be called on the LATEST handle.
-        add_points/consolidate call it on their input when the new
-        generation is materialized, so superseded handles become
-        recompute-only: searches on them still return correct results
-        but re-derive the graph/layout from the last lineage checkpoint
-        instead of the cache. Note that ``delete_entries`` returns a
-        handle SHARING its input's ``pins`` (a tombstone wave is not a
-        new generation) — closing the pre-delete handle therefore also
-        degrades the post-delete handle's searches to recompute. A
-        close() on an already-released handle is a harmless no-op
-        (unpersist is idempotent)."""
+        OWNERSHIP (r12): checkpoint destruction is generation-guarded.
+        Handles between lineage cuts share one :class:`_CkptCell`; each
+        mutation/delete transfers ownership to the handle it returns, so
+        a close() on a SUPERSEDED handle releases only that handle's
+        cached graph/layout blocks (searches on it — and on any handle
+        sharing its pins, e.g. the post-delete handle — degrade to
+        recompute through the live checkpoint) and leaves the checkpoint
+        itself intact for the live generation. Only the latest handle's
+        close() destroys the checkpoint data. close() is idempotent."""
         self._release_pins()
-        _release_ckpt_rdds(self.spark, self.ckpt_pins)
+        if self.ckpt_gen == self.ckpt_cell.gen:
+            self.ckpt_cell.release(self.spark)
 
     def _release_pins(self) -> None:
         """Release only the persisted graph/layout (NOT the lineage
@@ -380,7 +408,7 @@ def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> tuple[DataFrame, Da
     pinned.count()
     # the localCheckpoint registers its OWN persisted RDD, which
     # unpersisting `pinned` does not release — the caller tracks the
-    # RDD ids (DynamicVamana.ckpt_pins) and frees them when a newer
+    # RDD ids (DynamicVamana.ckpt_cell) and frees them when a newer
     # cut supersedes them
     return pinned, ckpt_ids
 
@@ -393,6 +421,13 @@ def _persistent_rdd_ids(spark) -> set:
     return out
 
 
+#: guards the before/after FALLBACK diff in _local_ckpt — without it a
+#: concurrent persist from another driver thread (parallel tests on one
+#: session, streaming jobs) would land in the diff and later be
+#: force-unpersisted, silently destroying an unrelated cache
+_ckpt_lock = threading.Lock()
+
+
 def _local_ckpt(df: DataFrame):
     """localCheckpoint(eager) + the ids of the RDD blocks it pinned.
 
@@ -401,11 +436,25 @@ def _local_ckpt(df: DataFrame):
     no-op on a LogicalRDD-backed frame) — so without tracking, every
     lineage cut leaks one fully-materialized block set (measured:
     +2 persistent RDDs per cut, each a whole graph/layout copy).
-    Sequential driver code, so the before/after diff is race-free."""
+
+    r12 (ADVICE r11): the ids are derived from the checkpointed frame
+    ITSELF — ``Dataset.localCheckpoint`` persists exactly the internal
+    RDD its returned LogicalRDD plan wraps, so reading that plan's
+    ``rdd.id`` attributes the pin precisely even when another driver
+    thread persists concurrently. The pre-r12 global before/after diff
+    of getPersistentRDDs remains as a lock-guarded fallback for plan
+    shapes where the accessor is unavailable."""
     spark = df.sparkSession
-    before = _persistent_rdd_ids(spark)
-    ck = df.localCheckpoint(eager=True)
-    return ck, tuple(sorted(_persistent_rdd_ids(spark) - before))
+    with _ckpt_lock:
+        before = _persistent_rdd_ids(spark)
+        ck = df.localCheckpoint(eager=True)
+        try:
+            rid = int(ck._jdf.queryExecution().analyzed().rdd().id())
+            if rid in _persistent_rdd_ids(spark):
+                return ck, (rid,)
+        except Exception:
+            pass
+        return ck, tuple(sorted(_persistent_rdd_ids(spark) - before))
 
 
 def _release_ckpt_rdds(spark, rdd_ids: tuple) -> None:
@@ -634,11 +683,15 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     # any live lineage — release it too; otherwise inherit it (this
     # generation still recomputes through it).
     if ckpt:
-        dyn.close()
-        ckpt_pins = tuple(g_ckpt) + tuple(l_ckpt)
+        dyn._release_pins()
+        dyn.ckpt_cell.release(dyn.spark)
+        cell, gen = _CkptCell(rdd_ids=tuple(g_ckpt) + tuple(l_ckpt)), 0
     else:
         dyn._release_pins()
-        ckpt_pins = dyn.ckpt_pins
+        # same cut, new owner: a close() on the superseded handle must
+        # not destroy the checkpoint this generation recomputes through
+        cell = dyn.ckpt_cell
+        gen = cell.transfer()
     # fresh cal_cache: the cached groundtruth / pool / base counts were
     # computed against the PRE-mutation base — sharing the dict across
     # replace() would hand the auto-fallback and calibration stale
@@ -648,7 +701,8 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         tomb_ids=tomb,
         tomb_df=tomb_df_after,
         pins=(graph, layout),
-        ckpt_pins=ckpt_pins,
+        ckpt_cell=cell,
+        ckpt_gen=gen,
         gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 
@@ -694,7 +748,8 @@ def delete_entries(
             )
         return DynamicVamana(
             index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list))),
-            pins=dyn.pins, ckpt_pins=dyn.ckpt_pins,
+            pins=dyn.pins, ckpt_cell=dyn.ckpt_cell,
+            ckpt_gen=dyn.ckpt_cell.transfer(),
             gens_since_ckpt=dyn.gens_since_ckpt,
         )
     # large-wave path: all joins, zero driver materialization. The
@@ -719,7 +774,8 @@ def delete_entries(
     new_tomb = tomb.unionByName(ids).localCheckpoint(eager=True)
     return DynamicVamana(
         index=idx, tomb_ids=(), tomb_df=new_tomb,
-        pins=dyn.pins, ckpt_pins=dyn.ckpt_pins,
+        pins=dyn.pins, ckpt_cell=dyn.ckpt_cell,
+        ckpt_gen=dyn.ckpt_cell.transfer(),
         gens_since_ckpt=dyn.gens_since_ckpt,
     )
 
@@ -747,8 +803,12 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     each live node with deleted neighbors inherits their live neighbors
     and re-prunes — O(affected nodes), independent of shard size, via
     the same layout×graph cogroup as the insert path. Untouched shards
-    are reused verbatim; touched shards are known driver-side
-    (shard = id mod n_shards)."""
+    are reused verbatim. Touched shards: hash-sharded indexes derive
+    them driver-side (shard = id mod n_shards); ROUTED (kmeans-sharded)
+    indexes read them from the persisted layout — placement followed
+    the vector and closure replicas put one id in several shards, so
+    the layout is the authority and every replica's shard is repaired
+    (see the routed branch below)."""
     import numpy as np
 
     from scalablevectorsearch_spark.operators.vamana import (
@@ -865,17 +925,19 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
     # release the superseded generation's pins; a new lineage cut also
     # retires the previous cut (see add_points)
     if ckpt:
-        dyn.close()
-        ckpt_pins = tuple(g_ckpt) + tuple(l_ckpt)
+        dyn._release_pins()
+        dyn.ckpt_cell.release(dyn.spark)
+        cell, gen = _CkptCell(rdd_ids=tuple(g_ckpt) + tuple(l_ckpt)), 0
     else:
         dyn._release_pins()
-        ckpt_pins = dyn.ckpt_pins
+        cell = dyn.ckpt_cell
+        gen = cell.transfer()
     # fresh cal_cache (see add_points): cached counts/groundtruth
     # belong to the pre-consolidate base
     return DynamicVamana(
         index=replace(idx, base=base, graph=graph, layout=layout, cal_cache={}),
         tomb_ids=(),
-        pins=(graph, layout), ckpt_pins=ckpt_pins,
+        pins=(graph, layout), ckpt_cell=cell, ckpt_gen=gen,
         gens_since_ckpt=0 if ckpt else dyn.gens_since_ckpt + 1,
     )
 

@@ -59,6 +59,27 @@ def _table_schema(table_dir: str) -> dict[str, str]:
     return {name: str(sch.field(name).type) for name in sch.names}
 
 
+def _arrow_schema(df: DataFrame) -> dict[str, str]:
+    """Column -> arrow type string for a (not yet written) DataFrame —
+    the same vocabulary :func:`_table_schema` reads from footers, so
+    the two are directly comparable."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    sch = to_arrow_schema(df.schema)
+    return {name: str(sch.field(name).type) for name in sch.names}
+
+
+def _norm_schema(schema: dict[str, str]) -> dict[str, str]:
+    """Normalize arrow type spellings that differ between a live
+    ``to_arrow_schema`` conversion and a Spark-written parquet footer
+    (list element field naming, large vs plain offsets) — differences
+    that do NOT change what a reader gets back."""
+    return {
+        name: t.replace("large_", "").replace("item:", "element:")
+        for name, t in schema.items()
+    }
+
+
 def save_index(
     path: str,
     tables: dict[str, DataFrame],
@@ -78,8 +99,19 @@ def save_index(
     for name in skip:
         if name not in tables:
             raise ManifestError(f"precomputed table {name!r} not declared")
-        # must already exist on disk with readable footers
-        _table_schema(os.path.join(path, name))
+        # must already exist on disk with readable footers AND match
+        # the declared DataFrame's schema (r12, ADVICE r11): a stale or
+        # wrong pre-written table would otherwise be recorded verbatim
+        # into the manifest — load-time check_layout compares disk vs
+        # manifest, so it would trivially pass and the failure would
+        # surface as an opaque downstream job error
+        found = _table_schema(os.path.join(path, name))
+        declared = _arrow_schema(tables[name])
+        if _norm_schema(found) != _norm_schema(declared):
+            raise ManifestError(
+                f"precomputed table {name!r} on-disk schema {found} does "
+                f"not match the declared DataFrame schema {declared}"
+            )
     for name, df in tables.items():
         if name in skip:
             continue
