@@ -65,6 +65,48 @@ class VamanaParams:
     #: curve); 1 halves build cost for bulk tiers that buy recall with
     #: calibrated probe fan-out instead.
     build_passes: int = 2
+    #: r12 (VERDICT r11 task 5): search window for every pass EXCEPT
+    #: the last. The reference uses the full window in both passes
+    #: (index.h:428-429 passes the same parameters), but pass 1's only
+    #: job is a reasonable initial graph for pass 2's re-link — the
+    #: final graph quality is set by the LAST pass, which always runs
+    #: at ``window_size``. None = full window (reference parity — the
+    #: DEFAULT, and what tests/test_golden_curve.py gates).
+    #: Measured on the example_vamana golden fixture (10k x 128d,
+    #: degree 64, window 128; tools/pass1_window_ab.py): narrowing
+    #: pass 1 HOLDS every published curve point inside the example's
+    #: +-0.05 (w=64 and even w=32 measure marginally ABOVE the full
+    #: schedule at sws>=20) but saves little wall — 1%/7% at w=64/32 —
+    #: because this kernel's per-batch cost is the dense (chunk, n)
+    #: GEMM + lockstep prune, both window-independent; only the
+    #: search's heap work scales with the window. (The golden fixture
+    #: runs the lazy kernel — n=10k > LAZY_N — so the result covers
+    #: both regimes: the lockstep batch machinery, not per-visit
+    #: distance work, is the window-independent cost.) The knob stays
+    #: as documented negative evidence.
+    build_pass1_window: int | None = None
+    #: r12 (VERDICT r11 task 5, the variant that WORKS): fraction of
+    #: nodes the re-link passes (pass 2+) sweep, lowest local ids
+    #: first. Pass 2's value concentrates in the EARLY nodes — they
+    #: were linked against a mostly-empty graph; late nodes already
+    #: searched a near-complete graph in pass 1, so re-linking them
+    #: buys almost nothing. 1.0 = the reference's full re-sweep
+    #: (index.h:428-429). Measured on the example_vamana golden
+    #: fixture (tools/pass1_window_ab.py, 10k x 128d, degree 64,
+    #: window 128): with the r11 expanded-only tracker fix in place,
+    #: even build_passes=1 sits inside the example's +-0.05 of the
+    #: published curve, and "single-pass schedule + re-link the
+    #: earliest 30%" (this default) measures WITHIN 0.003 of the full
+    #: two-pass at sws 10/20 and ABOVE it at sws 30/40 —
+    #: 0.5326/0.7128/0.8091/0.8712 vs full's
+    #: 0.5355/0.7129/0.8068/0.8652, all inside the published epsilon —
+    #: at ~0.7x the build wall (pass-2 cost is linear in the swept
+    #: fraction). Set 1.0 for the reference's exact schedule. NOTE:
+    #: any frac < 1.0 switches pass 1's backedge prune to params.alpha
+    #: (single-pass semantics): with the reference's 1.0-alpha
+    #: scaffolding pass, the never-re-linked majority measured BELOW
+    #: the single-pass curve.
+    build_pass2_fraction: float = 0.3
 
     @property
     def prune_target(self) -> int:
@@ -879,16 +921,43 @@ def build_graph(
 
     passes = max(1, int(getattr(params, "build_passes", 2)))
     pass_alphas = [1.0] * (passes - 1) + [params.alpha]
-    for pass_alpha in pass_alphas:
+    frac0 = float(getattr(params, "build_pass2_fraction", 1.0))
+    if frac0 < 1.0:
+        # fractional re-link schedule: nodes OUTSIDE the re-linked
+        # fraction keep their pass-1 adjacency forever, so pass 1 must
+        # leave single-pass-at-alpha quality behind (backedge prune at
+        # params.alpha), not the reference two-pass's 1.0-alpha
+        # scaffolding — measured: 1.0-alpha scaffolding left the
+        # un-relinked 70% BELOW the single-pass curve
+        # (tools/pass1_window_ab.py two_pass_frac* vs single_pass)
+        pass_alphas = [params.alpha] * passes
+    # non-final passes may run a narrower search window (scaffolding
+    # pass — see VamanaParams.build_pass1_window); the LAST pass always
+    # runs the caller's full window, which sets final graph quality
+    p1w = getattr(params, "build_pass1_window", None)
+    # re-link passes may sweep only the earliest-linked fraction of
+    # nodes (build_pass2_fraction) — their reverse edges still reach
+    # every node, and the skipped late nodes keep their pass-1
+    # adjacency (searched against a near-complete graph already)
+    frac = float(getattr(params, "build_pass2_fraction", 1.0))
+    for pass_no, pass_alpha in enumerate(pass_alphas):
+        pass_params = params
+        if p1w is not None and pass_no < len(pass_alphas) - 1:
+            from dataclasses import replace as _dc_replace
+
+            pass_params = _dc_replace(params, window_size=int(p1w))
+        limit = n
+        if pass_no > 0 and frac < 1.0:
+            limit = min(n, max(1, int(np.ceil(n * frac))))
         for b in range(num_batches):
-            start, stop = b * batchsize, min(n, (b + 1) * batchsize)
+            start, stop = b * batchsize, min(limit, (b + 1) * batchsize)
             if start >= stop:
                 break
             # generate_neighbors: search + prune, updates applied after
             # the whole batch (batch-synchronous, vamana_build.h:469-476)
             _link_nodes(
                 X, graph, [entry], np.arange(start, stop, dtype=np.int64),
-                params, distance, x_sq, reverse_alpha=pass_alpha,
+                pass_params, distance, x_sq, reverse_alpha=pass_alpha,
             )
     return graph, entry
 

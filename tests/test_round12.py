@@ -62,6 +62,82 @@ def test_build_and_search_invariant_under_budget(small_budget):
     assert np.allclose(d_small, d_big)
 
 
+# ------------------------------------------ r11 task 5: pass-1 window knob
+
+
+def test_pass1_window_full_equals_default():
+    """build_pass1_window == window_size must produce the IDENTICAL
+    graph as the default (None): the knob only narrows non-final
+    passes, it must not perturb the reference-parity schedule."""
+    rng = np.random.default_rng(3)
+    X = rng.standard_normal((800, 16)).astype(np.float64)
+    p_none = vl.VamanaParams(graph_max_degree=16, window_size=40)
+    p_same = vl.VamanaParams(
+        graph_max_degree=16, window_size=40, build_pass1_window=40
+    )
+    g1, e1 = vl.build_graph(X, p_none)
+    g2, e2 = vl.build_graph(X, p_same)
+    assert e1 == e2
+    assert all(np.array_equal(a, b) for a, b in zip(g1, g2))
+
+
+def test_pass1_window_last_pass_runs_full_window():
+    """A narrowed pass 1 still yields a usable graph and the LAST pass
+    runs at the full window — recall at a small search window must stay
+    close to the full two-pass build (scaffolding, not quality, is what
+    pass 1 provides)."""
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((1500, 24)).astype(np.float64)
+    Q = X[:100]
+    gt = np.empty((100, 5), dtype=np.int64)
+    d = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d, axis=1, kind="stable")[:, :5]
+
+    def recall(params):
+        g, e = vl.build_graph(X, params)
+        ids, _ = vl.search_graph(X, g, e, Q, 5, 12)
+        return np.mean(
+            [len(np.intersect1d(ids[i], gt[i])) for i in range(100)]
+        ) / 5.0
+
+    r_full = recall(vl.VamanaParams(graph_max_degree=16, window_size=40))
+    r_half = recall(
+        vl.VamanaParams(graph_max_degree=16, window_size=40, build_pass1_window=20)
+    )
+    assert r_half >= r_full - 0.03, (r_half, r_full)
+
+
+def test_fractional_pass2_matches_full_two_pass():
+    """The default schedule (single-pass alphas + re-link the earliest
+    30%) must hold the full two-pass's recall on a small fixture: at
+    least single-pass quality by construction (pass 1 is bit-identical
+    to a single-pass build), and within a small tolerance of the full
+    reference schedule (golden-fixture evidence: tools/pass1_window_ab
+    measured it within 0.003 at small windows, above at large)."""
+    rng = np.random.RandomState(21)
+    X = rng.normal(size=(2000, 32))
+    Q = rng.normal(size=(200, 32))
+    d2 = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+    gt = np.argsort(d2, axis=1, kind="stable")[:, :10]
+
+    def recall(**extra):
+        p = vl.VamanaParams(
+            graph_max_degree=24, window_size=60,
+            use_full_search_history=True, **extra,
+        )
+        g, e = vl.build_graph(X, p)
+        ids, _ = vl.search_graph(X, g, e, Q, 10, 12)
+        return np.mean(
+            [len(np.intersect1d(ids[i], gt[i])) for i in range(200)]
+        ) / 10.0
+
+    r_single = recall(build_passes=1)
+    r_frac = recall()  # default: build_pass2_fraction=0.3
+    r_full = recall(build_pass2_fraction=1.0)
+    assert r_frac >= r_single - 1e-9, (r_frac, r_single)
+    assert r_frac >= r_full - 0.03, (r_frac, r_full)
+
+
 # --------------------------------------------- ADVICE r11: ckpt ownership
 
 
