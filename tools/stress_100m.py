@@ -204,7 +204,21 @@ if STAGE in ("gen", "all") and not os.path.exists(f"{out}/manifest.json"):
     )
     record("gen")
 
-data = spark.read.parquet(f"{out}/data")
+# the raw data table is stage-deleted at >=5e7 once the packed index
+# data is written (disk quota) — the SERVE stage (vamana_lvq_search)
+# must keep working without it: it reads only queries/groundtruth plus
+# the saved index. Stages that genuinely need the base fail with a
+# clear message instead of an AnalysisException at import time (the
+# r12 serve attempt died here before its stage even started).
+if os.path.exists(f"{out}/data"):
+    data = spark.read.parquet(f"{out}/data")
+elif STAGE in ("vamana_lvq_search",):
+    data = None
+else:
+    raise SystemExit(
+        f"{out}/data missing (stage-deleted); re-run the gen stage "
+        f"before '{STAGE}'"
+    )
 queries = spark.read.parquet(f"{out}/queries")
 gt = spark.read.parquet(f"{out}/groundtruth")
 gt_pairs = gt.select("qid", "neighbor_id").persist(StorageLevel.MEMORY_AND_DISK)
