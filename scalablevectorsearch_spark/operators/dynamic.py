@@ -413,6 +413,25 @@ def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> tuple[DataFrame, Da
     return pinned, ckpt_ids
 
 
+def _pin_pair(
+    graph_df: DataFrame, layout_df: DataFrame, checkpoint: bool
+) -> tuple[tuple, tuple]:
+    """Materialize a mutation's graph AND layout pins CONCURRENTLY —
+    the two persist+count jobs are independent, and Spark's scheduler
+    happily back-fills one job's straggler tail with the other's tasks
+    (r12 optimization round, guide §2.6 "overlap independent jobs");
+    sequential pins paid two full job latencies per mutation. The
+    lineage-cut path stays correct under concurrency: _local_ckpt is
+    lock-guarded, so the two eager checkpoint cuts serialize while the
+    (dominant) shuffle+persist+count work overlaps."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fg = pool.submit(_pin_by_shard, graph_df, checkpoint)
+        fl = pool.submit(_pin_by_shard, layout_df, checkpoint)
+        return fg.result(), fl.result()
+
+
 def _persistent_rdd_ids(spark) -> set:
     jsc = spark.sparkContext._jsc.sc()
     out, it = set(), jsc.getPersistentRDDs().iterator()
@@ -665,11 +684,8 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     )
     # plan-growth guard: cut lineage only every _CKPT_EVERY-th mutation
     ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
-    graph, g_ckpt = _pin_by_shard(
+    (graph, g_ckpt), (layout, l_ckpt) = _pin_pair(
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked),
-        checkpoint=ckpt,
-    )
-    layout, l_ckpt = _pin_by_shard(
         _without_ids(idx.layout, "__id", revived).unionByName(
             new_layout.select("shard_id", "__id", "__vec")
         ),
@@ -911,17 +927,17 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         .applyInPandas(repair_fn, GRAPH_SCHEMA)
     )
     ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
-    graph, g_ckpt = _pin_by_shard(
-        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired),
-        checkpoint=ckpt,
-    )
     if large:
         new_layout = idx.layout.join(
             dyn.tomb_df.withColumnRenamed("id", "__id"), "__id", "left_anti"
         )
     else:
         new_layout = _without_ids(idx.layout, "__id", dyn.tomb_ids)
-    layout, l_ckpt = _pin_by_shard(new_layout, checkpoint=ckpt)
+    (graph, g_ckpt), (layout, l_ckpt) = _pin_pair(
+        idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired),
+        new_layout,
+        checkpoint=ckpt,
+    )
     # release the superseded generation's pins; a new lineage cut also
     # retires the previous cut (see add_points)
     if ckpt:

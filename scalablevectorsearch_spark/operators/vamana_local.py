@@ -889,6 +889,145 @@ def _link_nodes(
                     graph[dst] = adj
 
 
+#: geometric batch-ramp bounds (r12 optimization round, guide §1.2
+#: "per-task work"): the batch-synchronous build splits each pass into
+#: frozen-graph rounds. The pre-r12 schedule was a FIXED 40 rounds
+#: (ceil(n/4096) above 164k rows) — at routed-cell shard sizes
+#: (250-500 rows) that means 7-13-node rounds whose lockstep kernels
+#: are pure numpy-dispatch overhead: measured 0.81s -> 0.44s at n=250
+#: and 1.75s -> 0.97s at n=500 (tools/batch_schedule_ab.py). The ramp
+#: doubles from BUILD_BATCH_MIN (early rounds stay small — CLOSER to
+#: the reference's strictly sequential insert order than fixed-40 was,
+#: since the opening rounds see the emptiest graph) up to a cap that
+#: reproduces the old steady state at scale: max(256, min(4096,
+#: ceil(n/40))) — at n=10k the cap is 256 vs fixed-40's 250-node
+#: rounds, at n>=164k both schedules run ~n/4096 rounds of 4096.
+#: Quality gate: the example_vamana golden curve measures
+#: 0.5322/0.7169/0.8115/0.8721 under the ramp vs 0.5326/0.7128/
+#: 0.8091/0.8712 under fixed-40 — equal-or-better at every window,
+#: inside the example's ±0.05 (tools/batch_schedule_ab.py evidence
+#: row in BENCH_HISTORY; tests/test_golden_curve.py still gates it).
+BUILD_BATCH_MIN = 8
+BUILD_BATCH_CAP = 256
+
+
+def _build_batch_bounds(n: int) -> list[int]:
+    """Start offsets of the construction's frozen-graph rounds: sizes
+    double from BUILD_BATCH_MIN to max(BUILD_BATCH_CAP, min(4096,
+    ceil(n/40))) — few rounds for small shards, the pre-r12 steady
+    state (~40 rounds, 4096-node cap) for large ones. The small opening
+    rounds matter beyond quality: round sizes past the entry point's
+    degree concentrate backedges on the young graph's few nodes and the
+    overflow re-prune can orphan a node (no remaining in-edge) — a
+    32-node opening round measurably disconnects 1-2 nodes per few
+    hundred builds, which the exhaustive-window gates would surface as
+    missing exact-kNN rows. The ramp keeps opening rounds tiny AND
+    :func:`_repair_reachability` guarantees the invariant regardless."""
+    cap = max(BUILD_BATCH_CAP, min(4096, -(-n // 40)))
+    bounds = [0]
+    s = min(BUILD_BATCH_MIN, n)
+    while bounds[-1] + s < n:
+        bounds.append(bounds[-1] + int(s))
+        s = min(s * 2, cap)
+    return bounds
+
+
+def _reachable_mask(graph: list[np.ndarray], entry: int) -> np.ndarray:
+    """(n,) bool: reachable from ``entry`` — vectorized frontier BFS
+    over the padded adjacency (O(E) gathers)."""
+    n = len(graph)
+    NB, _ = _pad_graph(graph)
+    seen = np.zeros(n, dtype=bool)
+    frontier = np.asarray([entry], dtype=np.int64)
+    seen[frontier] = True
+    while len(frontier):
+        nxt = NB[frontier].reshape(-1)
+        nxt = nxt[nxt >= 0]
+        nxt = nxt[~seen[nxt]]
+        if not len(nxt):
+            break
+        nxt = np.unique(nxt)
+        seen[nxt] = True
+        frontier = nxt
+    return seen
+
+
+def _repair_reachability(
+    X: np.ndarray,
+    graph: list[np.ndarray],
+    entry: int,
+    params: VamanaParams,
+    distance: str,
+    x_sq: np.ndarray,
+) -> None:
+    """Deterministic connectivity repair: any node unreachable from the
+    entry point is re-linked (its backedges restore in-edges); a node
+    still orphaned after the re-link rounds is attached under its
+    nearest reachable node, replacing that node's worst edge when full
+    (only an edge whose target keeps another in-edge, so the repair
+    never orphans a third node). No-op on a connected graph.
+
+    Vamana's backedge overflow prune can drop a node's LAST in-edge —
+    the reference has the same exposure (prune.h keeps no in-degree
+    invariant) and merely makes it unlikely via its strictly sequential
+    insert order; the batch ramp makes it a measured 1-in-a-few-hundred
+    event, and the engine's exhaustive-window searches (= exact k-NN
+    oracles) require every node reachable, so the invariant is enforced
+    here rather than left to schedule luck."""
+    deg = params.graph_max_degree
+    for _ in range(3):
+        seen = _reachable_mask(graph, entry)
+        orphans = np.nonzero(~seen)[0]
+        if not len(orphans):
+            return
+        _link_nodes(
+            X, graph, [entry], orphans.astype(np.int64), params, distance, x_sq
+        )
+    seen = _reachable_mask(graph, entry)
+    orphans = np.nonzero(~seen)[0]
+    if not len(orphans):
+        return
+    # in-degree over the current adjacency (pre-repair; each attach below
+    # only ever ADDS an in-edge to its orphan and removes one from a
+    # target we verified keeps >= 2)
+    n = len(graph)
+    indeg = np.zeros(n, dtype=np.int64)
+    for adj in graph:
+        if len(adj):
+            np.add.at(indeg, adj, 1)
+    for u in orphans.tolist():
+        reached = np.nonzero(seen)[0]
+        d = _dists(X, X[u], reached, distance)
+        order = np.lexsort((reached, d))
+        attached = False
+        for ri in order:
+            r = int(reached[ri])
+            adj = graph[r]
+            if u in adj:
+                continue
+            if len(adj) < deg:
+                graph[r] = np.concatenate([adj, np.asarray([u], dtype=np.int64)])
+                attached = True
+            else:
+                # replace r's worst edge whose target keeps another
+                # in-edge (worst by (distance desc, id desc))
+                ad = _dists(X, X[r], adj, distance)
+                worst = np.lexsort((-adj, -ad))
+                for wi in worst:
+                    tgt = int(adj[wi])
+                    if indeg[tgt] >= 2:
+                        indeg[tgt] -= 1
+                        new_adj = adj.copy()
+                        new_adj[wi] = u
+                        graph[r] = new_adj
+                        attached = True
+                        break
+            if attached:
+                indeg[u] += 1
+                seen[u] = True
+                break
+
+
 def build_graph(
     X: np.ndarray,
     params: VamanaParams,
@@ -915,8 +1054,7 @@ def build_graph(
     n = X.shape[0]
     entry = medioid(X)
     graph: list[np.ndarray] = [np.empty(0, dtype=np.int64) for _ in range(n)]
-    num_batches = min(n, max(40, -(-n // (64 * 64))))
-    batchsize = -(-n // num_batches)
+    bounds = _build_batch_bounds(n)
     x_sq = np.einsum("ij,ij->i", X, X)  # shared across every node's search
 
     passes = max(1, int(getattr(params, "build_passes", 2)))
@@ -949,8 +1087,8 @@ def build_graph(
         limit = n
         if pass_no > 0 and frac < 1.0:
             limit = min(n, max(1, int(np.ceil(n * frac))))
-        for b in range(num_batches):
-            start, stop = b * batchsize, min(limit, (b + 1) * batchsize)
+        for b, start in enumerate(bounds):
+            stop = min(limit, bounds[b + 1] if b + 1 < len(bounds) else n)
             if start >= stop:
                 break
             # generate_neighbors: search + prune, updates applied after
@@ -959,6 +1097,10 @@ def build_graph(
                 X, graph, [entry], np.arange(start, stop, dtype=np.int64),
                 pass_params, distance, x_sq, reverse_alpha=pass_alpha,
             )
+    # every node must stay reachable from the entry point (the
+    # exhaustive-window searches are exact-kNN oracles) — enforced, not
+    # left to the batch schedule (see _repair_reachability)
+    _repair_reachability(X, graph, entry, params, distance, x_sq)
     return graph, entry
 
 

@@ -79,17 +79,29 @@ def test_two_pass_build_improves_small_window_recall():
     )
     gt = np.argsort(d2, axis=1, kind="stable")[:, :K]
 
-    def curve(passes):
-        params = VamanaParams(
+    def curve(passes, frac=None):
+        kw = dict(
             graph_max_degree=24, window_size=60, use_full_search_history=True,
             build_passes=passes,
         )
+        if frac is not None:
+            kw["build_pass2_fraction"] = frac
+        params = VamanaParams(**kw)
         graph, entry = build_graph(X, params)
         ids, _ = batch_greedy_search(X, graph, [entry], Q, 10)
         return sum(
             len(set(ids[q][:K].tolist()) & set(gt[q].tolist())) for q in range(NQ)
         ) / (NQ * K)
 
-    r1, r2 = curve(1), curve(2)
-    assert r2 >= r1  # the second pass can only have bought quality
-    assert r2 >= 0.5  # sanity floor at these parameters (measured ~0.6+)
+    # the reference property (index.h:428-429) is about the FULL
+    # re-link schedule: construct(1.0); construct(alpha) can only buy
+    # quality. The fractional default (build_pass2_fraction=0.3)
+    # guarantees golden-curve epsilon, not strict dominance — at this
+    # small fixture it sits within ±0.01 of single-pass either side
+    # depending on the batch schedule, so the strict assert pins the
+    # full schedule and the default schedule keeps a floor.
+    r1, r2_full = curve(1), curve(2, 1.0)
+    assert r2_full >= r1  # the full second pass can only have bought quality
+    r2_default = curve(2)
+    assert r2_default >= r1 - 0.02  # fractional re-link stays at single-pass quality
+    assert r2_default >= 0.5  # sanity floor at these parameters (measured ~0.7+)
