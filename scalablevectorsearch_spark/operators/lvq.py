@@ -282,6 +282,63 @@ def lvq_decoder(params: LVQParams):
     return decode
 
 
+def _packed_width(params: LVQParams, bits: int) -> int:
+    """Stored bytes per vector at ``bits`` (4-bit packs two per byte)."""
+    return params.dims if bits == 8 else -(-params.dims // 2)
+
+
+def lvq_packed2_col(params: LVQParams, prefix: str = "lvq_") -> Column:
+    """Two-level analog of :func:`lvq_packed_col`: one flat DOUBLE array
+    ``[lo, step, byte_0..byte_w1, rbyte_0..rbyte_w2]`` carrying primary
+    AND residual codes still packed — the re-rank scan then reads raw
+    storage and :func:`lvq_decoder2` reconstructs vectorized inside the
+    kernel instead of Catalyst evaluating the nested unpack/zip_with
+    expression chain per joined row (r12: the level-2 chain was both
+    the rerank stage's per-row cost and, freshly planned, a visible
+    analysis/codegen cost)."""
+    return F.concat(
+        F.array(F.col(f"{prefix}lo"), F.col(f"{prefix}step")),
+        F.transform(F.col(f"{prefix}codes"), lambda b: b.cast("double")),
+        F.transform(F.col(f"{prefix}rcodes"), lambda b: b.cast("double")),
+    )
+
+
+def _unpack_np(body: np.ndarray, bits: int, dims: int) -> np.ndarray:
+    """Vectorized :func:`_unpack` (elementwise-identical): packed bytes
+    (still centered at -128) -> integral double codes 0..2^bits-1."""
+    if bits == 8:
+        return body + 128.0
+    ub = body + 128.0
+    hi = np.floor(ub / 16.0)
+    lo_nib = ub - 16.0 * hi  # == pmod(ub, 16) exactly for ub >= 0
+    C = np.empty((body.shape[0], body.shape[1] * 2), dtype=np.float64)
+    C[:, 0::2] = hi
+    C[:, 1::2] = lo_nib
+    return C[:, :dims]
+
+
+def lvq_decoder2(params: LVQParams):
+    """Vectorized two-level decoder for :func:`lvq_packed2_col` rows —
+    elementwise-identical to :func:`lvq_decompress` level 2:
+    recon1 = (mu + lo) + step*c1; recon2 = recon1 + (step2*c2 - step/2)
+    with step2 = step/levels2, every op in the same order."""
+    if not params.residual_bits:
+        raise ValueError("lvq_decoder2 requires residual_bits > 0")
+    mu = np.asarray(params.mean, dtype=np.float64)
+    w1 = _packed_width(params, params.primary_bits)
+    levels2 = float(params.levels2)
+
+    def decode(M: np.ndarray) -> np.ndarray:
+        lo, step = M[:, 0], M[:, 1]
+        c1 = _unpack_np(M[:, 2 : 2 + w1], params.primary_bits, params.dims)
+        c2 = _unpack_np(M[:, 2 + w1 :], params.residual_bits, params.dims)
+        recon = (mu + lo[:, None]) + step[:, None] * c1
+        step2 = step / levels2
+        return recon + (step2[:, None] * c2 - step[:, None] / 2.0)
+
+    return decode
+
+
 def lvq_knn(
     base: DataFrame,
     queries: DataFrame,
@@ -332,10 +389,46 @@ def lvq_knn(
     cands = flat_knn(
         packed, q, k=k_reorder, distance=distance, round_to=round_to, decode=dec
     )
-    recon2 = lvq_decompress(comp, params, out_col="__rv", level=2).select(
-        F.col(id_col).cast("long").alias("neighbor_id"), F.col("__rv").alias("__bv")
+    recon2 = comp.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        lvq_packed2_col(params).alias("__bv"),
     )
-    return _rerank_reconstruction(cands, recon2, q, k, distance, round_to)
+    return _rerank_reconstruction(
+        cands, recon2, q, k, distance, round_to, decode=lvq_decoder2(params)
+    )
+
+
+def _fold_distances(Q: np.ndarray, B: np.ndarray, distance: str) -> np.ndarray:
+    """Row-wise distance of ``Q[i]`` to ``B[i]`` with the EXACT
+    accumulation order of the Catalyst/DuckDB sequential fold
+    (distances.distance_expr: acc = 0.0; acc = acc + f(x_i, y_i) over
+    dims in order): vectorized across ROWS, sequential across DIMS, so
+    every emitted double is bit-identical to the expression fold the
+    oracles replay — the rerank could not be moved off Catalyst
+    otherwise (a GEMM-shaped kernel differs in last-ulp accumulation)."""
+    n, d = Q.shape
+    if distance == "l2":
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(d):
+            diff = Q[:, i] - B[:, i]
+            acc = acc + diff * diff
+        return acc
+    if distance == "ip":
+        acc = np.zeros(n, dtype=np.float64)
+        for i in range(d):
+            acc = acc + Q[:, i] * B[:, i]
+        return acc
+    if distance == "cosine":
+        num = np.zeros(n, dtype=np.float64)
+        qq = np.zeros(n, dtype=np.float64)
+        bb = np.zeros(n, dtype=np.float64)
+        for i in range(d):
+            x, y = Q[:, i], B[:, i]
+            num = num + x * y
+            qq = qq + x * x
+            bb = bb + y * y
+        return num / (np.sqrt(qq) * np.sqrt(bb))
+    raise ValueError(f"unknown distance {distance!r}")
 
 
 def _rerank_reconstruction(
@@ -345,30 +438,91 @@ def _rerank_reconstruction(
     k: int,
     distance: str,
     round_to: int | None,
+    decode=None,
 ) -> DataFrame:
     """Re-rank a (qid, neighbor_id) candidate set against a
     reconstruction table: broadcast the Q x k_reorder pair set against
-    the reconstruction scan, recompute the distance as a Catalyst
-    fold, final per-query top-k. No Python row path; the base is
-    scanned once, filtered by the broadcast side."""
-    from scalablevectorsearch_spark.functions.distances import distance_expr
+    the reconstruction scan (the base is scanned once, filtered by the
+    broadcast side — the 100 TB shape), then recompute distances in a
+    vectorized Arrow kernel whose fold order is bit-identical to the
+    Catalyst/DuckDB expression fold (:func:`_fold_distances`), and take
+    the final per-query top-k.
+
+    r12 optimization round (guide §4.2): the previous implementation
+    evaluated the distance as a Catalyst zip_with+aggregate fold after
+    a SECOND broadcast join shipping the query vectors — measured 0.88s
+    in ONE task for 50k pairs x 64 dims (higher-order-function eval is
+    ~per-element interpreted). The kernel path ships the query batch
+    via sc.broadcast like every scan kernel (flat/ivf), drops the
+    second join, and pays numpy-vector cost instead; emitted doubles
+    are unchanged.
+
+    ``decode``: optional vectorized storage decoder applied to the
+    recon rows ((n, w) storage -> (n, d) vectors, elementwise-identical
+    to the Catalyst reconstruction it replaces) — lets the scan read
+    PACKED codes instead of evaluating the decompress expression chain
+    per joined row."""
+    import pyarrow as pa
+
     from scalablevectorsearch_spark.operators.topk import topk_per_group
 
     pairs = cands.select("qid", "neighbor_id")
-    joined = recon.join(F.broadcast(pairs), "neighbor_id").join(
-        F.broadcast(q.select("qid", F.col("vector").alias("__qv"))), "qid"
+    joined = recon.join(F.broadcast(pairs), "neighbor_id").select(
+        "qid", "neighbor_id", "__bv"
     )
-    d = distance_expr(F.col("__qv"), F.col("__bv"), distance)
-    if round_to is not None:
-        s = float(10**round_to)
-        d = F.floor(d * F.lit(s) + F.lit(0.5)) / F.lit(s)
-    exact = joined.select("qid", "neighbor_id", d.alias("distance"))
+    qp = q.select(
+        F.col("qid").cast("long").alias("qid"), F.col("vector").alias("qv")
+    ).toPandas()
+    qids = qp["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    sc = recon.sparkSession.sparkContext
+    bc = sc.broadcast((qids, Q))
+    scale = None if round_to is None else float(10**round_to)
+    maximize = is_similarity(distance)
+
+    def fn(batches):
+        bqids, bQ = bc.value
+        pos = {int(x): i for i, x in enumerate(bqids)}
+        d_dim = bQ.shape[1]
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            names = rb.schema.names
+            rqid = rb.column(names.index("qid")).to_numpy(zero_copy_only=False)
+            rnid = rb.column(names.index("neighbor_id")).to_numpy(
+                zero_copy_only=False
+            )
+            vec = rb.column(names.index("__bv"))
+            flat = vec.flatten().to_numpy(zero_copy_only=False)
+            w = len(flat) // n
+            B = flat.reshape(n, w).astype(np.float64, copy=False)
+            if decode is not None:
+                B = decode(B)
+            if B.shape[1] != d_dim:
+                raise ValueError(
+                    f"reconstruction width {B.shape[1]} != query dim {d_dim}"
+                )
+            qi = np.asarray([pos[int(x)] for x in rqid], dtype=np.int64)
+            dist = _fold_distances(bQ[qi], B, distance)
+            if scale is not None:
+                dist = np.floor(dist * scale + 0.5) / scale
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(rqid.astype(np.int64), type=pa.int64()),
+                    pa.array(rnid.astype(np.int64), type=pa.int64()),
+                    pa.array(dist, type=pa.float64()),
+                ],
+                names=["qid", "neighbor_id", "distance"],
+            )
+
+    exact = joined.mapInArrow(fn, "qid long, neighbor_id long, distance double")
     return topk_per_group(
         exact,
         group_col="qid",
         order_col="distance",
         k=k,
-        ascending=not is_similarity(distance),
+        ascending=not maximize,
         tie_col="neighbor_id",
     )
 
@@ -480,9 +634,11 @@ def lvq_vamana_search(
         raise ValueError("k_reorder requires residual_bits > 0")
     if compressed is None:
         raise ValueError("k_reorder requires the compressed storage table")
-    recon2 = lvq_decompress(compressed, params, out_col="__rv", level=2).select(
+    recon2 = compressed.select(
         F.col(index.id_col).cast("long").alias("neighbor_id"),
-        F.col("__rv").alias("__bv"),
+        lvq_packed2_col(params).alias("__bv"),
     )
     qv = q.select("qid", F.col(index.vec_col).alias("vector"))
-    return _rerank_reconstruction(res, recon2, qv, k, index.distance, round_to)
+    return _rerank_reconstruction(
+        res, recon2, qv, k, index.distance, round_to, decode=lvq_decoder2(params)
+    )
