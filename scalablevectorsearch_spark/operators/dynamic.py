@@ -566,25 +566,27 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     if dyn.tomb_df is not None:
         # large-wave tombstones: revived = tomb ∩ batch (bounded by the
         # broadcast-sized batch, so the collect is small even though the
-        # tombstone set is not), collision check is join-only
+        # tombstone set is not), collision check is join-only. The two
+        # validation actions are independent reads — run them
+        # concurrently (guide §2.6) instead of paying two sequential
+        # job latencies per mutation.
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = new_rows.sparkSession
         batch_ids = spark.createDataFrame(
             [(int(i),) for i in sorted(new_ids)], "id long"
         )
-        revived = tuple(
-            sorted(
-                r[0]
-                for r in dyn.tomb_df.join(
-                    F.broadcast(batch_ids), "id", "left_semi"
-                ).collect()
-            )
-        )
-        n_dup = (
+        revived_df = dyn.tomb_df.join(F.broadcast(batch_ids), "id", "left_semi")
+        dup_df = (
             idx.base.select(F.col(id_col).cast("long").alias("id"))
             .join(F.broadcast(batch_ids), "id", "left_semi")
             .join(dyn.tomb_df, "id", "left_anti")
-            .count()
         )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_rev = pool.submit(revived_df.collect)
+            f_dup = pool.submit(dup_df.count)
+            revived = tuple(sorted(r[0] for r in f_rev.result()))
+            n_dup = f_dup.result()
         if n_dup:
             raise ValueError(f"{n_dup} ids already exist in the index")
         tomb = ()
@@ -747,9 +749,15 @@ def delete_entries(
         )
     idx = dyn.index
     ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
-    n_new = ids.count()
-    if dyn.tomb_df is None and len(dyn.tomb_ids) + n_new <= max_driver_ids:
-        id_list = sorted({r[0] for r in ids.collect()})
+    # probe-collect instead of count-then-collect (one job, not two):
+    # pull at most one row past the driver budget — enough to decide
+    # the path, and the driver never holds more than budget+1 ids
+    probe = None
+    if dyn.tomb_df is None:
+        budget = max(0, max_driver_ids - len(dyn.tomb_ids))
+        probe = ids.limit(budget + 1).collect()
+    if probe is not None and len(dyn.tomb_ids) + len(probe) <= max_driver_ids:
+        id_list = sorted({r[0] for r in probe})
         already = [i for i in id_list if i in set(dyn.tomb_ids)]
         if already:
             raise ValueError(f"{len(already)} ids are unknown or already deleted")
@@ -771,6 +779,7 @@ def delete_entries(
     # large-wave path: all joins, zero driver materialization. The
     # existence check shuffles only the id column of the (pruned) base
     # scan — unavoidable when the wave itself exceeds broadcast size.
+    n_new = ids.count()
     tomb = dyn.tombstones
     already = ids.join(tomb, "id", "left_semi").count()
     if already:

@@ -266,10 +266,14 @@ def main() -> int:
     p = plan_of(leanvec_knn(base, queries, model, k=5, k_reorder=15))
     n_arrow = len(re.findall(r"MapInArrow|PythonMapInArrow|ArrowEvalPython", p))
     check(
-        # data + query projections, each appearing in the candidate
-        # subtree and the rerank subtree -> up to 4 bounded stages
+        # data + query projections (each appearing in the candidate
+        # subtree and the rerank subtree), the flat-scan kernel, and —
+        # r12 — the rerank fold kernel (the Catalyst zip_with+aggregate
+        # rerank moved into a MapInArrow whose fold order matches the
+        # oracle bit-for-bit; one additional BOUNDED Python stage by
+        # design) -> up to 6 bounded stages
         "leanvec: projection is Arrow-batched (bounded Python stages)",
-        0 < n_arrow <= 4,
+        0 < n_arrow <= 6,
         f"{n_arrow} arrow stages",
     )
     check(
