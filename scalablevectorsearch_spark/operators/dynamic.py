@@ -367,7 +367,9 @@ def dynamic_vamana(index: VamanaIndex) -> DynamicVamana:
 _CKPT_EVERY = 4
 
 
-def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> tuple[DataFrame, DataFrame | None]:
+def _pin_by_shard(
+    df: DataFrame, checkpoint: bool = True, n_keys: int | None = None
+) -> tuple[DataFrame, DataFrame | None]:
     """Materialize a mutated graph/layout hash-partitioned on shard_id
     — the Spark analog of the reference's in-place
     ``graph_.replace_node``: without it every downstream search re-runs
@@ -404,7 +406,7 @@ def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> tuple[DataFrame, Da
     ckpt_ids: tuple = ()
     if checkpoint:
         df, ckpt_ids = _local_ckpt(df)
-    pinned = _by_shard(df).persist()
+    pinned = _by_shard(df, n_keys=n_keys).persist()
     pinned.count()
     # the localCheckpoint registers its OWN persisted RDD, which
     # unpersisting `pinned` does not release — the caller tracks the
@@ -414,7 +416,8 @@ def _pin_by_shard(df: DataFrame, checkpoint: bool = True) -> tuple[DataFrame, Da
 
 
 def _pin_pair(
-    graph_df: DataFrame, layout_df: DataFrame, checkpoint: bool
+    graph_df: DataFrame, layout_df: DataFrame, checkpoint: bool,
+    n_keys: int | None = None,
 ) -> tuple[tuple, tuple]:
     """Materialize a mutation's graph AND layout pins CONCURRENTLY —
     the two persist+count jobs are independent, and Spark's scheduler
@@ -427,8 +430,8 @@ def _pin_pair(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        fg = pool.submit(_pin_by_shard, graph_df, checkpoint)
-        fl = pool.submit(_pin_by_shard, layout_df, checkpoint)
+        fg = pool.submit(_pin_by_shard, graph_df, checkpoint, n_keys)
+        fl = pool.submit(_pin_by_shard, layout_df, checkpoint, n_keys)
         return fg.result(), fl.result()
 
 
@@ -679,9 +682,9 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         )
 
     linked = (
-        _by_shard(vside)
+        _by_shard(vside, n_keys=idx.n_shards)
         .groupBy("shard_id")
-        .cogroup(_by_shard(gside).groupBy("shard_id"))
+        .cogroup(_by_shard(gside, n_keys=idx.n_shards).groupBy("shard_id"))
         .applyInPandas(link_fn, GRAPH_SCHEMA)
     )
     # plan-growth guard: cut lineage only every _CKPT_EVERY-th mutation
@@ -692,6 +695,7 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
             new_layout.select("shard_id", "__id", "__vec")
         ),
         checkpoint=ckpt,
+        n_keys=idx.n_shards,
     )
     # the new generation is materialized — release the superseded
     # generation's persisted blocks (the CacheManager never reclaims
@@ -930,9 +934,9 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         ).withColumn("__del", F.coalesce(F.col("__del"), F.lit(False)))
     gside = idx.graph.filter(F.col("shard_id").isin(touched))
     repaired = (
-        _by_shard(vside)
+        _by_shard(vside, n_keys=idx.n_shards)
         .groupBy("shard_id")
-        .cogroup(_by_shard(gside).groupBy("shard_id"))
+        .cogroup(_by_shard(gside, n_keys=idx.n_shards).groupBy("shard_id"))
         .applyInPandas(repair_fn, GRAPH_SCHEMA)
     )
     ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
@@ -946,6 +950,7 @@ def consolidate(dyn: DynamicVamana) -> DynamicVamana:
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(repaired),
         new_layout,
         checkpoint=ckpt,
+        n_keys=idx.n_shards,
     )
     # release the superseded generation's pins; a new lineage cut also
     # retires the previous cut (see add_points)
@@ -1066,7 +1071,8 @@ def compact_index(index: VamanaIndex) -> tuple[VamanaIndex, DataFrame]:
     if index.layout is not None:
         new_layout = _by_shard(
             index.layout.join(mapping, index.layout["__id"] == mapping["old_id"])
-            .select("shard_id", F.col("new_id").alias("__id"), "__vec")
+            .select("shard_id", F.col("new_id").alias("__id"), "__vec"),
+            n_keys=index.n_shards,
         ).persist(StorageLevel.MEMORY_AND_DISK)
     return (
         replace(

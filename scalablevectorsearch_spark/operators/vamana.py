@@ -108,7 +108,70 @@ def _decode_adjacency(
     return graph, entry
 
 
-def _by_shard(df: DataFrame) -> DataFrame:
+def _murmur3_fmix(h: int, length: int) -> int:
+    h ^= length
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    return h ^ (h >> 16)
+
+
+def _murmur3_mixk1(k: int) -> int:
+    k = (k * 0xCC9E2D51) & 0xFFFFFFFF
+    k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+    return (k * 0x1B873593) & 0xFFFFFFFF
+
+
+def _murmur3_mixh1(h: int, k: int) -> int:
+    h ^= k
+    h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+    return (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+
+
+def _spark_hash(x: int, is_long: bool, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of an INT/BIGINT value (seed 42) — verified
+    equal to ``F.hash`` for both types. Driver-side replica so the
+    shard partition count can be chosen WITHOUT running a job."""
+    if is_long:
+        h = _murmur3_mixh1(seed, _murmur3_mixk1(x & 0xFFFFFFFF))
+        h = _murmur3_mixh1(h, _murmur3_mixk1((x >> 32) & 0xFFFFFFFF))
+        h = _murmur3_fmix(h, 8)
+    else:
+        h = _murmur3_fmix(_murmur3_mixh1(seed, _murmur3_mixk1(x & 0xFFFFFFFF)), 4)
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _collision_free_partitions(n_keys: int, sp: int, is_long: bool) -> int:
+    """Smallest N in [sp, 4*sp] for which hashpartitioning maps the
+    dense shard-id range 0..n_keys-1 injectively (pmod(murmur3(id), N)
+    all distinct); falls back to sp when none exists or n_keys > sp.
+
+    Why (r12 optimization round, guide §2.5 skew): with K shard groups
+    hashed into sp partitions, two groups share a reduce partition with
+    probability 1 - prod(1 - i/sp) — ~60% at K=8/sp=32 — and the two
+    per-shard kernels then run SEQUENTIALLY in one task, doubling the
+    stage wall. The shard ids are dense ints, so a driver-side scan of
+    the exact hash function finds a nearby N with zero collisions (e.g.
+    33 for K=8). Identical results either way — only task placement
+    changes."""
+    if n_keys > sp:
+        return sp
+    for n in range(sp, 4 * sp + 1):
+        bins: set[int] = set()
+        ok = True
+        for i in range(n_keys):
+            b = _spark_hash(i, is_long) % n
+            if b in bins:
+                ok = False
+                break
+            bins.add(b)
+        if ok:
+            return n
+    return sp
+
+
+def _by_shard(df: DataFrame, n_keys: int | None = None) -> DataFrame:
     """Explicit hash repartition on shard_id ahead of a per-shard
     kernel. AQE coalesces shuffles by BYTES, and a shard's graph
     build/search is compute-heavy but byte-light — left to AQE, every
@@ -117,9 +180,15 @@ def _by_shard(df: DataFrame) -> DataFrame:
     coalescing, and the downstream groupBy/cogroup reuses the exchange
     (hashpartitioning(shard_id, N) satisfies its distribution), so the
     per-shard tasks actually run in parallel. N = shuffle.partitions,
-    the cluster-sized knob."""
+    the cluster-sized knob — nudged to the nearest collision-free count
+    when the caller passes the (small) shard-id key count
+    (see _collision_free_partitions)."""
     sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(sp, "shard_id")
+    n = sp
+    if n_keys is not None and n_keys > 0:
+        is_long = dict(df.dtypes).get("shard_id") == "bigint"
+        n = _collision_free_partitions(int(n_keys), sp, is_long)
+    return df.repartition(n, "shard_id")
 
 
 @dataclass
@@ -367,7 +436,8 @@ def vamana_build(
             "shard_id",
             F.col(id_col).cast("long").alias("__id"),
             F.col(vec_col).alias("__vec"),
-        )
+        ),
+        n_keys=n_shards,
     ).persist(layout_storage or StorageLevel.MEMORY_AND_DISK)
     graph = layout.groupBy("shard_id").applyInPandas(build_fn, GRAPH_SCHEMA)
     return VamanaIndex(
@@ -481,11 +551,14 @@ def closure_link_replicas(index: VamanaIndex, closure_bp: int) -> VamanaIndex:
             "shard_id",
             F.col(index.id_col).cast("long").alias("__id"),
             F.col(index.vec_col).alias("__vec"),
-        )
+        ),
+        n_keys=index.n_shards,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     graph = (
         layout.groupBy("shard_id")
-        .cogroup(_by_shard(index.graph).groupBy("shard_id"))
+        .cogroup(
+            _by_shard(index.graph, n_keys=index.n_shards).groupBy("shard_id")
+        )
         .applyInPandas(link_fn, GRAPH_SCHEMA)
     )
     return VamanaIndex(
@@ -1017,7 +1090,8 @@ def _filtered_scan(index: VamanaIndex, where) -> DataFrame:
             F.col(index.id_col).cast("long").alias("__id"),
             F.col(index.vec_col).alias("__vec"),
             w.cast("boolean").alias("__keep"),
-        )
+        ),
+        n_keys=index.n_shards,
     )
 
 
@@ -1202,7 +1276,8 @@ def _vamana_search_block(
                 "shard_id",
                 F.col(index.id_col).cast("long").alias("__id"),
                 F.col(index.vec_col).alias("__vec"),
-            )
+            ),
+            n_keys=index.n_shards,
         )
     if exclude_df is not None:
         if excl is not None:
@@ -1225,7 +1300,7 @@ def _vamana_search_block(
         graph = graph.filter(F.col("shard_id").isin(probed))
     cand = (
         scan.groupBy("shard_id")
-        .cogroup(_by_shard(graph).groupBy("shard_id"))
+        .cogroup(_by_shard(graph, n_keys=index.n_shards).groupBy("shard_id"))
         .applyInPandas(search_fn, RESULT_SCHEMA)
     )
     if index.closure_bp is not None:

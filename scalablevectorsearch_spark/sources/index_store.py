@@ -440,7 +440,9 @@ def load_vamana(spark: SparkSession, path: str, validate: bool = False):
             F.col("id").cast("long").alias("__id"),
             F.col("vector").alias("__vec"),
         )
-    idx.layout = _by_shard(assigned).persist(StorageLevel.MEMORY_AND_DISK)
+    idx.layout = _by_shard(assigned, n_keys=idx.n_shards).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     return idx
 
 
