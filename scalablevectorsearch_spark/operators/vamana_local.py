@@ -620,6 +620,7 @@ def alpha_prune_batch(
     # pad slots (-1) wrap to row 0 — garbage distances, but pads are
     # never addable and only ever appear as (harmless) kill victims
     V = X[np.maximum(pools, 0)]  # (m, P, d)
+    sqP = nrmP = None
     if distance == "l2":
         sqP = np.einsum("mpd,mpd->mp", V, V)
     elif distance == "cosine":
@@ -632,7 +633,47 @@ def alpha_prune_batch(
     alpha_row = np.ones(m, dtype=np.float64)
     active = np.ones(m, dtype=bool)
     pos_idx = np.arange(P)
+    # r12: active-row compaction. Rows finish their adds at different
+    # times, but every lockstep iteration's (m, P[, d]) ops — the
+    # avail/kill masks and especially the full-batch kill-row matmul —
+    # pay for ALL m rows. Rows are independent, and the batched gemv /
+    # einsum results are row-independent (one gemv per row), so slicing
+    # every per-row array down to the survivors is BIT-identical — it
+    # only removes dead work. Compact when ≥3/4 of rows are done: the
+    # survivor copy is O(n_act·P·d) against an O(m·P·d) per-iteration
+    # saving, and the 3/4 threshold A/B-measured never-slower across
+    # n∈{250,530,2000,8192} builds where the half-done trigger LOST ~7%
+    # at n=2000 (uniform pools → few iterations left to amortize the
+    # copy). Finished rows' adjacencies are finalized into `final` as
+    # they drop out.
+    final: list = [None] * m
+    orig = np.arange(m)
+
+    def _finalize(rows_mask: np.ndarray) -> None:
+        for j in np.nonzero(rows_mask)[0]:
+            final[int(orig[j])] = res[j, : counts[j]].copy()
+
     while active.any():
+        n_act = int(active.sum())
+        if n_act <= len(active) // 4 and len(active) > 16:
+            _finalize(~active)
+            keep = np.nonzero(active)[0]
+            orig = orig[keep]
+            V = V[keep]
+            if sqP is not None:
+                sqP = sqP[keep]
+            if nrmP is not None:
+                nrmP = nrmP[keep]
+            pools = pools[keep]
+            pool_d = pool_d[keep]
+            nodes = nodes[keep]
+            state = state[keep]
+            addable = addable[keep]
+            counts = counts[keep]
+            res = res[keep]
+            alpha_row = alpha_row[keep]
+            active = np.ones(len(keep), dtype=bool)
+            m = len(keep)
         avail = (
             (state == AVAILABLE)
             & addable
@@ -691,7 +732,8 @@ def alpha_prune_batch(
         kill = (alpha_row[:, None] * Drow < pool_d) & (state == AVAILABLE)
         kill &= pos_idx[None, :] > p_full[:, None]
         state[kill] = PRUNED
-    return [res[i, : counts[i]] for i in range(m)]
+    _finalize(np.ones(len(active), dtype=bool))
+    return final
 
 
 def _pool_dists(

@@ -166,3 +166,45 @@ def test_lvq_decoder2_matches_decompress(spark, embeddings):
     got = dec(M)
     exp = np.stack([np.asarray(r["__rv"], dtype=np.float64) for r in ref])
     assert np.array_equal(got, exp)
+
+
+def test_alpha_prune_batch_compaction_matches_sequential():
+    """Active-row compaction (rows sliced out of the lockstep batch as
+    they finish) must stay node-for-node identical to the sequential
+    prune. The hypothesis property test caps m at 12, below the
+    compaction threshold (>16 active rows) — this pins the compacted
+    path with 120 rows of very uneven pool sizes so rows drop out at
+    staggered iterations, across all three distances and alpha=1.0
+    (the no-relax early exit)."""
+    from scalablevectorsearch_spark.operators.vamana_local import (
+        _pool_dists,
+        alpha_prune,
+        alpha_prune_batch,
+    )
+
+    rng = np.random.default_rng(42)
+    n, d, m, P = 500, 16, 120, 48
+    X = rng.normal(size=(n, d))
+    for distance in ("l2", "ip", "cosine"):
+        for alpha in (1.0, 1.2):
+            nodes = rng.choice(n, size=m, replace=False).astype(np.int64)
+            pools = np.full((m, P), -1, dtype=np.int64)
+            pool_d = np.full((m, P), np.inf, dtype=np.float64)
+            # pool sizes from 1 to P: rows finish at very different
+            # iterations, forcing several compaction rounds
+            lens = rng.integers(1, P + 1, size=m)
+            for i in range(m):
+                cand = rng.choice(n, size=lens[i], replace=False).astype(np.int64)
+                dd = _pool_dists(X, nodes[i : i + 1], cand[None, :], distance)[0]
+                o = np.lexsort((cand, dd))
+                pools[i, : lens[i]] = cand[o]
+                pool_d[i, : lens[i]] = dd[o]
+            got = alpha_prune_batch(X, nodes, pools, pool_d, alpha, 16, distance)
+            assert len(got) == m
+            for i in range(m):
+                exp = alpha_prune(
+                    X, int(nodes[i]), pools[i, : lens[i]], pool_d[i, : lens[i]],
+                    alpha, 16, distance,
+                )
+                assert got[i].dtype == np.int64
+                assert np.array_equal(got[i], exp), (distance, alpha, i)
