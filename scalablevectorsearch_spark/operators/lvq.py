@@ -122,47 +122,64 @@ def lvq_train(
     )
 
 
+def _dlit(v: float) -> str:
+    """Exact SQL double literal: repr() is the shortest round-trip
+    decimal and both Python and the SQL parser are correctly-rounded,
+    so the parsed double is bit-identical to ``v``."""
+    v = float(v)
+    s = repr(v)
+    assert float(s) == v and s not in ("inf", "-inf", "nan"), s
+    return f"{s}D"
+
+
+def _mu_sql(params: LVQParams) -> str:
+    return "array(" + ", ".join(_dlit(m) for m in params.mean) + ")"
+
+
 def _mu_col(params: LVQParams) -> Column:
     return F.array(*[F.lit(float(m)) for m in params.mean])
 
 
-def _clamp_code(x: Column, levels: int) -> Column:
-    return F.greatest(F.lit(0.0), F.least(F.lit(float(levels)), x))
+# r12 (guide §4, the driver's py4j boundary): the Catalyst builders
+# below assemble their expressions as single SQL strings parsed
+# JVM-side in one round trip, instead of Column algebra whose every
+# F.* / lambda call is its own round trip. Node-for-node the same
+# expressions (ZipWith/Transform/CaseWhen/Floor/Cast with identical
+# double literals via _dlit), so compressed storage, reconstructions
+# and every gated result are bit-identical; measured lvq_compress
+# construction 174ms -> ~25ms at 64 dims.
 
 
-def _pack(codes: Column, bits: int) -> Column:
+def _clamp_sql(x: str, levels: int) -> str:
+    return f"greatest(0.0D, least({_dlit(levels)}, {x}))"
+
+
+def _pack_sql(codes: str, bits: int) -> str:
     """Integral double codes -> ARRAY<TINYINT> storage. B=8: one code
     per byte, centered (c - 128). B=4: two codes per byte
     (hi nibble = even index, lo nibble = odd; odd dims zero-pad),
     centered. Centering keeps the full 0..255 byte range inside the
     signed TINYINT domain."""
     if bits == 8:
-        return F.transform(codes, lambda c: (c - F.lit(128.0)).cast("tinyint"))
-    n_pairs = F.ceil(F.size(codes) / F.lit(2)).cast("int")
-    return F.transform(
-        F.sequence(F.lit(0), n_pairs - F.lit(1)),
-        lambda i: (
-            F.element_at(codes, i * 2 + 1) * F.lit(16.0)
-            + F.coalesce(F.try_element_at(codes, i * 2 + 2), F.lit(0.0))
-            - F.lit(128.0)
-        ).cast("tinyint"),
+        return f"transform({codes}, c -> cast(c - 128.0D as tinyint))"
+    return (
+        f"transform(sequence(0, cast(ceil(size({codes}) / 2) as int) - 1), "
+        f"i -> cast(element_at({codes}, i * 2 + 1) * 16.0D"
+        f" + coalesce(try_element_at({codes}, i * 2 + 2), 0.0D)"
+        f" - 128.0D as tinyint))"
     )
 
 
-def _unpack(stored: Column, bits: int, dims: int) -> Column:
+def _unpack_sql(stored: str, bits: int, dims: int) -> str:
     """ARRAY<TINYINT> storage -> integral double codes (0..2^B-1)."""
     if bits == 8:
-        return F.transform(stored, lambda b: b.cast("double") + F.lit(128.0))
-    nibbles = F.flatten(
-        F.transform(
-            stored,
-            lambda b: F.array(
-                F.floor((b.cast("double") + F.lit(128.0)) / F.lit(16.0)).cast("double"),
-                F.pmod(b.cast("double") + F.lit(128.0), F.lit(16.0)),
-            ),
-        )
+        return f"transform({stored}, b -> cast(b as double) + 128.0D)"
+    nibbles = (
+        f"flatten(transform({stored}, "
+        f"b -> array(cast(floor((cast(b as double) + 128.0D) / 16.0D) as double), "
+        f"pmod(cast(b as double) + 128.0D, 16.0D))))"
     )
-    return F.slice(nibbles, 1, dims)
+    return f"slice({nibbles}, 1, {dims})"
 
 
 def lvq_compress(
@@ -175,44 +192,40 @@ def lvq_compress(
     (nibble-packed at B1=4), ``{prefix}lo`` / ``{prefix}step`` DOUBLE,
     and ``{prefix}rcodes`` when the params carry a residual level.
     Pure Catalyst — no Python row path."""
-    mu = _mu_col(params)
-    xp = F.zip_with(F.col(vec_col), mu, lambda x, m: x.cast("double") - m)
-    df = df.withColumn("__xp", xp)
-    lo = F.array_min("__xp")
-    hi = F.array_max("__xp")
-    step = (hi - lo) / F.lit(float(params.levels1))
-    df = df.withColumn(f"{prefix}lo", lo).withColumn(f"{prefix}step", step)
-    stepc = F.col(f"{prefix}step")
-    codes = F.transform(
-        F.col("__xp"),
-        lambda x: F.when(stepc == 0.0, F.lit(0.0)).otherwise(
-            _clamp_code(
-                F.floor((x - F.col(f"{prefix}lo")) / stepc + F.lit(0.5)).cast("double"),
-                params.levels1,
-            )
-        ),
+    mu = _mu_sql(params)
+    lo, stepc = f"`{prefix}lo`", f"`{prefix}step`"
+    df = df.withColumn(
+        "__xp", F.expr(f"zip_with(`{vec_col}`, {mu}, (x, m) -> cast(x as double) - m)")
     )
-    df = df.withColumn("__c1", codes)
+    df = df.withColumn(f"{prefix}lo", F.expr("array_min(__xp)")).withColumn(
+        f"{prefix}step",
+        F.expr(f"(array_max(__xp) - array_min(__xp)) / {_dlit(params.levels1)}"),
+    )
+    codes = (
+        f"transform(__xp, x -> CASE WHEN {stepc} = 0.0D THEN 0.0D ELSE "
+        + _clamp_sql(
+            f"cast(floor((x - {lo}) / {stepc} + 0.5D) as double)", params.levels1
+        )
+        + " END)"
+    )
+    df = df.withColumn("__c1", F.expr(codes))
     if params.residual_bits:
-        step2 = stepc / F.lit(float(params.levels2))
-        r = F.zip_with(
-            F.col("__xp"),
-            F.col("__c1"),
-            lambda x, c: x - (F.col(f"{prefix}lo") + stepc * c),
+        step2 = f"{stepc} / {_dlit(params.levels2)}"
+        r = f"zip_with(__xp, __c1, (x, c) -> x - ({lo} + {stepc} * c))"
+        rcodes = (
+            f"transform({r}, ri -> CASE WHEN {stepc} = 0.0D THEN 0.0D ELSE "
+            + _clamp_sql(
+                f"cast(floor((ri + {stepc} / 2.0D) / ({step2}) + 0.5D) as double)",
+                params.levels2,
+            )
+            + " END)"
         )
-        rcodes = F.transform(
-            r,
-            lambda ri: F.when(stepc == 0.0, F.lit(0.0)).otherwise(
-                _clamp_code(
-                    F.floor((ri + stepc / F.lit(2.0)) / step2 + F.lit(0.5)).cast(
-                        "double"
-                    ),
-                    params.levels2,
-                )
-            ),
+        df = df.withColumn(
+            f"{prefix}rcodes", F.expr(_pack_sql(rcodes, params.residual_bits))
         )
-        df = df.withColumn(f"{prefix}rcodes", _pack(rcodes, params.residual_bits))
-    df = df.withColumn(f"{prefix}codes", _pack(F.col("__c1"), params.primary_bits))
+    df = df.withColumn(
+        f"{prefix}codes", F.expr(_pack_sql("__c1", params.primary_bits))
+    )
     return df.drop("__xp", "__c1")
 
 
@@ -231,16 +244,18 @@ def lvq_decompress(
         raise ValueError(f"level must be 1 or 2, got {level}")
     if level == 2 and not params.residual_bits:
         raise ValueError("level=2 requires residual_bits > 0")
-    mu = _mu_col(params)
-    lo = F.col(f"{prefix}lo")
-    step = F.col(f"{prefix}step")
-    c1 = _unpack(F.col(f"{prefix}codes"), params.primary_bits, params.dims)
-    recon = F.zip_with(c1, mu, lambda c, m: (m + lo) + step * c)
+    mu = _mu_sql(params)
+    lo, step = f"`{prefix}lo`", f"`{prefix}step`"
+    c1 = _unpack_sql(f"`{prefix}codes`", params.primary_bits, params.dims)
+    recon = f"zip_with({c1}, {mu}, (c, m) -> (m + {lo}) + {step} * c)"
     if level == 2:
-        step2 = step / F.lit(float(params.levels2))
-        c2 = _unpack(F.col(f"{prefix}rcodes"), params.residual_bits, params.dims)
-        recon = F.zip_with(recon, c2, lambda v, c: v + (step2 * c - step / F.lit(2.0)))
-    return df.withColumn(out_col, recon)
+        step2 = f"{step} / {_dlit(params.levels2)}"
+        c2 = _unpack_sql(f"`{prefix}rcodes`", params.residual_bits, params.dims)
+        recon = (
+            f"zip_with({recon}, {c2}, "
+            f"(v, c) -> v + (({step2}) * c - {step} / 2.0D))"
+        )
+    return df.withColumn(out_col, F.expr(recon))
 
 
 def lvq_packed_col(params: LVQParams, prefix: str = "lvq_") -> Column:
@@ -250,9 +265,9 @@ def lvq_packed_col(params: LVQParams, prefix: str = "lvq_") -> Column:
     vectorized inside the scan kernel (:func:`lvq_decoder`), which is
     ~10x the per-element Catalyst expression chain while remaining
     bit-identical (same IEEE ops elementwise)."""
-    return F.concat(
-        F.array(F.col(f"{prefix}lo"), F.col(f"{prefix}step")),
-        F.transform(F.col(f"{prefix}codes"), lambda b: b.cast("double")),
+    return F.expr(
+        f"concat(array(`{prefix}lo`, `{prefix}step`), "
+        f"transform(`{prefix}codes`, b -> cast(b as double)))"
     )
 
 
@@ -296,10 +311,10 @@ def lvq_packed2_col(params: LVQParams, prefix: str = "lvq_") -> Column:
     expression chain per joined row (r12: the level-2 chain was both
     the rerank stage's per-row cost and, freshly planned, a visible
     analysis/codegen cost)."""
-    return F.concat(
-        F.array(F.col(f"{prefix}lo"), F.col(f"{prefix}step")),
-        F.transform(F.col(f"{prefix}codes"), lambda b: b.cast("double")),
-        F.transform(F.col(f"{prefix}rcodes"), lambda b: b.cast("double")),
+    return F.expr(
+        f"concat(array(`{prefix}lo`, `{prefix}step`), "
+        f"transform(`{prefix}codes`, b -> cast(b as double)), "
+        f"transform(`{prefix}rcodes`, b -> cast(b as double)))"
     )
 
 

@@ -92,50 +92,53 @@ def repetition_stats(
     explode -> groupBy(doc_id, ngram) alternative shuffles every gram
     as a string; at 1M x 100-token docs that measured 6x slower.)
     """
-    zero = F.struct(
-        F.lit(None).cast("string").alias("prev"),
-        F.lit(0).cast("long").alias("run"),
-        F.lit(0).cast("long").alias("top"),
-        F.lit(0).cast("long").alias("dup"),
+    # r12: the fold below is built as ONE SQL string parsed JVM-side
+    # (guide §4, the driver's py4j boundary) — the Column-algebra
+    # version paid ~130ms of round trips per construction. Node-for-node
+    # the same Catalyst expressions (CaseWhen/CreateNamedStruct/
+    # ArrayAggregate), so results are bit-identical; the `new_run` CASE
+    # is textually repeated exactly where the Column version reused the
+    # subtree, preserving the evaluated tree shape.
+    new_run = "CASE WHEN acc.prev IS NOT NULL AND x = acc.prev THEN acc.run + 1 ELSE 1 END"
+    fold = (
+        "aggregate(array_sort(__ngrams), "
+        "named_struct('prev', cast(null as string), 'run', cast(0 as bigint), "
+        "'top', cast(0 as bigint), 'dup', cast(0 as bigint)), "
+        "(acc, x) -> named_struct("
+        f"'prev', x, "
+        f"'run', {new_run}, "
+        f"'top', greatest(acc.top, {new_run}), "
+        f"'dup', acc.dup + CASE WHEN ({new_run}) = 2 THEN 2 "
+        f"WHEN ({new_run}) > 2 THEN 1 ELSE 0 END))"
     )
-
-    def step(acc, x):
-        same = acc["prev"].isNotNull() & (x == acc["prev"])
-        new_run = F.when(same, acc["run"] + 1).otherwise(F.lit(1))
-        return F.struct(
-            x.alias("prev"),
-            new_run.alias("run"),
-            F.greatest(acc["top"], new_run).alias("top"),
-            (
-                acc["dup"]
-                + F.when(new_run == 2, 2).when(new_run > 2, 1).otherwise(0)
-            ).alias("dup"),
-        )
-
+    gram_parts = ["element_at(__toks, i)"]
+    for j in range(1, n):
+        gram_parts.append("' '")
+        gram_parts.append(f"element_at(__toks, i + {j})")
+    grams = (
+        f"transform(sequence(1, size(__toks) - {n - 1}), "
+        f"i -> concat({', '.join(gram_parts)}))"
+    )
     # n_ngrams comes from the TOKEN count (size(toks) - n + 1 when the
     # doc has >= n tokens), not size(__ngrams): referencing __ngrams
     # once keeps the gram array a single-use intermediate the optimizer
     # can pipeline, instead of a twice-referenced value
-    stage = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
-    ).select(
+    stage = df.selectExpr(
+        f"{id_col} as doc_id",
+        f"split(trim({text_col}), '\\\\s+') as __toks",
+    ).selectExpr(
         "doc_id",
-        F.when(
-            F.size("__toks") >= n, (F.size("__toks") - (n - 1)).cast("long")
-        ).otherwise(F.lit(0).cast("long")).alias("n_ngrams"),
-        word_ngrams_over(F.col("__toks"), n).alias("__ngrams"),
-    ).select(
-        "doc_id",
-        "n_ngrams",
-        F.aggregate(F.array_sort("__ngrams"), zero, step).alias("__acc"),
-    )
-    tot = F.greatest(F.col("n_ngrams"), F.lit(1)).cast("double")
-    return stage.select(
+        f"CASE WHEN size(__toks) >= {n} THEN cast(size(__toks) - {n - 1} as bigint) "
+        f"ELSE cast(0 as bigint) END as n_ngrams",
+        f"CASE WHEN size(__toks) >= {n} THEN {grams} "
+        f"ELSE cast(array() as array<string>) END as __ngrams",
+    ).selectExpr("doc_id", "n_ngrams", f"{fold} as __acc")
+    tot = "cast(greatest(n_ngrams, 1) as double)"
+    return stage.selectExpr(
         "doc_id",
         "n_ngrams",
-        (F.col("__acc")["top"].cast("double") / tot).alias("top_ngram_frac"),
-        (F.col("__acc")["dup"].cast("double") / tot).alias("dup_ngram_frac"),
+        f"(cast(__acc.top as double) / {tot}) as top_ngram_frac",
+        f"(cast(__acc.dup as double) / {tot}) as dup_ngram_frac",
     )
 
 
@@ -176,15 +179,18 @@ def dataset_split(
     if len(names) != len(weights):
         raise ValueError("names and weights must align")
     bounds = split_boundaries(weights, digits)
-    h = F.substring(
-        F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string")).cast("binary")),
-        1,
-        digits,
+    # one SQL string (r12, guide §4 driver boundary) — the same nested
+    # CaseWhen tree the Column loop built, `h` repeated per level
+    # exactly as the Column version reused the subtree
+    salt_sql = salt.replace("'", "''")
+    h = (
+        f"substring(md5(cast(concat('{salt_sql}', ':', "
+        f"cast({id_col} as string)) as binary)), 1, {digits})"
     )
-    expr = F.lit(names[-1])
+    expr = f"'{names[-1]}'"
     for name, b in zip(reversed(names[:-1]), reversed(bounds)):
-        expr = F.when(h < F.lit(b), F.lit(name)).otherwise(expr)
-    return df.withColumn("split", expr)
+        expr = f"CASE WHEN {h} < '{b}' THEN '{name}' ELSE {expr} END"
+    return df.withColumn("split", F.expr(expr))
 
 
 def fraction_bound(frac: float, digits: int = 4) -> str:
@@ -285,30 +291,33 @@ def quality_filter(
     point so any SQL engine reproduces the decision bit-for-bit.
     """
     langs = langs or ["en"]
-    e4 = lambda c: F.floor(F.col(c).cast("double") * 10000 + F.lit(0.5)).cast("long")
+    # single SQL strings (r12, guide §4 driver boundary) — identical
+    # CaseWhen/Floor expressions to the Column-algebra version
+    e4 = lambda c: f"cast(floor(cast({c} as double) * 10000 + 0.5D) as bigint)"
     j = (
-        stats.select("doc_id", "n_tokens", e4("quality_score").alias("__q"))
+        stats.selectExpr("doc_id", "n_tokens", f"{e4('quality_score')} as __q")
         .join(
-            rep.select(
+            rep.selectExpr(
                 "doc_id",
-                e4("top_ngram_frac").alias("__top"),
-                e4("dup_ngram_frac").alias("__dup"),
+                f"{e4('top_ngram_frac')} as __top",
+                f"{e4('dup_ngram_frac')} as __dup",
             ),
             "doc_id",
         )
         .join(lang.select("doc_id", "pred_lang"), "doc_id")
     )
+    lang_list = "(" + ", ".join(f"'{x}'" for x in langs) + ")"
     reason = (
-        F.when(F.col("n_tokens") < min_tokens, F.lit("too_short"))
-        .when(F.col("n_tokens") > max_tokens, F.lit("too_long"))
-        .when(F.col("__top") > max_top_ngram_e4, F.lit("top_ngram_repetition"))
-        .when(F.col("__dup") > max_dup_ngram_e4, F.lit("dup_ngram_repetition"))
-        .when(F.col("__q") < min_quality_e4, F.lit("low_quality"))
-        .when(~F.col("pred_lang").isin(*langs), F.lit("bad_lang"))
-        .otherwise(F.lit("ok"))
+        f"CASE WHEN n_tokens < {min_tokens} THEN 'too_short' "
+        f"WHEN n_tokens > {max_tokens} THEN 'too_long' "
+        f"WHEN __top > {max_top_ngram_e4} THEN 'top_ngram_repetition' "
+        f"WHEN __dup > {max_dup_ngram_e4} THEN 'dup_ngram_repetition' "
+        f"WHEN __q < {min_quality_e4} THEN 'low_quality' "
+        f"WHEN NOT (pred_lang IN {lang_list}) THEN 'bad_lang' "
+        f"ELSE 'ok' END"
     )
-    return j.select(
-        "doc_id", reason.alias("reason"), (reason == "ok").alias("keep")
+    return j.selectExpr(
+        "doc_id", f"{reason} as reason", f"(({reason}) = 'ok') as keep"
     )
 
 

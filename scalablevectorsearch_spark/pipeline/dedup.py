@@ -75,13 +75,12 @@ def dedup_exact(
 ) -> DataFrame:
     """(doc_id, content_hash, canonical_id, is_dup): canonical = smallest
     doc id sharing the exact content hash. One shuffle on the hash."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("content_hash")
     return (
-        df.select(F.col(id_col).alias("doc_id"), content_hash(text_col).alias("content_hash"))
-        .withColumn("canonical_id", F.min("doc_id").over(w))
-        .withColumn("is_dup", F.col("doc_id") != F.col("canonical_id"))
+        df.selectExpr(f"{id_col} as doc_id", f"md5({text_col}) as content_hash")
+        .selectExpr(
+            "*", "min(doc_id) over (partition by content_hash) as canonical_id"
+        )
+        .selectExpr("*", "(doc_id != canonical_id) as is_dup")
     )
 
 
@@ -108,10 +107,10 @@ def shingle_hashes(
         f"  sequence(1, greatest(size(__toks) - {n_shingle} + 1, 1)),"
         f"  i -> {h}))"
     )
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.split(F.trim(F.col(text_col)), r"\s+").alias("__toks"),
-    ).select("doc_id", F.expr(sh).alias("shingles"))
+    return df.selectExpr(
+        f"{id_col} as doc_id",
+        f"split(trim({text_col}), '\\\\s+') as __toks",
+    ).selectExpr("doc_id", f"{sh} as shingles")
 
 
 def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
@@ -121,21 +120,20 @@ def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
         f"array_min(transform(shingles, h -> ({a} * (h % {MERSENNE}) + {b}) % {MERSENNE}))"
         for a, b in coeffs
     )
-    return shingled.select("doc_id", "shingles", F.expr(f"array({mins})").alias("sig"))
+    return shingled.selectExpr("doc_id", "shingles", f"array({mins}) as sig")
 
 
 def _band_keys(signed: DataFrame, n_bands: int, r: int) -> DataFrame:
     """Explode each signature into (doc_id, band_id, band_key) rows —
     the banded-LSH bucket keys (the ONLY shuffle key downstream)."""
-    return signed.select(
+    # inline() explodes the array<struct> straight into (band_id,
+    # band_key) columns — one Dataset creation instead of the
+    # explode-then-flatten pair, same rows in the same generator order
+    return signed.selectExpr(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_bands - 1}),"
-                f" b -> struct(b as band_id, array_join(slice(sig, b * {r} + 1, {r}), ':') as band_key))"
-            )
-        ).alias("bk"),
-    ).select("doc_id", F.col("bk.band_id").alias("band_id"), F.col("bk.band_key").alias("band_key"))
+        f"inline(transform(sequence(0, {n_bands - 1}),"
+        f" b -> struct(b as band_id, array_join(slice(sig, b * {r} + 1, {r}), ':') as band_key)))",
+    )
 
 
 def lsh_candidate_pairs(
@@ -172,11 +170,12 @@ def lsh_candidate_pairs(
     return (
         a.join(
             b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            F.expr(
+                "a.band_id = b.band_id AND a.band_key = b.band_key"
+                " AND a.doc_id < b.doc_id"
+            ),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .selectExpr("a.doc_id as doc_a", "b.doc_id as doc_b")
         .distinct()
     )
 
@@ -186,18 +185,19 @@ def jaccard_verify(
 ) -> DataFrame:
     """Exact n-gram Jaccard on candidate pairs only:
     (doc_a, doc_b, jaccard) with jaccard >= threshold."""
-    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("__sa"))
-    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("__sb"))
-    j = (
+    sa = shingled.selectExpr("doc_id as doc_a", "shingles as __sa")
+    sb = shingled.selectExpr("doc_id as doc_b", "shingles as __sb")
+    return (
         pairs.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__sa", "__sb")).cast("double")
-            / F.size(F.array_union("__sa", "__sb")).cast("double"),
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "(cast(size(array_intersect(__sa, __sb)) as double)"
+            " / cast(size(array_union(__sa, __sb)) as double)) as jaccard",
         )
+        .filter(f"jaccard >= {threshold!r}D")
     )
-    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
 def dedup_minhash(
@@ -386,20 +386,19 @@ def decontaminate(
         .select("probe_id", "doc_id")
         .distinct()
     )
-    sp = signed_p.select(F.col("doc_id").alias("probe_id"), F.col("shingles").alias("__sp"))
+    sp = signed_p.selectExpr("doc_id as probe_id", "shingles as __sp")
     if broadcast_probes:
         sp = F.broadcast(sp)
-    j = (
-        pairs.join(signed_c.select("doc_id", F.col("shingles").alias("__sc")), "doc_id")
+    return (
+        pairs.join(signed_c.selectExpr("doc_id", "shingles as __sc"), "doc_id")
         .join(sp, "probe_id")
-        .withColumn(
-            "jaccard",
-            F.size(F.array_intersect("__sc", "__sp")).cast("double")
-            / F.size(F.array_union("__sc", "__sp")).cast("double"),
+        .selectExpr(
+            "probe_id",
+            "doc_id",
+            "(cast(size(array_intersect(__sc, __sp)) as double)"
+            " / cast(size(array_union(__sc, __sp)) as double)) as jaccard",
         )
-    )
-    return j.filter(F.col("jaccard") >= threshold).select(
-        "probe_id", "doc_id", "jaccard"
+        .filter(f"jaccard >= {threshold!r}D")
     )
 
 
