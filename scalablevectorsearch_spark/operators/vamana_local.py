@@ -625,9 +625,19 @@ def alpha_prune_batch(
         sqP = np.einsum("mpd,mpd->mp", V, V)
     elif distance == "cosine":
         nrmP = np.sqrt(np.einsum("mpd,mpd->mp", V, V))
-    AVAILABLE, ADDED, PRUNED = 0, 1, 2
-    state = np.zeros((m, P), dtype=np.int8)
+    # r12: incremental availability. The old int8 state machine
+    # recomputed `avail = (state==AVAILABLE) & addable & active &
+    # (counts<max)` from scratch every lockstep iteration (~6 (m, P)
+    # ops); `avail` only ever changes at a step (one slot), a kill
+    # (mask out), an alpha-round reset (recompute for those rows) or a
+    # row finishing (zero its row), so it is maintained in place —
+    # `added` tracks the ADDED slots the resets must skip. Identical
+    # state machine: avail == (state==AVAILABLE) & addable for active
+    # rows at every iteration boundary, and the kill arithmetic below
+    # is untouched.
     addable = valid & (pools != nodes[:, None])
+    avail = addable.copy()
+    added = np.zeros((m, P), dtype=bool)
     counts = np.zeros(m, dtype=np.int64)
     res = np.full((m, max_result), -1, dtype=np.int64)
     alpha_row = np.ones(m, dtype=np.float64)
@@ -667,19 +677,14 @@ def alpha_prune_batch(
             pools = pools[keep]
             pool_d = pool_d[keep]
             nodes = nodes[keep]
-            state = state[keep]
+            avail = avail[keep]
+            added = added[keep]
             addable = addable[keep]
             counts = counts[keep]
             res = res[keep]
             alpha_row = alpha_row[keep]
             active = np.ones(len(keep), dtype=bool)
             m = len(keep)
-        avail = (
-            (state == AVAILABLE)
-            & addable
-            & active[:, None]
-            & (counts < max_result)[:, None]
-        )
         has = avail.any(axis=1)
         done_rows = np.nonzero(active & ~has)[0]
         if len(done_rows):
@@ -692,9 +697,7 @@ def alpha_prune_batch(
                 go = done_rows[cont]
                 if len(go):
                     alpha_row[go] = na[cont]
-                    st = state[go]
-                    st[st == PRUNED] = AVAILABLE
-                    state[go] = st
+                    avail[go] = addable[go] & ~added[go]
         if not has.any():
             continue
         rows = np.nonzero(has)[0]
@@ -706,7 +709,11 @@ def alpha_prune_batch(
         cand = pools[rows, p]
         res[rows, counts[rows]] = cand
         counts[rows] += 1
-        state[rows, p] = ADDED
+        added[rows, p] = True
+        avail[rows, p] = False
+        maxed = rows[counts[rows] >= max_result]
+        if len(maxed):
+            avail[maxed] = False
         # lazy kill row: d(added, pool_j), computed over the full batch
         # in one einsum. Kill results are only used for rows that
         # stepped (p_full = P empties the mask for the rest), but at the
@@ -729,9 +736,9 @@ def alpha_prune_batch(
             denom = nr[:, None] * nrmP
             with np.errstate(divide="ignore", invalid="ignore"):
                 Drow = -np.where(denom > 0, ip / denom, 0.0)
-        kill = (alpha_row[:, None] * Drow < pool_d) & (state == AVAILABLE)
+        kill = (alpha_row[:, None] * Drow < pool_d) & avail
         kill &= pos_idx[None, :] > p_full[:, None]
-        state[kill] = PRUNED
+        avail[kill] = False
     _finalize(np.ones(len(active), dtype=bool))
     return final
 
@@ -763,32 +770,82 @@ def _pool_dists(
     return np.where(pools >= 0, out, np.inf)
 
 
-def _node_pool(
+def _node_pool_batch(
     X: np.ndarray,
     graph: list[np.ndarray],
-    node: int,
-    ids: np.ndarray,
-    ds: np.ndarray,
+    nodes: np.ndarray,
+    pool_ids: np.ndarray,
+    pool_d: np.ndarray,
     params: VamanaParams,
     distance: str,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-node pool assembly of generate_neighbors (vamana_build.h:
-    424-441): merge the search pool with the node's current neighbors,
-    sort by (distance, id), cap at max_candidate_pool_size. ``ids``/
-    ``ds`` are one (possibly padded) row of the batch search buffer;
-    the prune itself runs batched (:func:`alpha_prune_batch`)."""
-    m = ids >= 0
-    pool_ids, pool_d = ids[m], ds[m]
-    # neighbors not already in the pool; order is irrelevant (the final
-    # lexsort is keyed on (distance, id) alone) so the sorted-unique
-    # setdiff replaces the per-node Python set scan
-    ea = np.setdiff1d(np.asarray(graph[node], dtype=np.int64), pool_ids)
-    if len(ea):
-        ed = _dists(X, X[node], ea, distance)
-        pool_ids = np.concatenate([pool_ids, ea])
-        pool_d = np.concatenate([pool_d, ed])
-    order = np.lexsort((pool_ids, pool_d))[: params.max_candidate_pool_size]
-    return pool_ids[order], pool_d[order]
+    """Batched pool assembly of generate_neighbors (vamana_build.h:
+    424-441): merge each node's search pool with its current neighbors,
+    sort by (distance, id), cap at max_candidate_pool_size — the whole
+    chunk at once (r12: the per-node loop of setdiff + lexsort + pad
+    was pure numpy-dispatch overhead, ~0.1ms x chunk per linking round).
+
+    ``pool_ids``/``pool_d``: (m, W) rows already sorted by (distance,
+    id) with pad slots (-1, inf) as a SUFFIX (both the search buffer
+    and the tracker segments satisfy this). Node-for-node identical to
+    the old per-node path: the setdiff is integer key arithmetic, the
+    leftover-neighbor distances go through the SAME per-node
+    :func:`_dists` call, and one row-wise lexsort reproduces each
+    node's (distance, id) order with pads sorting last. Returns padded
+    (m, P) matrices ready for :func:`alpha_prune_batch`."""
+    m, W = pool_ids.shape
+    pool_len = (pool_ids >= 0).sum(axis=1)
+    lens = np.fromiter(
+        (len(graph[int(u)]) for u in nodes), dtype=np.int64, count=m
+    )
+    kj = np.empty(0, dtype=np.int64)
+    kv = kj
+    if lens.sum():
+        big = np.int64(len(graph) + 1)
+        js = np.repeat(np.arange(m, dtype=np.int64), lens)
+        vs = np.concatenate(
+            [np.asarray(graph[int(u)], dtype=np.int64) for u in nodes if len(graph[int(u)])]
+        )
+        # sorted-unique (node, neighbor) keys, then drop pairs already
+        # in the pool — same set the per-node setdiff produced, and the
+        # key order (j major, id minor) IS the old per-node ascending-id
+        # order
+        keys = np.unique(js * big + vs)
+        valid = pool_ids >= 0
+        pkeys = (np.arange(m, dtype=np.int64)[:, None] * big + pool_ids)[valid]
+        keep = ~np.isin(keys, pkeys)
+        kj = keys[keep] // big
+        kv = keys[keep] % big
+    ecnt = (
+        np.bincount(kj, minlength=m) if len(kj) else np.zeros(m, dtype=np.int64)
+    )
+    P = int(max(W, (pool_len + ecnt).max())) if m else 0
+    out_ids = np.full((m, P), -1, dtype=np.int64)
+    out_d = np.full((m, P), np.inf, dtype=np.float64)
+    out_ids[:, :W] = pool_ids
+    out_d[:, :W] = pool_d
+    if len(kj):
+        starts = np.searchsorted(kj, np.arange(m, dtype=np.int64))
+        colpos = pool_len[kj] + (np.arange(len(kj), dtype=np.int64) - starts[kj])
+        ed = np.empty(len(kj), dtype=np.float64)
+        bounds = np.append(starts, len(kj))
+        for j in np.unique(kj):
+            lo, hi = bounds[j], bounds[j + 1]
+            # same per-node _dists call (bit-identical arithmetic) as
+            # the old loop — only the bookkeeping around it is batched
+            ed[lo:hi] = _dists(X, X[int(nodes[j])], kv[lo:hi], distance)
+        out_ids[kj, colpos] = kv
+        out_d[kj, colpos] = ed
+    order = np.lexsort((out_ids, out_d), axis=-1)
+    # trim to the widest row (pads sort last, so no real entry is cut)
+    # and the candidate-pool cap — the same width the per-node path's
+    # max-length padding produced
+    maxw = int(min(int((pool_len + ecnt).max()) if m else 0,
+                   params.max_candidate_pool_size))
+    if P > maxw:
+        order = order[:, :maxw]
+    ar = np.arange(m)[:, None]
+    return out_ids[ar, order], out_d[ar, order]
 
 
 def _link_nodes(
@@ -843,30 +900,27 @@ def _link_nodes(
         if full:
             # prune against the whole visited history, not just the
             # final buffer (vamana_build.h:353 OptionalTracker,
-            # reference default use_full_search_history=true)
+            # reference default use_full_search_history=true) — the
+            # per-query segments unpack into one padded (m, W) matrix
+            # (each segment is already (distance, id)-sorted, pads are
+            # a suffix by construction)
             bids, bds, (offs, vids, vds) = out
-            pools = [
-                _node_pool(
-                    X, graph, int(node),
-                    vids[offs[j]:offs[j + 1]], vds[offs[j]:offs[j + 1]],
-                    params, distance,
-                )
-                for j, node in enumerate(chunk)
-            ]
+            seg_len = np.diff(offs)
+            W = int(seg_len.max()) if len(seg_len) else 0
+            grid = offs[:-1, None] + np.arange(W)[None, :]
+            ok = np.arange(W)[None, :] < seg_len[:, None]
+            grid = np.where(ok, grid, 0)
+            pool_ids = np.where(ok, vids[grid], -1)
+            pool_d = np.where(ok, vds[grid], np.inf)
         else:
             bids, bds = out
-            pools = [
-                _node_pool(X, graph, int(node), bids[j], bds[j], params, distance)
-                for j, node in enumerate(chunk)
-            ]
-        # one lockstep prune for the whole chunk instead of one Python
-        # state machine per node (the profiled build hot spot)
-        pw = max(len(p) for p, _ in pools)
-        pids = np.full((len(pools), pw), -1, dtype=np.int64)
-        pds = np.full((len(pools), pw), np.inf, dtype=np.float64)
-        for j, (pi, pd) in enumerate(pools):
-            pids[j, : len(pi)] = pi
-            pds[j, : len(pi)] = pd
+            pool_ids, pool_d = bids, bds
+        # one batched pool assembly + one lockstep prune for the whole
+        # chunk instead of one Python loop iteration per node (the
+        # profiled build hot spots)
+        pids, pds = _node_pool_batch(
+            X, graph, chunk, pool_ids, pool_d, params, distance
+        )
         adjs = alpha_prune_batch(
             X, chunk.astype(np.int64), pids, pds,
             params.alpha, params.graph_max_degree, distance,
