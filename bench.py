@@ -13,11 +13,16 @@ single-thread numpy matmul (the calibration op) — identical code every
 rep, so any spread in `calib_sec` is host noise by construction, and a
 rep whose calibration runs 2x slow indicts the host, not the engine.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: min_sec, ...}, "sf": ..., "stat": "min",
-   "reps": N, "spread": {name: max_minus_min_sec, ...},
+Prints TWO JSON lines — an auxiliary-stats line FIRST, then the
+canonical result line LAST (r13, VERDICT r12: the r11 single fat line
+was tail-truncated by the driver's capture, which cost the round its
+machine-readable round-over-round comparison; the canonical line is now
+kept minimal so the LAST line always parses):
+  {"metric": "bench_aux", "total_median_sec": ..., "queries_median":
+   {...}, "spread": {name: max_minus_min_sec, ...},
    "load_avg": [per-rep 1min load], "calib_sec": [per-rep matmul sec]}
+  {"metric": "bench_total_sec", "value": total_sec, "unit": "sec",
+   "queries": {name: min_sec, ...}, "sf": ..., "stat": "min", "reps": N}
 
 Coverage vs BASELINE.md:
   B1 flat exact k-NN (l2/ip/cosine) | B2 ivf_build | B3 ivf_search
@@ -358,6 +363,7 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
         # survivors — catches regressions in operator COMPOSITION
         # (join shapes between stages), not just single ops
         from pyspark.sql import functions as F
+        from pyspark.storagelevel import StorageLevel
 
         from scalablevectorsearch_spark.pipeline.curate import (
             quality_filter,
@@ -367,6 +373,8 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
             decontaminate,
             dedup_exact,
             dedup_minhash,
+            minhash_signature,
+            shingle_hashes,
         )
         from scalablevectorsearch_spark.pipeline.pack import pack_sequences
         from scalablevectorsearch_spark.pipeline.text import lang_id, text_stats
@@ -379,19 +387,63 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
             dedup_exact(kept).filter("is_dup").select("doc_id"),
             "doc_id", "left_anti",
         )
-        near = dedup_minhash(kept, n_shingle=3, n_perm=16, n_bands=4,
-                             threshold=0.5).select(F.col("doc_b").alias("doc_id"))
+        # r13 (VERDICT r12 item 1): dedup_minhash and decontaminate both
+        # need the MinHash signatures of the surviving corpus — derive
+        # ONE shared signature table instead of embedding the
+        # shingle+minhash expression block twice in the composite plan.
+        # Results are identical by construction (a document's signature
+        # is deterministic; decontaminate gets the table semi-joined to
+        # its exact input id set). Same stages, same final answer.
+        signed = minhash_signature(shingle_hashes(kept, 3), 16).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        near = dedup_minhash(
+            kept, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5,
+            signatures=signed,
+        ).select(F.col("doc_b").alias("doc_id"))
         kept = kept.join(near.distinct(), "doc_id", "left_anti")
         probes = docs.filter(F.col("doc_id") % 29 == 0).select(
             (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
         )
         contaminated = decontaminate(
-            kept, probes, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5
+            kept, probes, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5,
+            corpus_signatures=signed.join(
+                kept.select("doc_id"), "doc_id", "left_semi"
+            ),
         ).select("doc_id")
         kept = kept.join(contaminated.distinct(), "doc_id", "left_anti")
         pack_sequences(kept, token_budget=4096).agg(
             F.max("bin_id"), F.sum("n_tokens")
         ).collect()
+
+    def _scaling():
+        # r13 (VERDICT r12 item 4): the sf0.1 rows are latency-bound
+        # (sequential jobs + per-stage floors), so their 8-vs-32-core
+        # ratios sit near 1 and the driver's scaling heuristic cannot
+        # distinguish "honors SPARK_GRAFT_CPUS" from "ignores it". This
+        # row is COMPUTE-bound by construction: the base table is tiled
+        # (deterministic id offsets, derived from the parquet input at
+        # run time — nothing precomputed) to ~1M rows spread over
+        # defaultParallelism partitions, then exact flat k-NN scans it.
+        # The kernel work (distance matmul + partial top-k per
+        # partition) dominates the fixed floors, so wall time tracks
+        # core count and the driver's low/high-cpu ratio becomes a true
+        # signal of the engine's scaling.
+        sc = spark.sparkContext
+        t = max(1, -(-500_000 // max(n, 1)))  # ceil(500k / n) tiles
+        tiled = base.repartition(sc.defaultParallelism).selectExpr(
+            f"inline(transform(sequence(0, {t - 1}),"
+            f" t -> struct(id + t * 100000000L as id, vector)))"
+        )
+        # query_chunk_size=128 keeps each chunk's distance/key tiles
+        # cache-resident inside the scan kernel (measured: the default
+        # 8192-query chunk streams ~60MB float64 temporaries per batch
+        # through DRAM, which saturates memory bandwidth across the
+        # concurrent tasks and flattens the core-scaling this row
+        # exists to demonstrate)
+        flat_knn(
+            tiled, queries, k=K, distance="l2", query_chunk_size=128
+        ).count()
 
     timed("text_stats", _text_stats)
     timed("dedup_minhash", _dedup)
@@ -399,6 +451,7 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
     timed("quality_filter_split", _curate)
     timed("pipeline_composite", _pipeline_composite)
     timed("embedding_neardup_clustered", _neardup)
+    timed("scaling_flat_tiled", _scaling)
 
     # drop this rep's cached build artifacts so reps don't accumulate
     # executor memory (the next rep rebuilds and re-caches its own)
@@ -454,6 +507,24 @@ def main() -> None:
     }
     total = round(sum(queries_min.values()), 3)
     total_median = round(sum(queries_median.values()), 3)
+    # auxiliary stats FIRST (medians/spread/host-noise telemetry), the
+    # canonical minimal line LAST: the driver parses the final line, and
+    # r11's single fat line was captured truncated (BENCH_r11.parsed =
+    # null), which silently dropped the whole round-over-round
+    # comparison (VERDICT r12 item 2). Same numbers, same methodology —
+    # only the line layout changed.
+    print(
+        json.dumps(
+            {
+                "metric": "bench_aux",
+                "total_median_sec": total_median,
+                "queries_median": queries_median,
+                "spread": spread,
+                "load_avg": load_avg,
+                "calib_sec": calib_sec,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -464,16 +535,11 @@ def main() -> None:
                 "sf": _sf(),
                 "stat": "min",
                 "reps": REPS,
-                "total_median_sec": total_median,
-                "queries_median": queries_median,
-                "spread": spread,
-                "load_avg": load_avg,
-                "calib_sec": calib_sec,
             }
         )
     )
     # per-run history (one JSON line per invocation) so later rounds can
-    # grade regressions query-by-query; stdout stays exactly one line
+    # grade regressions query-by-query; stdout stays exactly two lines
     try:
         import datetime
 

@@ -592,6 +592,7 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
             n_dup = f_dup.result()
         if n_dup:
             raise ValueError(f"{n_dup} ids already exist in the index")
+        dup_check_df = None  # validated above (the concurrent pair)
         tomb = ()
         tomb_df_after = dyn.tomb_df
         if revived:
@@ -603,17 +604,18 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
         # semantics, dynamic_index.h:631) — pure driver set work
         revived = tuple(sorted(new_ids & set(dyn.tomb_ids)))
         tomb = tuple(i for i in dyn.tomb_ids if i not in new_ids)
-        # collision check: one broadcast semi-join count, base stays put
-        n_dup = (
-            _without_ids(
-                _without_ids(idx.base.select(id_col), id_col, dyn.tomb_ids),
-                id_col,
-                tuple(new_ids),
-                keep=True,
-            ).count()
+        # collision check: one pushed-down isin count, base stays put.
+        # r13 (guide §2.6): the count is DEFERRED and runs concurrently
+        # with the pin materialization below — it reads only
+        # pre-mutation state, so its result is independent of the pins;
+        # on a detected collision the just-built pins are released
+        # before raising, and the mutation still never returns a handle.
+        dup_check_df = _without_ids(
+            _without_ids(idx.base.select(id_col), id_col, dyn.tomb_ids),
+            id_col,
+            tuple(new_ids),
+            keep=True,
         )
-        if n_dup:
-            raise ValueError(f"{n_dup} ids already exist in the index")
     if routed and revived:
         # a tombstoned id's OLD replicas sit wherever its old vector
         # routed; the new vector may route elsewhere, so an in-place
@@ -689,14 +691,33 @@ def add_points(dyn: DynamicVamana, new_rows: DataFrame) -> DynamicVamana:
     )
     # plan-growth guard: cut lineage only every _CKPT_EVERY-th mutation
     ckpt = dyn.gens_since_ckpt + 1 >= _CKPT_EVERY
-    (graph, g_ckpt), (layout, l_ckpt) = _pin_pair(
+    pin_args = (
         idx.graph.filter(~F.col("shard_id").isin(touched)).unionByName(linked),
         _without_ids(idx.layout, "__id", revived).unionByName(
             new_layout.select("shard_id", "__id", "__vec")
         ),
-        checkpoint=ckpt,
-        n_keys=idx.n_shards,
     )
+    if dup_check_df is not None:
+        # overlap the collision-count read with the pin jobs (§2.6)
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as vpool:
+            f_dup = vpool.submit(dup_check_df.count)
+            (graph, g_ckpt), (layout, l_ckpt) = _pin_pair(
+                *pin_args, checkpoint=ckpt, n_keys=idx.n_shards
+            )
+            n_dup = f_dup.result()
+        if n_dup:
+            graph.unpersist(blocking=False)
+            layout.unpersist(blocking=False)
+            _release_ckpt_rdds(
+                new_rows.sparkSession, tuple(g_ckpt) + tuple(l_ckpt)
+            )
+            raise ValueError(f"{n_dup} ids already exist in the index")
+    else:
+        (graph, g_ckpt), (layout, l_ckpt) = _pin_pair(
+            *pin_args, checkpoint=ckpt, n_keys=idx.n_shards
+        )
     # the new generation is materialized — release the superseded
     # generation's persisted blocks (the CacheManager never reclaims
     # them on its own; recompute of this generation, if ever evicted,

@@ -49,7 +49,7 @@ from scalablevectorsearch_spark.functions.distances import (
     is_similarity,
     resolve_kernel,
 )
-from scalablevectorsearch_spark.operators.topk import topk_per_group
+from scalablevectorsearch_spark.operators.topk import merge_partitions, topk_per_group
 
 RESULT_SCHEMA = "qid long, neighbor_id long, distance double"
 
@@ -311,6 +311,7 @@ def flat_knn(
             k=k,
             ascending=not is_similarity(distance),
             tie_col="neighbor_id",
+            num_partitions=merge_partitions(len(qp), k, base.sparkSession),
         )
         if max_query_block is not None:
             # eager: materialize this block's Q_b×k result, then drop

@@ -45,7 +45,7 @@ from pyspark.sql.types import IntegerType, StructField, StructType
 from scalablevectorsearch_spark.functions.distances import is_similarity, pairwise_distances
 from scalablevectorsearch_spark.operators.flat import RESULT_SCHEMA, _ID_SENTINEL, _merge_topk
 from scalablevectorsearch_spark.operators.kmeans import KMeansModel, train_kmeans
-from scalablevectorsearch_spark.operators.topk import topk_per_group
+from scalablevectorsearch_spark.operators.topk import merge_partitions, topk_per_group
 
 
 @dataclass
@@ -920,6 +920,9 @@ def _ivf_search_block(
         k=inner_k,
         ascending=not is_similarity(distance),
         tie_col="neighbor_id",
+        num_partitions=merge_partitions(
+            len(qids), inner_k, index.clustered.sparkSession
+        ),
     )
     return out, bc
 
@@ -980,6 +983,9 @@ def _rerank_exact(
         k=k,
         ascending=not maximize,
         tie_col="neighbor_id",
+        num_partitions=merge_partitions(
+            len(bc_queries.value[0]), k, base.sparkSession
+        ),
     )
     return out.select("qid", "rank", "neighbor_id", "distance")
 

@@ -532,6 +532,8 @@ def _rerank_reconstruction(
             )
 
     exact = joined.mapInArrow(fn, "qid long, neighbor_id long, distance double")
+    from scalablevectorsearch_spark.operators.topk import merge_partitions
+
     return topk_per_group(
         exact,
         group_col="qid",
@@ -539,6 +541,7 @@ def _rerank_reconstruction(
         k=k,
         ascending=not maximize,
         tie_col="neighbor_id",
+        num_partitions=merge_partitions(len(qids), k, recon.sparkSession),
     )
 
 

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from scalablevectorsearch_spark.functions.distances import is_similarity
-from scalablevectorsearch_spark.operators.topk import topk_per_group
+from scalablevectorsearch_spark.operators.topk import merge_partitions, topk_per_group
 from scalablevectorsearch_spark.operators.vamana_local import (
     VamanaParams,
     build_graph,
@@ -1318,6 +1318,7 @@ def _vamana_search_block(
         k=k,
         ascending=not maximize,
         tie_col="neighbor_id",
+        num_partitions=merge_partitions(len(Q), k, index.graph.sparkSession),
     )
     return out, bc
 

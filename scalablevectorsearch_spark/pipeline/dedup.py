@@ -114,13 +114,27 @@ def shingle_hashes(
 
 
 def minhash_signature(shingled: DataFrame, n_perm: int = 16) -> DataFrame:
-    """(doc_id, shingles, sig ARRAY<BIGINT>): per-permutation min-hash."""
+    """(doc_id, shingles, sig ARRAY<BIGINT>): per-permutation min-hash.
+
+    r13 expression-shape change (plan size, not semantics): the sig
+    array is ONE nested transform over the permutation index with the
+    (a, b) coefficient vectors as two foldable array literals, instead
+    of n_perm separate ``array_min(transform(...))`` copies. Same
+    integer arithmetic per element ((a*(h%M)+b)%M, 64-bit, exact), so
+    every signature value is bit-identical — but the expression tree is
+    ~n_perm x smaller, and this block is embedded several times in
+    every LSH plan (band self-join sides + verify sides), where each
+    downstream Dataset creation re-walks it during analysis (the
+    measured driver-side construction cost of the banded family)."""
     coeffs = perm_coeffs(n_perm)
-    mins = ", ".join(
-        f"array_min(transform(shingles, h -> ({a} * (h % {MERSENNE}) + {b}) % {MERSENNE}))"
-        for a, b in coeffs
+    a_lit = "array(" + ", ".join(f"{a}L" for a, _ in coeffs) + ")"
+    b_lit = "array(" + ", ".join(f"{b}L" for _, b in coeffs) + ")"
+    sig = (
+        f"transform(sequence(1, {n_perm}), j -> array_min(transform(shingles, "
+        f"h -> (element_at({a_lit}, j) * (h % {MERSENNE}) "
+        f"+ element_at({b_lit}, j)) % {MERSENNE})))"
     )
-    return shingled.selectExpr("doc_id", "shingles", f"array({mins}) as sig")
+    return shingled.selectExpr("doc_id", "shingles", f"{sig} as sig")
 
 
 def _band_keys(signed: DataFrame, n_bands: int, r: int) -> DataFrame:
@@ -210,10 +224,21 @@ def dedup_minhash(
     id_col: str = "doc_id",
     max_bucket_size: int | None = None,
     n_passes: int = 1,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Full banded-MinHash near-dup pipeline: shingle -> minhash -> band
     buckets -> within-bucket candidates -> exact Jaccard verify.
     Returns (doc_a, doc_b, jaccard). Never an all-pairs join.
+
+    ``signatures``: optional precomputed signature table — exactly
+    ``minhash_signature(shingle_hashes(df, n_shingle, text_col,
+    id_col), n_passes * n_perm)`` over the same ``df``, caller-persisted.
+    Lets a pipeline that needs the signatures more than once (e.g. the
+    curated-corpus composite, where :func:`decontaminate` minhashes the
+    same surviving corpus) derive them ONE time instead of re-embedding
+    the shingle+minhash expression block per operator (r13, plan-size
+    and construction cost only — results are identical by construction
+    since the signature of a document is deterministic).
 
     ``n_passes``: chain-integrity knob. Banding misses a true pair at
     shingle-Jaccard s with probability (1 - s^r)^(n_passes*n_bands),
@@ -248,15 +273,19 @@ def dedup_minhash(
     if n_passes < 1:
         raise ValueError("n_passes must be >= 1")
     total_perm = n_passes * n_perm
-    shingled = shingle_hashes(df, n_shingle, text_col, id_col)
-    # persist the signature table ONCE: the banded join reads it twice
-    # (a/b sides) and the verify stage twice more — without this the
-    # shingle+minhash expressions (the expensive part) re-execute per
-    # branch. MEMORY_AND_DISK: at corpus scale this is the standard
-    # materialized-signatures step of a MapReduce LSH pipeline.
-    signed = minhash_signature(shingled, total_perm).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    if signatures is not None:
+        signed = signatures
+    else:
+        shingled = shingle_hashes(df, n_shingle, text_col, id_col)
+        # persist the signature table ONCE: the banded join reads it
+        # twice (a/b sides) and the verify stage twice more — without
+        # this the shingle+minhash expressions (the expensive part)
+        # re-execute per branch. MEMORY_AND_DISK: at corpus scale this
+        # is the standard materialized-signatures step of a MapReduce
+        # LSH pipeline.
+        signed = minhash_signature(shingled, total_perm).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     pairs = lsh_candidate_pairs(
         signed, n_passes * n_bands, max_bucket_size, sig_len=total_perm
     )
@@ -354,11 +383,20 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     broadcast_probes: bool = True,
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus contamination mining — the decontamination step of a
     training pipeline: find every (probe_id, doc_id, jaccard) where a
     training-corpus document near-duplicates an evaluation/test probe,
     so the pipeline can drop the corpus rows (or flag the probes).
+
+    ``corpus_signatures``: optional precomputed corpus signature table —
+    exactly ``minhash_signature(shingle_hashes(corpus, n_shingle,
+    text_col, id_col), n_perm)``, caller-persisted. Same sharing hook
+    as :func:`dedup_minhash`'s ``signatures`` (r13): a pipeline that
+    already minhashed the corpus passes the table instead of paying the
+    shingle+minhash expression block a second time; results identical
+    by construction.
 
     Same banded-MinHash machinery as :func:`dedup_minhash`, but the
     candidate join runs BETWEEN the two corpora on (band_id, band_key)
@@ -371,9 +409,12 @@ def decontaminate(
     from pyspark.storagelevel import StorageLevel
 
     r = n_perm // n_bands
-    signed_c = minhash_signature(
-        shingle_hashes(corpus, n_shingle, text_col, id_col), n_perm
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if corpus_signatures is not None:
+        signed_c = corpus_signatures
+    else:
+        signed_c = minhash_signature(
+            shingle_hashes(corpus, n_shingle, text_col, id_col), n_perm
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     signed_p = minhash_signature(
         shingle_hashes(probes, n_shingle, text_col, id_col), n_perm
     ).persist(StorageLevel.MEMORY_AND_DISK)
