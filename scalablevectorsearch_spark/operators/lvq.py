@@ -125,10 +125,14 @@ def lvq_train(
 def _dlit(v: float) -> str:
     """Exact SQL double literal: repr() is the shortest round-trip
     decimal and both Python and the SQL parser are correctly-rounded,
-    so the parsed double is bit-identical to ``v``."""
+    so the parsed double is bit-identical to ``v``. Raises (not assert
+    — asserts vanish under ``python -O``) on non-finite values, which
+    have no SQL double literal and would otherwise parse as a column
+    reference or wrong value silently."""
     v = float(v)
     s = repr(v)
-    assert float(s) == v and s not in ("inf", "-inf", "nan"), s
+    if s in ("inf", "-inf", "nan") or float(s) != v:
+        raise ValueError(f"value has no exact SQL double literal: {v!r}")
     return f"{s}D"
 
 
@@ -413,26 +417,35 @@ def lvq_knn(
     )
 
 
-def _fold_distances(Q: np.ndarray, B: np.ndarray, distance: str) -> np.ndarray:
+def _fold_distances(
+    Q: np.ndarray, B: np.ndarray, distance: str
+) -> tuple[np.ndarray, np.ndarray | None]:
     """Row-wise distance of ``Q[i]`` to ``B[i]`` with the EXACT
     accumulation order of the Catalyst/DuckDB sequential fold
     (distances.distance_expr: acc = 0.0; acc = acc + f(x_i, y_i) over
     dims in order): vectorized across ROWS, sequential across DIMS, so
     every emitted double is bit-identical to the expression fold the
     oracles replay — the rerank could not be moved off Catalyst
-    otherwise (a GEMM-shaped kernel differs in last-ulp accumulation)."""
+    otherwise (a GEMM-shaped kernel differs in last-ulp accumulation).
+
+    Returns ``(values, null_mask)``: null_mask is currently always None
+    (kept in the signature so a distance whose SQL semantics demand SQL
+    NULLs can flag rows); cosine maps zero-norm rows to similarity 0.0,
+    the engine-wide pairwise_distances convention — the pre-r13 kernel
+    divided through to inf/nan there, silently changing degenerate
+    top-k order (ADVICE r12)."""
     n, d = Q.shape
     if distance == "l2":
         acc = np.zeros(n, dtype=np.float64)
         for i in range(d):
             diff = Q[:, i] - B[:, i]
             acc = acc + diff * diff
-        return acc
+        return acc, None
     if distance == "ip":
         acc = np.zeros(n, dtype=np.float64)
         for i in range(d):
             acc = acc + Q[:, i] * B[:, i]
-        return acc
+        return acc, None
     if distance == "cosine":
         num = np.zeros(n, dtype=np.float64)
         qq = np.zeros(n, dtype=np.float64)
@@ -442,7 +455,16 @@ def _fold_distances(Q: np.ndarray, B: np.ndarray, distance: str) -> np.ndarray:
             num = num + x * y
             qq = qq + x * x
             bb = bb + y * y
-        return num / (np.sqrt(qq) * np.sqrt(bb))
+        denom = np.sqrt(qq) * np.sqrt(bb)
+        # zero-norm vectors: similarity 0 — the engine-wide convention
+        # (functions.distances.pairwise_distances; the reference rejects
+        # zero norms upstream). The pre-r13 kernel divided through and
+        # produced inf/nan here, silently perturbing degenerate top-k
+        # order; the Catalyst ANSI fold it replaced would error instead.
+        zero = denom == 0.0
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = np.where(zero, 0.0, num / denom)
+        return out, None
     raise ValueError(f"unknown distance {distance!r}")
 
 
@@ -488,6 +510,13 @@ def _rerank_reconstruction(
     qp = q.select(
         F.col("qid").cast("long").alias("qid"), F.col("vector").alias("qv")
     ).toPandas()
+    if len(qp) == 0:
+        # np.stack raises on an empty sequence; the old Catalyst join
+        # path returned an empty frame here — preserve that contract
+        spark = recon.sparkSession
+        return spark.createDataFrame(
+            [], "qid long, neighbor_id long, distance double, rank long"
+        )
     qids = qp["qid"].to_numpy(dtype=np.int64)
     Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     sc = recon.sparkSession.sparkContext
@@ -509,9 +538,19 @@ def _rerank_reconstruction(
                 zero_copy_only=False
             )
             vec = rb.column(names.index("__bv"))
+            import pyarrow.compute as pc
+
+            lens = pc.list_value_length(vec).to_numpy(zero_copy_only=False)
+            if vec.null_count or not len(lens) or (lens != lens[0]).any():
+                # a ragged or NULL reconstruction row would either crash
+                # the reshape or, if the total happens to divide evenly,
+                # silently misalign every following row
+                raise ValueError(
+                    "reconstruction column must be non-null with a "
+                    "uniform storage width (ragged rows cannot be reshaped)"
+                )
             flat = vec.flatten().to_numpy(zero_copy_only=False)
-            w = len(flat) // n
-            B = flat.reshape(n, w).astype(np.float64, copy=False)
+            B = flat.reshape(n, int(lens[0])).astype(np.float64, copy=False)
             if decode is not None:
                 B = decode(B)
             if B.shape[1] != d_dim:
@@ -519,14 +558,15 @@ def _rerank_reconstruction(
                     f"reconstruction width {B.shape[1]} != query dim {d_dim}"
                 )
             qi = np.asarray([pos[int(x)] for x in rqid], dtype=np.int64)
-            dist = _fold_distances(bQ[qi], B, distance)
+            dist, nulls = _fold_distances(bQ[qi], B, distance)
             if scale is not None:
                 dist = np.floor(dist * scale + 0.5) / scale
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(rqid.astype(np.int64), type=pa.int64()),
                     pa.array(rnid.astype(np.int64), type=pa.int64()),
-                    pa.array(dist, type=pa.float64()),
+                    pa.array(dist, type=pa.float64(),
+                             mask=nulls if nulls is not None else None),
                 ],
                 names=["qid", "neighbor_id", "distance"],
             )

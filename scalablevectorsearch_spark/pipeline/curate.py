@@ -123,6 +123,9 @@ def repetition_stats(
     # doc has >= n tokens), not size(__ngrams): referencing __ngrams
     # once keeps the gram array a single-use intermediate the optimizer
     # can pipeline, instead of a twice-referenced value
+    from .text import _qident
+
+    id_col, text_col = _qident(id_col), _qident(text_col)
     stage = df.selectExpr(
         f"{id_col} as doc_id",
         f"split(trim({text_col}), '\\\\s+') as __toks",
@@ -182,14 +185,16 @@ def dataset_split(
     # one SQL string (r12, guide §4 driver boundary) — the same nested
     # CaseWhen tree the Column loop built, `h` repeated per level
     # exactly as the Column version reused the subtree
+    from .text import _qident, _qlit
+
     salt_sql = salt.replace("'", "''")
     h = (
         f"substring(md5(cast(concat('{salt_sql}', ':', "
-        f"cast({id_col} as string)) as binary)), 1, {digits})"
+        f"cast({_qident(id_col)} as string)) as binary)), 1, {digits})"
     )
-    expr = f"'{names[-1]}'"
+    expr = _qlit(names[-1])
     for name, b in zip(reversed(names[:-1]), reversed(bounds)):
-        expr = f"CASE WHEN {h} < '{b}' THEN '{name}' ELSE {expr} END"
+        expr = f"CASE WHEN {h} < '{b}' THEN {_qlit(name)} ELSE {expr} END"
     return df.withColumn("split", F.expr(expr))
 
 
@@ -306,7 +311,9 @@ def quality_filter(
         )
         .join(lang.select("doc_id", "pred_lang"), "doc_id")
     )
-    lang_list = "(" + ", ".join(f"'{x}'" for x in langs) + ")"
+    from .text import _qlit
+
+    lang_list = "(" + ", ".join(_qlit(x) for x in langs) + ")"
     reason = (
         f"CASE WHEN n_tokens < {min_tokens} THEN 'too_short' "
         f"WHEN n_tokens > {max_tokens} THEN 'too_long' "

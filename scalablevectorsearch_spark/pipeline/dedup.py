@@ -75,6 +75,9 @@ def dedup_exact(
 ) -> DataFrame:
     """(doc_id, content_hash, canonical_id, is_dup): canonical = smallest
     doc id sharing the exact content hash. One shuffle on the hash."""
+    from .text import _qident
+
+    id_col, text_col = _qident(id_col), _qident(text_col)
     return (
         df.selectExpr(f"{id_col} as doc_id", f"md5({text_col}) as content_hash")
         .selectExpr(
@@ -107,9 +110,11 @@ def shingle_hashes(
         f"  sequence(1, greatest(size(__toks) - {n_shingle} + 1, 1)),"
         f"  i -> {h}))"
     )
+    from .text import _qident
+
     return df.selectExpr(
-        f"{id_col} as doc_id",
-        f"split(trim({text_col}), '\\\\s+') as __toks",
+        f"{_qident(id_col)} as doc_id",
+        f"split(trim({_qident(text_col)}), '\\\\s+') as __toks",
     ).selectExpr("doc_id", f"{sh} as shingles")
 
 
@@ -511,10 +516,13 @@ def duplicate_spans(
 
     if sample not in ("positional", "content"):
         raise ValueError(f"sample must be 'positional' or 'content': {sample!r}")
+    from .text import _qident
+
+    text_q = _qident(text_col)
     if hash_fn == "xxhash64":
-        h = f"xxhash64(substring({text_col}, i, {span_len}))"
+        h = f"xxhash64(substring({text_q}, i, {span_len}))"
     elif hash_fn == "md5":
-        h = MD5I.format(s=f"substring({text_col}, i, {span_len})")
+        h = MD5I.format(s=f"substring({text_q}, i, {span_len})")
     else:
         raise ValueError(f"hash_fn must be 'md5' or 'xxhash64': {hash_fn!r}")
     # content sampling enumerates every position and filters on the
@@ -531,7 +539,7 @@ def duplicate_spans(
             F.col(id_col).alias("doc_id"),
             F.explode(
                 F.expr(
-                    f"transform(sequence(1, length({text_col}) - {span_len} + 1, {pos_stride}),"
+                    f"transform(sequence(1, length({text_q}) - {span_len} + 1, {pos_stride}),"
                     f" i -> struct(i as pos, {h} as h))"
                 )
             ).alias("g"),
@@ -612,22 +620,25 @@ def remove_spans(
             )
         ).alias("__sp")
     )
+    from .text import _qident
+
+    text_q = _qident(text_col)
     j = df.join(sp, F.col(id_col) == F.col("__sid"), "left")
     # Fold over sorted spans: emit the gap before each span, track the
     # running cut frontier (spans sorted by start have non-decreasing
     # end here, so `prev = x.e` covers overlap-union too; negative gap
     # lengths yield '' from substring).
     clean = F.expr(
-        f"""CASE WHEN __sp IS NULL THEN {text_col} ELSE
+        f"""CASE WHEN __sp IS NULL THEN {text_q} ELSE
         aggregate(
             __sp,
             struct(cast(0 as bigint) as prev, '' as acc),
             (a, x) -> struct(
                 greatest(a.prev, x.e) as prev,
-                concat(a.acc, substring({text_col}, int(a.prev) + 1,
+                concat(a.acc, substring({text_q}, int(a.prev) + 1,
                                         int(x.s) - 1 - int(a.prev))) as acc),
-            a -> concat(a.acc, substring({text_col}, int(a.prev) + 1,
-                                         length({text_col}) - int(a.prev))))
+            a -> concat(a.acc, substring({text_q}, int(a.prev) + 1,
+                                         length({text_q}) - int(a.prev))))
         END"""
     )
     out = j.withColumn("__clean", clean)

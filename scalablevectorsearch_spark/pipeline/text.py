@@ -37,10 +37,23 @@ def _toks(text_col: str) -> F.Column:
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column identifier interpolated into a SQL
+    string (r13, ADVICE): a plain name resolves identically quoted or
+    not, and a name that NEEDS quoting (hyphen, space, quote) now works
+    instead of breaking — or injecting into — the parsed expression."""
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _qlit(v: str) -> str:
+    """Escaped single-quoted SQL string literal (r13, ADVICE)."""
+    return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def _toks_sql(text_col: str) -> str:
     # identical StringSplit expression to :func:`_toks` — the SQL
     # literal '\\s+' parses to the same \s+ Java-regex pattern
-    return f"split(trim({text_col}), '\\\\s+')"
+    return f"split(trim({_qident(text_col)}), '\\\\s+')"
 
 
 def _in_set(tok: F.Column, words: list[str]) -> F.Column:
@@ -48,7 +61,7 @@ def _in_set(tok: F.Column, words: list[str]) -> F.Column:
 
 
 def _in_set_sql(words: list[str]) -> str:
-    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+    return "(" + ", ".join(_qlit(w) for w in words) + ")"
 
 
 def _count_in(toks: F.Column, words: list[str]) -> F.Column:
@@ -73,6 +86,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     toks = _toks_sql(text_col)
     stop = _in_set_sql(STOPWORDS["en"])
     bpe = BPE_PATTERN.replace("\\", "\\\\")
+    id_col, text_col = _qident(id_col), _qident(text_col)
     out = df.selectExpr(
         f"{id_col} as doc_id",
         f"length({text_col}) as n_chars",
@@ -108,6 +122,7 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     en > de > fr > es (mirrored verbatim by the oracle). Returns
     (doc_id, pred_lang)."""
     toks = _toks_sql(text_col)
+    id_col, text_col = _qident(id_col), _qident(text_col)
     counts = {
         lang: f"size(filter({toks}, t -> t in {_in_set_sql(words)})) as __c_{lang}"
         for lang, words in STOPWORDS.items()
@@ -145,6 +160,7 @@ def doc_fingerprints(
     — ~2x cheaper on the char-gram hashing that dominates
     fingerprinting cost (the gram hash runs ~len(text) times per doc),
     identical blocking semantics, but Spark-only."""
+    text_col = _qident(text_col)
     if hash_fn == "xxhash64":
         gram = f"xxhash64(substring({text_col}, i, {k}))"
     elif hash_fn == "md5":

@@ -124,13 +124,25 @@ def test_fold_distances_matches_catalyst(spark):
     n, d = 200, 23  # odd dim to exercise non-multiple-of-SIMD tails
     Q = rng.normal(size=(n, d)) * rng.choice([1e-3, 1.0, 1e3], size=(n, 1))
     B = rng.normal(size=(n, d)) * rng.choice([1e-3, 1.0, 1e3], size=(n, 1))
+    # zero-norm rows: the ANSI Catalyst fold ERRORS on the cosine
+    # division, so they are checked kernel-side only — the kernel must
+    # map them to similarity 0.0 (the pairwise_distances convention;
+    # r13 ADVICE: inf/nan changed degenerate top-k ordering)
+    Bz = B.copy()
+    Qz = Q.copy()
+    Bz[7] = 0.0
+    Qz[11] = 0.0
+    gotz, _ = _fold_distances(Qz, Bz, "cosine")
+    assert gotz[7] == 0.0 and gotz[11] == 0.0
+    assert np.isfinite(gotz).all()
     rows = [
         (int(i), [float(x) for x in Q[i]], [float(x) for x in B[i]])
         for i in range(n)
     ]
     df = spark.createDataFrame(rows, "i long, q array<double>, b array<double>")
     for dist in ("l2", "ip", "cosine"):
-        got = _fold_distances(Q, B, dist)
+        got, nulls = _fold_distances(Q, B, dist)
+        assert nulls is None
         exp_rows = df.select(
             "i", distance_expr(F.col("q"), F.col("b"), dist).alias("d")
         ).collect()
