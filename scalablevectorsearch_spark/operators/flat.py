@@ -249,6 +249,7 @@ def flat_knn(
     max_query_block: int | None = None,
     deadline: float | None = None,
     decode=None,
+    query_batch: tuple | None = None,
 ) -> DataFrame:
     """Exact k-NN of every query against the base table.
 
@@ -276,14 +277,25 @@ def flat_knn(
     (n, d) vector matrix (the reference's compressed-scan extension
     point, extensions/flat/*.h). Used by operators.lvq to scan packed
     codes directly; ships in the task closure like custom distance
-    kernels."""
+    kernels.
+
+    ``query_batch``: optional pre-collected ``(qids int64 array,
+    Q float64 matrix)`` for the SAME query table — a caller that
+    already collected the batch (e.g. a two-phase search whose re-rank
+    needs it too) skips this function's own collect job (r13, VERDICT
+    item 3: reuse one collected batch across the chain). Mutually
+    exclusive with ``max_query_block``."""
     qvec_col = qvec_col or vec_col
     if where is not None:
         base = base.filter(where)
     scan = base.select(F.col(id_col).cast("long").alias("__id"), F.col(vec_col).alias("__vec"))
     sc = base.sparkSession.sparkContext
 
-    if max_query_block is None:
+    if query_batch is not None:
+        if max_query_block is not None:
+            raise ValueError("query_batch and max_query_block are exclusive")
+        blocks = iter([query_batch])
+    elif max_query_block is None:
         blocks = iter(
             [
                 queries.select(
@@ -297,10 +309,16 @@ def flat_knn(
 
     parts: list[DataFrame] = []
     for qp in blocks:
-        if len(qp) == 0:
+        if isinstance(qp, tuple):
+            qids = np.asarray(qp[0], dtype=np.int64)
+            Q = np.asarray(qp[1], dtype=np.float64)
+        elif len(qp) == 0:
             continue
-        qids = qp["qid"].to_numpy(dtype=np.int64)
-        Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+        else:
+            qids = qp["qid"].to_numpy(dtype=np.int64)
+            Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+        if len(qids) == 0:
+            continue
         bc = sc.broadcast((qids, Q))
         fn = _scan_kernel(bc, distance, k, query_chunk_size, round_to, deadline, decode)
         cand = scan.mapInArrow(fn, RESULT_SCHEMA)
@@ -311,7 +329,7 @@ def flat_knn(
             k=k,
             ascending=not is_similarity(distance),
             tie_col="neighbor_id",
-            num_partitions=merge_partitions(len(qp), k, base.sparkSession),
+            num_partitions=merge_partitions(len(qids), k, base.sparkSession),
         )
         if max_query_block is not None:
             # eager: materialize this block's Q_b×k result, then drop

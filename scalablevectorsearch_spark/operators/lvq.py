@@ -405,15 +405,27 @@ def lvq_knn(
         return flat_knn(packed, q, k=k, distance=distance, round_to=round_to, decode=dec)
     if k_reorder < k:
         raise ValueError(f"k_reorder={k_reorder} must be >= k={k}")
+    # collect the query batch ONCE and share it between the primary
+    # scan and the re-rank (r13, VERDICT item 3: both phases broadcast
+    # the same batch — previously each ran its own collect job)
+    qp = q.select(
+        F.col("qid").cast("long").alias("qid"), F.col("vector").alias("qv")
+    ).toPandas()
+    if len(qp) == 0:
+        raise ValueError("empty query batch")
+    qids = qp["qid"].to_numpy(dtype=np.int64)
+    Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     cands = flat_knn(
-        packed, q, k=k_reorder, distance=distance, round_to=round_to, decode=dec
+        packed, q, k=k_reorder, distance=distance, round_to=round_to, decode=dec,
+        query_batch=(qids, Q),
     )
     recon2 = comp.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         lvq_packed2_col(params).alias("__bv"),
     )
     return _rerank_reconstruction(
-        cands, recon2, q, k, distance, round_to, decode=lvq_decoder2(params)
+        cands, recon2, q, k, distance, round_to, decode=lvq_decoder2(params),
+        query_batch=(qids, Q),
     )
 
 
@@ -476,6 +488,7 @@ def _rerank_reconstruction(
     distance: str,
     round_to: int | None,
     decode=None,
+    query_batch: tuple | None = None,
 ) -> DataFrame:
     """Re-rank a (qid, neighbor_id) candidate set against a
     reconstruction table: broadcast the Q x k_reorder pair set against
@@ -507,18 +520,29 @@ def _rerank_reconstruction(
     joined = recon.join(F.broadcast(pairs), "neighbor_id").select(
         "qid", "neighbor_id", "__bv"
     )
-    qp = q.select(
-        F.col("qid").cast("long").alias("qid"), F.col("vector").alias("qv")
-    ).toPandas()
-    if len(qp) == 0:
-        # np.stack raises on an empty sequence; the old Catalyst join
-        # path returned an empty frame here — preserve that contract
+    if query_batch is not None:
+        # caller-collected batch (shared with the primary scan — one
+        # collect job for the whole two-phase search, r13)
+        qids = np.asarray(query_batch[0], dtype=np.int64)
+        Q = np.asarray(query_batch[1], dtype=np.float64)
+    else:
+        qp = q.select(
+            F.col("qid").cast("long").alias("qid"), F.col("vector").alias("qv")
+        ).toPandas()
+        if len(qp) == 0:
+            # np.stack raises on an empty sequence; the old Catalyst
+            # join path returned an empty frame here — preserve that
+            spark = recon.sparkSession
+            return spark.createDataFrame(
+                [], "qid long, neighbor_id long, distance double, rank long"
+            )
+        qids = qp["qid"].to_numpy(dtype=np.int64)
+        Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
+    if len(qids) == 0:
         spark = recon.sparkSession
         return spark.createDataFrame(
             [], "qid long, neighbor_id long, distance double, rank long"
         )
-    qids = qp["qid"].to_numpy(dtype=np.int64)
-    Q = np.stack(qp["qv"].to_numpy()).astype(np.float64)
     sc = recon.sparkSession.sparkContext
     bc = sc.broadcast((qids, Q))
     scale = None if round_to is None else float(10**round_to)
