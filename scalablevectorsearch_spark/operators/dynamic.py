@@ -776,46 +776,62 @@ def delete_entries(
     ids = ids.select(F.col(idx.id_col).cast("long").alias("id")).distinct()
     # probe-collect instead of count-then-collect (one job, not two):
     # pull at most one row past the driver budget — enough to decide
-    # the path, and the driver never holds more than budget+1 ids
-    probe = None
-    if dyn.tomb_df is None:
-        budget = max(0, max_driver_ids - len(dyn.tomb_ids))
-        probe = ids.limit(budget + 1).collect()
-    if probe is not None and len(dyn.tomb_ids) + len(probe) <= max_driver_ids:
-        id_list = sorted({r[0] for r in probe})
-        already = [i for i in id_list if i in set(dyn.tomb_ids)]
-        if already:
-            raise ValueError(f"{len(already)} ids are unknown or already deleted")
-        # existence check: pushed-down isin filter — the scan prunes,
-        # the base never shuffles
-        present = _without_ids(
-            idx.base.select(idx.id_col), idx.id_col, tuple(id_list), keep=True
-        ).count()
-        if present < len(id_list):
-            raise ValueError(
-                f"{len(id_list) - present} ids are unknown or already deleted"
-            )
-        return DynamicVamana(
-            index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list))),
-            pins=dyn.pins, ckpt_cell=dyn.ckpt_cell,
-            ckpt_gen=dyn.ckpt_cell.transfer(),
-            gens_since_ckpt=dyn.gens_since_ckpt,
-        )
-    # large-wave path: all joins, zero driver materialization. The
-    # existence check shuffles only the id column of the (pruned) base
-    # scan — unavoidable when the wave itself exceeds broadcast size.
-    n_new = ids.count()
-    tomb = dyn.tombstones
-    already = ids.join(tomb, "id", "left_semi").count()
-    if already:
-        raise ValueError(f"{already} ids are unknown or already deleted")
-    present = (
+    # the path, and the driver never holds more than budget+1 ids.
+    # r13 (guide §2.6): the existence check is INDEPENDENT of the probe
+    # (it is a semi-join count of the whole wave against the base, the
+    # same expression both paths need), so it runs concurrently with
+    # the probe instead of as a second sequential job latency.
+    present_df = (
         idx.base.select(F.col(idx.id_col).cast("long").alias("id"))
         .join(ids, "id", "left_semi")
-        .count()
     )
-    if present < n_new:
-        raise ValueError(f"{n_new - present} ids are unknown or already deleted")
+    probe = None
+    present_f = None
+    pool = None
+    if dyn.tomb_df is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        budget = max(0, max_driver_ids - len(dyn.tomb_ids))
+        pool = ThreadPoolExecutor(max_workers=1)
+        present_f = pool.submit(present_df.count)
+        try:
+            probe = ids.limit(budget + 1).collect()
+        except BaseException:
+            pool.shutdown(wait=True)
+            raise
+    try:
+        if probe is not None and len(dyn.tomb_ids) + len(probe) <= max_driver_ids:
+            id_list = sorted({r[0] for r in probe})
+            already = [i for i in id_list if i in set(dyn.tomb_ids)]
+            if already:
+                raise ValueError(
+                    f"{len(already)} ids are unknown or already deleted"
+                )
+            present = present_f.result()
+            if present < len(id_list):
+                raise ValueError(
+                    f"{len(id_list) - present} ids are unknown or already deleted"
+                )
+            return DynamicVamana(
+                index=idx, tomb_ids=tuple(sorted(set(dyn.tomb_ids) | set(id_list))),
+                pins=dyn.pins, ckpt_cell=dyn.ckpt_cell,
+                ckpt_gen=dyn.ckpt_cell.transfer(),
+                gens_since_ckpt=dyn.gens_since_ckpt,
+            )
+        # large-wave path: all joins, zero driver materialization. The
+        # existence check shuffles only the id column of the (pruned)
+        # base scan — unavoidable when the wave exceeds broadcast size.
+        n_new = ids.count()
+        tomb = dyn.tombstones
+        already = ids.join(tomb, "id", "left_semi").count()
+        if already:
+            raise ValueError(f"{already} ids are unknown or already deleted")
+        present = present_f.result() if present_f is not None else present_df.count()
+        if present < n_new:
+            raise ValueError(f"{n_new - present} ids are unknown or already deleted")
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=True)
     # localCheckpoint, not cache: tombstone waves chain (each wave
     # unions the previous set), so a cache-only chain both grows the
     # plan per wave and leaks every prior wave's cached union; the
