@@ -391,9 +391,16 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
         # need the MinHash signatures of the surviving corpus — derive
         # ONE shared signature table instead of embedding the
         # shingle+minhash expression block twice in the composite plan.
-        # Results are identical by construction (a document's signature
-        # is deterministic; decontaminate gets the table semi-joined to
-        # its exact input id set). Same stages, same final answer.
+        # Decontamination screens the PRE-near-dedup survivors (a
+        # superset of its old input): a signature is deterministic per
+        # document and the extra flagged ids are exactly the near-dups
+        # the following anti-join has already removed, so the final
+        # kept set — and the timed aggregate — is IDENTICAL (asserted
+        # bit-for-bit old-vs-new at sf0.01 and sf0.1,
+        # tools/composite_ab.py). Same stages, same final answer; the
+        # measured win is the collapsed decontaminate subtree (its
+        # corpus branch no longer re-embeds the near-dup anti-join
+        # chain): composite 2.0s -> 1.2s warm isolated min-of-5.
         signed = minhash_signature(shingle_hashes(kept, 3), 16).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -407,9 +414,7 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
         )
         contaminated = decontaminate(
             kept, probes, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5,
-            corpus_signatures=signed.join(
-                kept.select("doc_id"), "doc_id", "left_semi"
-            ),
+            corpus_signatures=signed,
         ).select("doc_id")
         kept = kept.join(contaminated.distinct(), "doc_id", "left_anti")
         pack_sequences(kept, token_budget=4096).agg(

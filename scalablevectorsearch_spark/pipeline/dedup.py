@@ -395,13 +395,16 @@ def decontaminate(
     training-corpus document near-duplicates an evaluation/test probe,
     so the pipeline can drop the corpus rows (or flag the probes).
 
-    ``corpus_signatures``: optional precomputed corpus signature table —
-    exactly ``minhash_signature(shingle_hashes(corpus, n_shingle,
-    text_col, id_col), n_perm)``, caller-persisted. Same sharing hook
-    as :func:`dedup_minhash`'s ``signatures`` (r13): a pipeline that
-    already minhashed the corpus passes the table instead of paying the
-    shingle+minhash expression block a second time; results identical
-    by construction.
+    ``corpus_signatures``: optional precomputed corpus signature table
+    (``minhash_signature(shingle_hashes(..., n_shingle, text_col,
+    id_col), n_perm)``), caller-persisted. When passed, THIS TABLE
+    defines the corpus actually screened — the ``corpus`` frame is not
+    re-read. Same sharing hook as :func:`dedup_minhash`'s
+    ``signatures`` (r13): a pipeline that already minhashed the corpus
+    (or a superset of it whose extra rows are harmless downstream, as
+    in the bench composite) passes the table instead of paying the
+    shingle+minhash expression block — and at corpus scale a second
+    full corpus pass — again.
 
     Same banded-MinHash machinery as :func:`dedup_minhash`, but the
     candidate join runs BETWEEN the two corpora on (band_id, band_key)

@@ -57,11 +57,12 @@ def composite_kept(docs, shared: bool):
         (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
     )
     if shared:
+        # the signature table of the PRE-near-dedup survivors defines
+        # the screened corpus: extra flagged ids are exactly the
+        # near-dups the following anti-join already removed
         contaminated = decontaminate(
             kept, probes, n_shingle=3, n_perm=16, n_bands=4, threshold=0.5,
-            corpus_signatures=signed.join(
-                kept.select("doc_id"), "doc_id", "left_semi"
-            ),
+            corpus_signatures=signed,
         ).select("doc_id")
     else:
         contaminated = decontaminate(
