@@ -447,6 +447,11 @@ def run_suite(spark, base, docs, queries, n, query_hook=None) -> dict[str, float
         )
         idx = vamana_build(tiled, VAMANA, n_shards=32)
         idx.graph.count()
+        if idx.layout is not None:
+            # vamana_build pins its shard layout; release it so reps
+            # neither accumulate cached blocks nor reuse a prior rep's
+            # layout shuffle (every rep recomputes from the input)
+            idx.layout.unpersist()
 
     timed("text_stats", _text_stats)
     timed("dedup_minhash", _dedup)
