@@ -28,7 +28,10 @@ Coverage vs BASELINE.md:
   B1 flat exact k-NN (l2/ip/cosine) | B2 ivf_build | B3 ivf_search
   B4 vamana_build | B5 vamana_search | B6 dynamic cycle | B7 sq search
 Cached structures are materialized inside their build timings so search
-timings measure search alone.
+timings measure search alone. scaling_shard_build (r13) is the
+core-scaling probe: a compute-bound 32-shard graph build over a
+deterministic tiling, sized so the 8-vs-32-core wall-time ratio is a
+true signal (every other sf0.1 row is latency-bound).
 """
 
 from __future__ import annotations
